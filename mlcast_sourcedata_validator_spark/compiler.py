@@ -1,0 +1,351 @@
+"""CheckSuite compiler + runner: fuse every check into ONE Spark job.
+
+The reference runs 13 sequential check functions over one in-memory dataset
+(specs/source_data/radar_precipitation.py:38-270), sharing work only through
+an ad-hoc memo cache (checks/coords/variable_timestep.py:12,35-44). The
+Spark-native re-expression compiles the whole suite into a single plan:
+
+    input scan
+      └─ Observation (CollectMetrics): ALL aggregate metrics — null counts,
+         min/max ts, HLL cardinality, drift-histogram bin counts — ride the
+         same scan for free (SURVEY.md §4 "single-pass multi-aggregate")
+      └─ broadcast-left-join conversations registry   (refint; no shuffle)
+      └─ ONE Window.partitionBy(conv_id).orderBy(turn_idx) enrichment
+         (lag ts / lag turn / row_number / per-conv distinct-dt)
+         — the suite's ONLY shuffle
+      └─ per-row violation array: [struct(check_id, detail) | pred_i] …
+         filtered + exploded -> violations DataFrame
+
+One action materializes the violations table AND populates the Observation;
+verdicts are then pure driver math over ~dozens of scalars. At 10^12 rows
+the cost is: 1 scan + 1 conv_id shuffle + 1 broadcast, independent of the
+number of checks in the suite.
+
+Skew note: the conv_id window shuffle is bounded per key by max conversation
+length (turns per conv ≤ a few thousand), so hot conv_ids cannot create a
+straggler partition the way unbounded groupBy keys can; AQE skew handling
+stays enabled for the registry join. Salted two-phase aggregation (skew.py)
+is used by the grouped drift path where keys are unbounded.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import functions as F
+
+from .operators import domains, drift, ordering, refint, schema_check, stats, storage
+from .report import VIOLATIONS_SCHEMA, ValidationReport
+from .suite import (
+    AggCheck,
+    CheckSuite,
+    DriftCheck,
+    DriverCheck,
+    RowCheck,
+    RunContext,
+)
+
+_COMPILERS = {
+    # driver-side (zero scan)
+    "required_columns": schema_check.compile_required_columns,
+    "storage_codec": storage.compile_codec,
+    "storage_partitioning": storage.compile_partitioning,
+    "storage_format": storage.compile_format,
+    # fused aggregates
+    "null_rate": stats.compile_null_rate,
+    "temporal_coverage": stats.compile_temporal_coverage,
+    "cardinality": stats.compile_cardinality,
+    "numeric_bounds": stats.compile_numeric_bounds,
+    "min_rows": stats.compile_min_rows,
+    # row predicates
+    "domain": domains.compile_domain,
+    "conditional_column": domains.compile_conditional_column,
+    # window predicates
+    "unique_key": ordering.compile_unique_key,
+    "turn_contiguity": ordering.compile_turn_contiguity,
+    "ts_monotonic": ordering.compile_ts_monotonic,
+    "variable_timestep": ordering.compile_variable_timestep,
+    "refint": refint.compile_refint,
+    # drift
+    "drift": drift.compile_drift,
+}
+
+_AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality", "numeric_bounds", "min_rows"}
+_MOD_NAME = __name__
+
+
+@dataclass
+class CompiledSuite:
+    suite: CheckSuite
+    driver_checks: list[tuple[str, DriverCheck]] = field(default_factory=list)
+    agg_checks: list[tuple[str, AggCheck]] = field(default_factory=list)
+    row_checks: list[tuple[str, RowCheck]] = field(default_factory=list)
+    drift_checks: list[tuple[str, DriftCheck]] = field(default_factory=list)
+    #: check order for report assembly
+    order: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SuiteRunResult:
+    report: ValidationReport
+    violations: DataFrame
+    metrics: dict[str, Any]
+    run_id: str
+    partition_id: Optional[str]
+    n_input_rows: int
+    wall_sec: float
+
+    def has_fails(self) -> bool:
+        return self.report.has_fails()
+
+    def exit_code(self) -> int:
+        # ref: specs/cli.py:172 — exit 1 iff any FAIL
+        return 1 if self.has_fails() else 0
+
+
+def compile_suite(suite: CheckSuite, exact: bool = False) -> CompiledSuite:
+    cs = CompiledSuite(suite)
+    for spec in suite.checks:
+        if spec.kind not in _COMPILERS:
+            raise ValueError(f"unknown check kind: {spec.kind!r} ({spec.check_id})")
+        fn = _COMPILERS[spec.kind]
+        out = fn(spec, suite, exact=exact) if spec.kind in _AGG_KINDS else fn(spec, suite)
+        cs.order.append(spec.check_id)
+        items = out if isinstance(out, list) else [out]
+        for item in items:
+            if isinstance(item, DriverCheck):
+                cs.driver_checks.append((spec.check_id, item))
+            elif isinstance(item, AggCheck):
+                cs.agg_checks.append((spec.check_id, item))
+            elif isinstance(item, RowCheck):
+                cs.row_checks.append((spec.check_id, item))
+            elif isinstance(item, DriftCheck):
+                cs.drift_checks.append((spec.check_id, item))
+            else:  # pragma: no cover
+                raise TypeError(f"unexpected contribution {type(item)}")
+    return cs
+
+
+def _agg_exprs(cs: CompiledSuite) -> list:
+    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    seen = {"__n_rows"}
+    for _, ac in cs.agg_checks:
+        for name, col in ac.exprs.items():
+            if name in seen:
+                raise ValueError(f"duplicate metric name {name}")
+            seen.add(name)
+            exprs.append(col.alias(name))
+    for _, dc in cs.drift_checks:
+        for i in range(1, dc.n_bins + 1):
+            exprs.append(
+                F.sum(F.when(dc.bucket == i, 1).otherwise(0)).alias(f"{dc.check_id}__bin_{i}")
+            )
+    return exprs
+
+
+def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRunResult:
+    """Compile + execute the suite on ctx.df; optionally persist violations."""
+    t0 = time.time()
+    suite = ctx.suite
+    run_id = ctx.run_id or uuid.uuid4().hex[:12]
+    cs = compile_suite(suite, exact=ctx.exact)
+    spark = ctx.spark
+
+    # --- 1. driver-side checks (no scan) ---------------------------------
+    reports: dict[str, ValidationReport] = {}
+    for cid, dc in cs.driver_checks:
+        reports.setdefault(cid, ValidationReport())
+        reports[cid] += dc.fn(ctx)
+
+    # short-circuit: a failed schema check gates every scan-based check
+    # (reference pattern: cheap checks gate expensive ones; early returns at
+    # licensing.py:76,101 / temporal.py:30-34). Running the scan against a
+    # wrong schema would abort with an unresolved-column error instead of a
+    # report row.
+    schema_failed = any(
+        spec.kind == "required_columns"
+        and cid in reports
+        and reports[cid].has_fails()
+        for spec in suite.checks
+        for cid in [spec.check_id]
+    )
+    if schema_failed:
+        final = ValidationReport()
+        skipped = {cid for cid, _ in cs.agg_checks}
+        skipped |= {rc.check_id for _, rc in cs.row_checks}
+        skipped |= {cid for cid, _ in cs.drift_checks}
+        for spec in suite.checks:
+            if spec.check_id in reports:
+                final += reports[spec.check_id]
+            elif spec.check_id in skipped or any(
+                c.startswith(spec.check_id) for c in skipped
+            ):
+                final.add(spec.section, spec.requirement, "FAIL",
+                          "skipped: schema validation failed",
+                          _MOD_NAME, "run_suite")
+        return SuiteRunResult(
+            report=final,
+            violations=spark.createDataFrame([], schema=VIOLATIONS_SCHEMA),
+            metrics={},
+            run_id=run_id,
+            partition_id=ctx.partition_id,
+            n_input_rows=0,
+            wall_sec=time.time() - t0,
+        )
+
+    # --- 2. build the fused plan ------------------------------------------
+    conv, turn, ts = suite.conv_col, suite.turn_col, suite.ts_col
+    agg_exprs = _agg_exprs(cs)
+    metrics: dict[str, Any] = {}
+
+    need_window = any(rc.needs_window for _, rc in cs.row_checks)
+    need_registry = any(spec.kind == "refint" for spec in suite.checks)
+    need_conv_stats = any(
+        spec.kind == "variable_timestep"
+        and not spec.params.get("allow_variable_timestep", True)
+        for spec in suite.checks
+    )
+
+    df = ctx.df
+    obs: Optional[Observation] = None
+    if cs.row_checks and not ctx.exact:
+        # stats ride the violations action via CollectMetrics (observe);
+        # exact mode (count_distinct) is not observable -> separate agg.
+        obs = Observation("suite_metrics")
+        df = df.observe(obs, *agg_exprs)
+
+    enriched = df
+    if need_registry:
+        if ctx.registry_df is None:
+            raise ValueError("suite has a refint check but no registry_df given")
+        reg = ctx.registry_df.select(F.col(conv).alias(refint.REG_MARKER)).distinct()
+        enriched = enriched.join(
+            F.broadcast(reg), enriched[conv] == reg[refint.REG_MARKER], "left"
+        )
+    if need_window or need_registry:
+        w = Window.partitionBy(conv).orderBy(turn)
+        enriched = (
+            enriched.withColumn(ordering.RN, F.row_number().over(w))
+            .withColumn(ordering.LAG_TS, F.lag(ts).over(w))
+            .withColumn(ordering.LAG_TURN, F.lag(turn).over(w))
+        )
+        if need_conv_stats:
+            w_all = Window.partitionBy(conv)
+            dt = F.col(ts).cast("long") - F.col(ordering.LAG_TS).cast("long")
+            enriched = (
+                enriched.withColumn("_dt", dt)
+                .withColumn(
+                    ordering.N_DISTINCT_DT,
+                    F.size(F.array_distinct(F.collect_list("_dt").over(w_all))),
+                )
+                .withColumn(
+                    ordering.IS_LAST, F.col(ordering.RN) == F.count(F.lit(1)).over(w_all)
+                )
+            )
+
+    # --- 3. violations: one array of failing-check structs per row --------
+    n_input_rows = 0
+    if cs.row_checks:
+        hits = F.array(
+            *[
+                F.when(
+                    rc.pred,
+                    F.struct(
+                        F.lit(rc.check_id).alias("check_id"),
+                        rc.detail.cast("string").alias("detail"),
+                    ),
+                )
+                for _, rc in cs.row_checks
+            ]
+        )
+        viol = (
+            enriched.select(
+                F.col(conv).alias("conv_id"),
+                F.col(turn).cast("int").alias("turn_idx"),
+                F.array_compact(hits).alias("_hits"),
+            )
+            .where(F.size("_hits") > 0)
+            .select(
+                F.explode("_hits").alias("h"), "conv_id", "turn_idx"
+            )
+            .select(
+                F.col("h.check_id").alias("check_id"),
+                "conv_id",
+                "turn_idx",
+                F.col("h.detail").alias("detail"),
+                F.lit(ctx.partition_id).cast("string").alias("partition_id"),
+            )
+        )
+        if violations_path:
+            viol.write.mode("append").parquet(violations_path)
+            viol = spark.read.parquet(violations_path)
+            if ctx.partition_id is not None:
+                viol = viol.where(F.col("partition_id") == ctx.partition_id)
+        else:
+            viol = viol.localCheckpoint()  # materializes -> observation filled
+        counts = {
+            r["check_id"]: r["n"]
+            for r in viol.groupBy("check_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if obs is not None:
+            try:
+                metrics.update(obs.get)
+            except Exception:
+                # zero input tasks -> no CollectMetrics row (e.g. empty
+                # batch); fall back to a direct aggregate, which returns a
+                # well-formed all-null/zero row
+                row = ctx.df.agg(*agg_exprs).collect()[0]
+                metrics.update(row.asDict())
+            n_input_rows = metrics.get("__n_rows", 0)
+    else:
+        counts = {}
+        viol = spark.createDataFrame([], schema=VIOLATIONS_SCHEMA)
+
+    if obs is None and (cs.agg_checks or cs.drift_checks):
+        row = ctx.df.agg(*agg_exprs).collect()[0]
+        metrics.update(row.asDict())
+        n_input_rows = metrics.get("__n_rows", 0)
+
+    # --- 4. drift baselines ------------------------------------------------
+    for cid, dc in cs.drift_checks:
+        if ctx.baseline_df is not None:
+            base_rows = (
+                ctx.baseline_df.where(F.col("metric") == dc.metric)
+                .select("bin", "count")
+                .collect()
+            )
+            if base_rows:
+                by_bin = {r["bin"]: r["count"] for r in base_rows}
+                metrics[f"{cid}__baseline"] = [
+                    float(by_bin.get(i, 0)) for i in range(1, dc.n_bins + 1)
+                ]
+
+    # --- 5. verdicts in suite order ----------------------------------------
+    for cid, ac in cs.agg_checks:
+        reports.setdefault(cid, ValidationReport())
+        reports[cid] += ac.verdict(metrics)
+    for cid, rc in cs.row_checks:
+        reports.setdefault(cid, ValidationReport())
+        reports[cid] += rc.verdict(counts.get(rc.check_id, 0), metrics)
+    for cid, dc in cs.drift_checks:
+        reports.setdefault(cid, ValidationReport())
+        reports[cid] += dc.verdict(metrics)
+
+    final = ValidationReport()
+    for cid in cs.order:
+        if cid in reports:
+            final += reports[cid]
+
+    return SuiteRunResult(
+        report=final,
+        violations=viol,
+        metrics=metrics,
+        run_id=run_id,
+        partition_id=ctx.partition_id,
+        n_input_rows=int(n_input_rows or 0),
+        wall_sec=time.time() - t0,
+    )

@@ -1,0 +1,118 @@
+"""Domain-membership checks (role / tool columns).
+
+Replicates the reference's normalization + tri-state semantics from
+checks/data_vars/naming.py:45-158:
+
+- values are compared after ``lower(trim(...))`` (naming.py:93-95, and
+  checks/coords/names.py:79-81 for the rule engine);
+- a value that is in the allowed domain *after* normalization but is not in
+  canonical form yields a WARNING, not a FAIL — the analog of the
+  "allowed unit but not the canonical unit" branch at naming.py:133-156;
+- a value outside the domain (after normalization) is a FAIL.
+
+Compiled entirely to JVM-side Column expressions (``F.lower/F.trim/isin``)
+— no Python in the row path (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
+from ..suite import CheckSpec, CheckSuite, RowCheck
+
+_MOD = __name__
+
+
+def _norm(col):
+    return F.lower(F.trim(col))
+
+
+def compile_domain(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """params: column, allowed: list[str], nullable: bool = False.
+
+    Emits two RowChecks: ``<id>`` (FAIL: outside domain) and
+    ``<id>_canonical`` (WARNING: in domain only after normalization).
+    """
+    col = spec.params["column"]
+    allowed = [a.lower() for a in spec.params["allowed"]]
+    nullable = spec.params.get("nullable", False)
+    c = F.col(col)
+
+    null_bad = F.lit(False) if nullable else c.isNull()
+    out_of_domain = null_bad | (c.isNotNull() & ~_norm(c).isin(allowed))
+    detail_fail = F.concat(F.lit(f"{col}="), F.coalesce(c, F.lit("NULL")),
+                           F.lit(" not in allowed domain"))
+
+    def verdict_fail(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} rows with {col} outside domain {allowed}")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"all {col} values in domain {allowed}")
+        return stamp(report, _MOD, "compile_domain")
+
+    noncanonical = c.isNotNull() & _norm(c).isin(allowed) & (c != _norm(c))
+    detail_warn = F.concat(F.lit(f"{col}='"), c, F.lit("' not canonical (expected '"),
+                           _norm(c), F.lit("')"))
+
+    def verdict_warn(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{n_viol} rows with non-canonical {col} spelling")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"all {col} values canonical")
+        return stamp(report, _MOD, "compile_domain")
+
+    return [
+        RowCheck(spec.check_id, out_of_domain, detail_fail, verdict_fail),
+        RowCheck(f"{spec.check_id}_canonical", noncanonical, detail_warn,
+                 verdict_warn, severity=WARNING),
+    ]
+
+
+def compile_conditional_column(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """A column must be set iff a row condition holds (tool iff role='tool').
+
+    Conditional-requirement analog of
+    checks/global_attributes/conditional.py:27-67 (attribute required iff a
+    data-derived condition holds), applied per row instead of per dataset.
+
+    params: column, when: SQL bool expr, allowed: list[str] | None.
+    """
+    col = spec.params["column"]
+    cond = F.expr(spec.params["when"])
+    allowed = [a.lower() for a in spec.params.get("allowed", [])]
+    c = F.col(col)
+
+    bad_when_required = cond & (
+        c.isNull() | (~_norm(c).isin(allowed) if allowed else F.lit(False))
+    )
+    bad_when_forbidden = (~cond) & c.isNotNull()
+    pred = bad_when_required | bad_when_forbidden
+    detail = F.when(
+        bad_when_required,
+        F.concat(F.lit(f"{col}="), F.coalesce(c, F.lit("NULL")),
+                 F.lit(f" invalid where ({spec.params['when']})")),
+    ).otherwise(
+        F.concat(F.lit(f"{col}="), F.coalesce(c, F.lit("NULL")),
+                 F.lit(f" must be NULL where NOT ({spec.params['when']})"))
+    )
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} rows violate conditional presence of {col}")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"{col} presence consistent with condition")
+        return stamp(report, _MOD, "compile_conditional_column")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict)]

@@ -1,0 +1,160 @@
+"""Ordering / uniqueness / timestep checks over one shared window pass.
+
+The reference derives consecutive-element diffs of the time axis once and
+shares the analysis between two checks via a memo cache
+(checks/coords/variable_timestep.py:12-57, reused by
+checks/global_attributes/conditional.py:13-24). The Spark-native
+re-expression: ONE ``Window.partitionBy(conv_id).orderBy(turn_idx)``
+enrichment computing ``lag(ts)``, ``lag(turn_idx)`` and ``row_number``,
+shared by every check below — a single shuffle on conv_id covers:
+
+- uniqueness of (conv_id, turn_idx)        [north_rule primary key]
+- turn_idx contiguity (gaps) + first-turn-is-0
+- ts monotonicity within a conversation    (lag diff < 0, cf. FIXTURES
+  ts_regress)
+- variable-timestep detection per conversation (distinct consecutive
+  diffs > 1 — semantics of variable_timestep.py:49-54, per conversation)
+
+The enrichment columns are provided by the compiler (see compiler.py:
+``_LAG_TS``/``_LAG_TURN``/``_RN``); each check here is a predicate over
+them, so adding checks adds zero extra shuffles.
+
+This window sort is also what fixes the stable (conv_id, turn_idx) order
+required by the per-turn text-equality invariant (BASELINE.json
+input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
+from ..suite import CheckSpec, CheckSuite, RowCheck
+
+_MOD = __name__
+
+# helper column names injected by the compiler's window enrichment
+LAG_TS = "_lag_ts"
+LAG_TURN = "_lag_turn"
+RN = "_rn"
+N_DISTINCT_DT = "_n_distinct_dt"  # per-conv distinct consecutive ts diffs
+IS_LAST = "_is_last"
+
+
+def compile_unique_key(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """(conv_id, turn_idx) must be unique: duplicate = turn_idx == lag(turn_idx)."""
+    turn = F.col(suite.turn_col)
+    pred = F.col(LAG_TURN).isNotNull() & (turn == F.col(LAG_TURN))
+    detail = F.concat(F.lit("duplicate key (conv_id, turn_idx=") ,
+                      turn.cast("string"), F.lit(")"))
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} duplicate (conv_id, turn_idx) keys")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       "(conv_id, turn_idx) is unique")
+        return stamp(report, _MOD, "compile_unique_key")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+
+
+def compile_turn_contiguity(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """turn_idx must start at 0 and increase without gaps.
+
+    Gap = turn_idx > lag(turn_idx) + 1 (strictly greater, so duplicates are
+    attributed to the uniqueness check, not double-counted here).
+    params: require_zero_start: bool = True.
+    """
+    turn = F.col(suite.turn_col)
+    require_zero = spec.params.get("require_zero_start", True)
+
+    gap = F.col(LAG_TURN).isNotNull() & (turn > F.col(LAG_TURN) + 1)
+    first_bad = (F.col(RN) == 1) & (turn != 0) if require_zero else F.lit(False)
+    pred = gap | first_bad
+    detail = F.when(
+        gap,
+        F.concat(F.lit("turn gap: "), F.col(LAG_TURN).cast("string"),
+                 F.lit(" -> "), turn.cast("string")),
+    ).otherwise(F.concat(F.lit("first turn_idx is "), turn.cast("string"),
+                         F.lit(", expected 0")))
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} turn-index discontinuities")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       "turn_idx contiguous from 0 in every conversation")
+        return stamp(report, _MOD, "compile_turn_contiguity")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+
+
+def compile_ts_monotonic(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """ts must be non-decreasing within a conversation (lag diff >= 0).
+
+    params: strict: bool = False (if True, equal timestamps also violate).
+    """
+    ts = F.col(suite.ts_col)
+    strict = spec.params.get("strict", False)
+    regressed = F.col(LAG_TS).isNotNull() & (
+        (ts <= F.col(LAG_TS)) if strict else (ts < F.col(LAG_TS))
+    )
+    detail = F.concat(F.lit("ts regression: "), F.col(LAG_TS).cast("string"),
+                      F.lit(" -> "), ts.cast("string"))
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} timestamp regressions within conversations")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       "ts monotonic within every conversation")
+        return stamp(report, _MOD, "compile_ts_monotonic")
+
+    return [RowCheck(spec.check_id, regressed, detail, verdict, needs_window=True)]
+
+
+def compile_variable_timestep(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """Per-conversation variable-timestep detection.
+
+    Semantics of checks/coords/variable_timestep.py:60-139 applied per
+    conversation: a conversation has a variable timestep when it has > 1
+    distinct consecutive ts diff. If ``allow_variable_timestep`` (default
+    True) the check PASSes unconditionally (like the reference's PASS path
+    at variable_timestep.py:100-110); otherwise each variable conversation
+    yields one violation row, flagged on the conversation's last turn so the
+    check costs no extra aggregation beyond the shared window pass.
+    """
+    allow = spec.params.get("allow_variable_timestep", True)
+    if allow:
+        # no violation rows and no reference to the (unbuilt) conv-stat cols
+        pred = F.lit(False)
+        detail = F.lit("")
+    else:
+        pred = F.col(IS_LAST) & (F.col(N_DISTINCT_DT) > 1)
+        detail = F.concat(F.lit("conversation has "),
+                          F.col(N_DISTINCT_DT).cast("string"),
+                          F.lit(" distinct timestep diffs"))
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if allow:
+            report.add(spec.section, spec.requirement, PASS,
+                       "variable timesteps allowed by suite")
+        elif n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} conversations with variable timestep")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       "constant timestep in every conversation")
+        return stamp(report, _MOD, "compile_variable_timestep")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]

@@ -1,0 +1,181 @@
+"""Single-pass column statistics checks.
+
+All stats contribute aggregate expressions to ONE fused Observation that is
+evaluated during the main scan (SURVEY.md §4 item 1) — the Spark analog of
+the reference computing its temporal aggregates once and memoizing them
+(checks/coords/variable_timestep.py:12,35-44). Cardinality uses
+``approx_count_distinct`` (HyperLogLog) per the north_star; tests can flip
+``exact=True`` for ``count_distinct`` parity with small-scale oracles.
+
+Reference analogs:
+- temporal coverage (span years >= min_years):
+  checks/coords/temporal.py:11-62 — note the reference checks only the
+  endpoint span despite the spec word "continuous" (temporal.py:37-39);
+  we replicate the endpoint-span semantics exactly.
+- null-as-missing-sentinel: spec README "NaN values for missing data" ->
+  NULL here; null-rate thresholds per column.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
+from ..suite import AggCheck, CheckSpec, CheckSuite
+
+_MOD = __name__
+
+
+def compile_null_rate(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """params: columns={col: max_null_rate}; warn_rate optional multiplier."""
+    columns: dict[str, float] = spec.params["columns"]
+    cid = spec.check_id
+    exprs: dict[str, Any] = {f"{cid}__n_rows": F.count(F.lit(1))}
+    for col in columns:
+        exprs[f"{cid}__nulls__{col}"] = F.sum(
+            F.when(F.col(col).isNull(), 1).otherwise(0)
+        )
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        n = m[f"{cid}__n_rows"] or 0
+        for col, max_rate in columns.items():
+            nulls = m[f"{cid}__nulls__{col}"] or 0
+            rate = (nulls / n) if n else 0.0
+            if rate > max_rate:
+                report.add(spec.section, spec.requirement, FAIL,
+                           f"null rate of '{col}' = {rate:.6f} > {max_rate} "
+                           f"({nulls}/{n})")
+            else:
+                report.add(spec.section, spec.requirement, PASS,
+                           f"null rate of '{col}' = {rate:.6f} <= {max_rate}")
+        return stamp(report, _MOD, "compile_null_rate")
+
+    return AggCheck(cid, exprs, verdict)
+
+
+def compile_temporal_coverage(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """Endpoint span of ts >= min_years (ref: temporal.py:37-53 semantics).
+
+    params: min_years: float
+    """
+    min_years: float = spec.params.get("min_years", 0.0)
+    ts = suite.ts_col
+    cid = spec.check_id
+    exprs = {
+        f"{cid}__ts_min": F.min(ts),
+        f"{cid}__ts_max": F.max(ts),
+    }
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        lo, hi = m[f"{cid}__ts_min"], m[f"{cid}__ts_max"]
+        if lo is None or hi is None:
+            # ref temporal.py:54-60: parse failure -> FAIL row, suite continues
+            report.add(spec.section, spec.requirement, FAIL,
+                       "temporal coverage could not be determined (no timestamps)")
+            return stamp(report, _MOD, "compile_temporal_coverage")
+        years = (hi - lo).total_seconds() / (365.25 * 86400.0)
+        if years >= min_years:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"temporal coverage {years:.2f} years >= {min_years}")
+        else:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"temporal coverage {years:.2f} years < {min_years}")
+        return stamp(report, _MOD, "compile_temporal_coverage")
+
+    return AggCheck(cid, exprs, verdict)
+
+
+def compile_cardinality(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """Distinct-count bounds via HLL sketch (north_star requirement).
+
+    params: column; min_distinct / max_distinct (either optional);
+    rsd: float = 0.05 (HLL relative std dev).
+    """
+    col = spec.params["column"]
+    lo = spec.params.get("min_distinct")
+    hi = spec.params.get("max_distinct")
+    rsd = spec.params.get("rsd", 0.05)
+    cid = spec.check_id
+    agg = F.count_distinct(F.col(col)) if exact else F.approx_count_distinct(col, rsd)
+    exprs = {f"{cid}__distinct__{col}": agg}
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        d = m[f"{cid}__distinct__{col}"] or 0
+        kind = "exact" if exact else f"approx(rsd={rsd})"
+        if lo is not None and d < lo:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{kind} distinct({col}) = {d} < {lo}")
+        elif hi is not None and d > hi:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{kind} distinct({col}) = {d} > {hi}")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"{kind} distinct({col}) = {d} within bounds")
+        return stamp(report, _MOD, "compile_cardinality")
+
+    return AggCheck(cid, exprs, verdict)
+
+
+def compile_numeric_bounds(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """min/max of a numeric/length expression within [lo, hi]; WARNING band.
+
+    params: column (or expr: str), lo, hi, warn_lo, warn_hi (all optional).
+    Analog of the reference's resolution/crop-size numeric comparisons
+    (checks/coords/spatial.py:37-42,84-90).
+    """
+    expr = F.expr(spec.params["expr"]) if "expr" in spec.params else F.col(spec.params["column"])
+    name = spec.params.get("expr", spec.params.get("column"))
+    lo, hi = spec.params.get("lo"), spec.params.get("hi")
+    warn_lo, warn_hi = spec.params.get("warn_lo"), spec.params.get("warn_hi")
+    cid = spec.check_id
+    exprs = {
+        f"{cid}__min": F.min(expr),
+        f"{cid}__max": F.max(expr),
+        f"{cid}__avg": F.avg(expr),
+    }
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        mn, mx, av = m[f"{cid}__min"], m[f"{cid}__max"], m[f"{cid}__avg"]
+        detail = f"{name}: min={mn} max={mx} avg={av}"
+        if mn is None:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{name}: no non-null values")
+        elif (lo is not None and mn < lo) or (hi is not None and mx > hi):
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} outside [{lo}, {hi}]")
+        elif (warn_lo is not None and mn < warn_lo) or (warn_hi is not None and mx > warn_hi):
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} outside advisory band [{warn_lo}, {warn_hi}]")
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_numeric_bounds")
+
+    return AggCheck(cid, exprs, verdict)
+
+
+def compile_min_rows(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """Table (or partition batch) must have >= min_rows rows.
+
+    Analog of the reference's minimum-crop-size dimension check
+    (checks/coords/spatial.py:76-96) — including its quirk of comparing a
+    single bound, which here is just the one min_rows scalar.
+    """
+    min_rows = spec.params.get("min_rows", 1)
+    cid = spec.check_id
+    exprs = {f"{cid}__count": F.count(F.lit(1))}
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        n = m[f"{cid}__count"] or 0
+        status = PASS if n >= min_rows else FAIL
+        report.add(spec.section, spec.requirement, status,
+                   f"row count {n} {'>=' if status == PASS else '<'} {min_rows}")
+        return stamp(report, _MOD, "compile_min_rows")
+
+    return AggCheck(cid, exprs, verdict)

@@ -1,0 +1,138 @@
+"""transcripts_v1 — the flagship CheckSuite for multi-turn transcript tables.
+
+Declarative analog of the reference's spec module
+(/root/reference/mlcast_dataset_validator/specs/source_data/
+radar_precipitation.py:38-270): an ordered list of checks with literal
+parameters and RFC-2119-style requirement text. Sections mirror the
+reference's numbering style (3.x coordinates -> keys/ordering, 4.x data
+variables -> payload columns, 5.x global attributes -> table-level).
+
+Every check here compiles into the single fused scan (see compiler.py).
+"""
+
+from __future__ import annotations
+
+from ..suite import CheckSpec, CheckSuite, register_suite
+
+ROLES = ["system", "user", "assistant", "tool"]
+TOOLS = ["search", "python", "browser", "sql"]
+
+
+@register_suite("transcripts_v1")
+def suite() -> CheckSuite:
+    checks = [
+        # --- section 3: keys & ordering (ref: coords checks) -------------
+        CheckSpec(
+            "schema_columns", "required_columns", "3.1 schema",
+            "The table MUST have columns (conv_id:string, turn_idx:int, "
+            "role:string, text:string, tool:string, ts:timestamp).",
+            {
+                "required": {
+                    "conv_id": "string", "turn_idx": "int", "role": "string",
+                    "text": "string", "tool": "string", "ts": "timestamp",
+                },
+                "expected_order": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            },
+        ),
+        CheckSpec(
+            "unique_key", "unique_key", "3.2 keys",
+            "(conv_id, turn_idx) MUST be unique.",
+        ),
+        CheckSpec(
+            "turn_contiguity", "turn_contiguity", "3.3 ordering",
+            "turn_idx MUST start at 0 and increase without gaps within a "
+            "conversation.",
+            {"require_zero_start": True},
+        ),
+        CheckSpec(
+            "ts_monotonic", "ts_monotonic", "3.3 ordering",
+            "ts MUST be non-decreasing within a conversation.",
+            {"strict": False},
+        ),
+        CheckSpec(
+            "variable_timestep", "variable_timestep", "3.4 timesteps",
+            "Conversations MAY have variable time between turns.",
+            {"allow_variable_timestep": True},
+        ),
+        CheckSpec(
+            "temporal_coverage", "temporal_coverage", "3.5 temporal",
+            "The table SHOULD span a non-trivial time range.",
+            {"min_years": 0.0},
+        ),
+        # --- section 4: payload columns (ref: data_vars checks) ----------
+        CheckSpec(
+            "role_domain", "domain", "4.1 domains",
+            "role MUST be one of system|user|assistant|tool "
+            "(compared lower/trimmed; non-canonical spelling is a WARNING).",
+            {"column": "role", "allowed": ROLES, "nullable": False},
+        ),
+        CheckSpec(
+            "tool_domain", "conditional_column", "4.2 domains",
+            "tool MUST be set (and one of search|python|browser|sql) iff "
+            "role = 'tool'; otherwise NULL.",
+            {"column": "tool", "when": "role = 'tool'", "allowed": TOOLS},
+        ),
+        CheckSpec(
+            "text_null_rate", "null_rate", "4.3 nulls",
+            "text MUST be non-null in at least 99.9% of turns; key and ts "
+            "columns MUST never be null.",
+            {"columns": {"text": 0.001, "conv_id": 0.0, "turn_idx": 0.0, "ts": 0.0}},
+        ),
+        CheckSpec(
+            "text_length", "numeric_bounds", "4.4 payload stats",
+            "text length SHOULD lie within sane bounds.",
+            {"expr": "length(text)", "lo": 0, "hi": 10_000_000,
+             "warn_hi": 1_000_000},
+        ),
+        CheckSpec(
+            "conv_cardinality", "cardinality", "4.5 cardinality",
+            "The table MUST contain at least 2 distinct conversations "
+            "(HyperLogLog estimate).",
+            {"column": "conv_id", "min_distinct": 2},
+        ),
+        CheckSpec(
+            "min_rows", "min_rows", "4.6 size",
+            "The batch MUST contain at least 1 row.",
+            {"min_rows": 1},
+        ),
+        # --- section 5: cross-table & table-level -------------------------
+        CheckSpec(
+            "conv_refint", "refint", "5.1 referential integrity",
+            "Every conv_id MUST exist in the conversations registry.",
+        ),
+        CheckSpec(
+            "drift_turn_len", "drift", "5.2 drift",
+            "The turn-length distribution SHOULD NOT drift from the "
+            "baseline snapshot (KS<=0.15 WARN, <=0.30 FAIL; PSI<=0.2 WARN, "
+            "<=0.5 FAIL).",
+            {"metric": "turn_len_chars", "expr": "length(text)",
+             "scale": "log", "lo": 1.0, "hi": 10000.0, "n_bins": 32,
+             "warn_ks": 0.15, "max_ks": 0.30, "warn_psi": 0.2, "max_psi": 0.5},
+        ),
+        CheckSpec(
+            "drift_ts_hour", "drift", "5.2 drift",
+            "The hour-of-day distribution SHOULD NOT drift from the "
+            "baseline snapshot.",
+            {"metric": "ts_hour", "expr": "hour(ts) + 1", "scale": "linear",
+             "lo": 1.0, "hi": 25.0, "n_bins": 24,
+             "warn_ks": 0.15, "max_ks": 0.30, "warn_psi": 0.2, "max_psi": 0.5},
+        ),
+        # --- section 6: storage layout (ref: chunking/compression/format) -
+        CheckSpec(
+            "storage_partitioning", "storage_partitioning", "6.1 layout",
+            "The table SHOULD be hive-partitioned by date "
+            "(analog of one-chunk-per-timestep).",
+            {"partition_key": "date"},
+        ),
+        CheckSpec(
+            "storage_codec", "storage_codec", "6.2 compression",
+            "Files MUST be compressed; zstd is RECOMMENDED.",
+            {"require_compression": True, "recommended": "zstd"},
+        ),
+        CheckSpec(
+            "storage_format", "storage_format", "6.3 format",
+            "Parquet format version MUST be a known version.",
+            {"allowed_versions": ("1.0", "2.4", "2.6")},
+        ),
+    ]
+    return CheckSuite(suite_id="transcripts_v1", checks=checks)

@@ -1,0 +1,144 @@
+"""Declarative CheckSuite model + registry.
+
+The reference's "query plan" is a hard-coded sequential spec function
+(/root/reference/mlcast_dataset_validator/specs/source_data/
+radar_precipitation.py:38-270) discovered by a pkgutil walk
+(specs/cli.py:18-44). Here the suite is *data*: an ordered list of
+``CheckSpec`` rows that the compiler fuses into one Spark scan per
+partition, plus a module-level registry for CLI dispatch.
+
+Contribution types returned by each check's ``compile_*`` function:
+
+- ``DriverCheck`` — pure driver-side assertion over schema / storage
+  metadata; zero scans (reference analog: data_structure.py, names.py —
+  metadata checks that never materialize data).
+- ``AggCheck``    — aggregate expressions merged into the fused
+  ``Observation`` evaluated during the main scan; verdict is a function of
+  the observed row (analog: temporal.py min/max span verdict).
+- ``RowCheck``    — per-row violation predicate (True = violation) with a
+  detail expression; violations become rows in the violations table, the
+  verdict is a function of the violation count (analog: naming.py per-var
+  loop emitting per-offender details).
+- ``WindowCheck`` — RowCheck evaluated after lag/row_number enrichment over
+  ``Window.partitionBy(conv).orderBy(turn)`` (analog:
+  variable_timestep.py consecutive-diff analysis).
+- ``DriftCheck``  — histogram-binned distribution comparison vs a baseline
+  snapshot (KS + PSI); bins come from the same fused Observation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+
+from .report import ValidationReport
+
+
+@dataclass
+class CheckSpec:
+    """One declarative check: WHAT to verify, not HOW (params only)."""
+
+    check_id: str
+    kind: str  # schema|storage|stats|row|window|refint|drift|custom
+    section: str
+    requirement: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class CheckSuite:
+    suite_id: str
+    checks: list[CheckSpec]
+    # column bindings (input_hint schema by default)
+    conv_col: str = "conv_id"
+    turn_col: str = "turn_idx"
+    ts_col: str = "ts"
+
+    def spec(self, check_id: str) -> CheckSpec:
+        for c in self.checks:
+            if c.check_id == check_id:
+                return c
+        raise KeyError(check_id)
+
+
+# --- compiled contribution types -------------------------------------------
+
+
+@dataclass
+class DriverCheck:
+    check_id: str
+    fn: Callable[["RunContext"], ValidationReport]
+
+
+@dataclass
+class AggCheck:
+    check_id: str
+    #: metric name -> aggregate Column; names must be globally unique
+    exprs: dict[str, Column]
+    #: observed metrics dict -> report
+    verdict: Callable[[dict[str, Any]], ValidationReport]
+
+
+@dataclass
+class RowCheck:
+    check_id: str
+    #: True = this row violates the check
+    pred: Column
+    #: string Column rendered into the violation row's detail
+    detail: Column
+    #: (n_violations, metrics) -> report
+    verdict: Callable[[int, dict[str, Any]], ValidationReport]
+    needs_window: bool = False
+    #: severity used for the violation rows ("FAIL" or "WARNING")
+    severity: str = "FAIL"
+
+
+@dataclass
+class DriftCheck:
+    check_id: str
+    #: column expression producing the bin index (int, 1..n_bins)
+    bucket: Column
+    n_bins: int
+    metric: str  # name in the baseline snapshot table
+    verdict: Callable[[dict[str, Any]], ValidationReport]
+
+
+@dataclass
+class RunContext:
+    """Everything a compiled suite needs at run time."""
+
+    spark: Any
+    df: Any  # input transcripts DataFrame (one partition batch or whole table)
+    suite: CheckSuite
+    run_id: str
+    partition_id: Optional[str] = None
+    registry_df: Any = None  # conversations registry (refint parent)
+    baseline_df: Any = None  # drift baseline histograms
+    table_path: Optional[str] = None  # for storage checks
+    exact: bool = False  # tests: exact countDistinct instead of HLL
+
+
+# --- suite registry (analog of specs/cli.py module discovery) ---------------
+
+_REGISTRY: dict[str, Callable[[], CheckSuite]] = {}
+
+
+def register_suite(name: str):
+    def deco(fn: Callable[[], CheckSuite]):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_suite(name: str) -> CheckSuite:
+    if name not in _REGISTRY:
+        # import built-in plans lazily so registration happens on demand
+        from .plans import transcripts_v1  # noqa: F401
+    return _REGISTRY[name]()
+
+
+def list_suites() -> list[str]:
+    from .plans import transcripts_v1  # noqa: F401
+    return sorted(_REGISTRY)

@@ -1,0 +1,140 @@
+"""Golden end-to-end suite runs: clean data all-PASS, dirty data exact
+violation counts per injected class (SURVEY.md §5 items 2 and 5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.compiler import run_suite
+from mlcast_sourcedata_validator_spark.operators.drift import build_baseline
+from mlcast_sourcedata_validator_spark.report import FAIL, PASS, WARNING
+from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
+from mlcast_sourcedata_validator_spark.synth import (
+    dangling_conv_ids,
+    generate_conversations_registry,
+    generate_transcripts,
+    inject_violations,
+)
+
+K = 7
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    return generate_transcripts(spark, n_convs=300, seed=42).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def baseline(spark, clean):
+    b1 = build_baseline(clean, expr="length(text)", metric="turn_len_chars",
+                        scale="log", lo=1.0, hi=10000.0, n_bins=32)
+    b2 = build_baseline(clean, expr="hour(ts) + 1", metric="ts_hour",
+                        scale="linear", lo=1.0, hi=25.0, n_bins=24)
+    return b1.unionByName(b2).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def dirty_run(spark, clean, baseline):
+    dirty, expected = inject_violations(clean, k=K, seed=42)
+    reg = generate_conversations_registry(dirty, drop_convs=dangling_conv_ids(expected))
+    ctx = RunContext(spark=spark, df=dirty, suite=get_suite("transcripts_v1"),
+                     run_id="t-dirty", registry_df=reg, baseline_df=baseline)
+    return run_suite(ctx), expected
+
+
+def test_clean_run_is_all_pass(spark, clean, baseline):
+    reg = generate_conversations_registry(clean)
+    ctx = RunContext(spark=spark, df=clean, suite=get_suite("transcripts_v1"),
+                     run_id="t-clean", registry_df=reg, baseline_df=baseline)
+    res = run_suite(ctx)
+    s = res.report.summarize()
+    assert s[FAIL] == 0
+    # storage checks degrade to WARNING without a table path; nothing else warns
+    assert s[WARNING] == 3
+    assert res.violations.count() == 0
+    assert res.exit_code() == 0
+    assert res.n_input_rows == clean.count()
+
+
+def test_dirty_run_exact_violation_counts(dirty_run):
+    res, expected = dirty_run
+    counts = {
+        r["check_id"]: r["n"]
+        for r in res.violations.groupBy("check_id").agg(F.count("*").alias("n")).collect()
+    }
+    # bad_role splits between FAIL (out of domain) and WARNING (non-canonical)
+    n_canonical = sum(1 for _, t in expected["bad_role"] if t % 3 == 1)  # 'ASSISTANT '
+    assert counts["unique_key"] == K
+    assert counts["turn_contiguity"] == K
+    assert counts["ts_monotonic"] == K
+    assert counts["role_domain"] == K - n_canonical
+    assert counts.get("role_domain_canonical", 0) == n_canonical
+    assert counts["tool_domain"] == K
+    assert counts["conv_refint"] == K
+    assert res.exit_code() == 1
+
+
+def test_dirty_run_violation_identities(dirty_run):
+    """Violations carry the exact (conv_id, turn_idx) of the planted rows."""
+    res, expected = dirty_run
+    got_dup = {
+        (r.conv_id, r.turn_idx)
+        for r in res.violations.where("check_id = 'unique_key'").collect()
+    }
+    assert got_dup == set(expected["dup_key"])
+    got_dangling = {
+        r.conv_id for r in res.violations.where("check_id = 'conv_refint'").collect()
+    }
+    assert got_dangling == {c for c, _ in expected["dangling_conv"]}
+    # turn_gap is detected at the row AFTER the deleted turn (idx 2, gap from 0)
+    got_gap = {
+        r.conv_id for r in res.violations.where("check_id = 'turn_contiguity'").collect()
+    }
+    assert got_gap == {c for c, _ in expected["turn_gap"]}
+
+
+def test_null_text_drives_null_rate_verdict(spark, clean, baseline):
+    """Nulling >0.1% of text rows must flip the null-rate check to FAIL."""
+    n = clean.count()
+    dirty = clean.withColumn(
+        "text", F.when(F.rand(1) < 0.05, F.lit(None)).otherwise(F.col("text"))
+    )
+    reg = generate_conversations_registry(clean)
+    ctx = RunContext(spark=spark, df=dirty, suite=get_suite("transcripts_v1"),
+                     run_id="t-null", registry_df=reg, baseline_df=baseline)
+    res = run_suite(ctx)
+    null_rows = [r for r in res.report.results
+                 if "null rate of 'text'" in r.detail]
+    assert len(null_rows) == 1 and null_rows[0].status == FAIL
+    assert n == res.n_input_rows
+
+
+def test_exact_mode_matches_hll_path(spark, clean, baseline):
+    reg = generate_conversations_registry(clean)
+    ctx = RunContext(spark=spark, df=clean, suite=get_suite("transcripts_v1"),
+                     run_id="t-exact", registry_df=reg, baseline_df=baseline,
+                     exact=True)
+    res = run_suite(ctx)
+    assert res.report.summarize()[FAIL] == 0
+    card = [r for r in res.report.results if "distinct(conv_id)" in r.detail]
+    assert card and "exact" in card[0].detail and "= 300" in card[0].detail
+
+
+def test_drifted_day_detected(spark, clean, baseline):
+    """Shift the turn-length distribution -> drift check must not PASS."""
+    drifted = clean.withColumn("text", F.concat(F.col("text"), F.lit("x" * 4000)))
+    reg = generate_conversations_registry(clean)
+    ctx = RunContext(spark=spark, df=drifted, suite=get_suite("transcripts_v1"),
+                     run_id="t-drift", registry_df=reg, baseline_df=baseline)
+    res = run_suite(ctx)
+    drift_rows = [r for r in res.report.results if "turn_len_chars" in r.detail]
+    assert drift_rows and drift_rows[0].status == FAIL
+
+
+def test_missing_baseline_degrades_to_warning(spark, clean):
+    reg = generate_conversations_registry(clean)
+    ctx = RunContext(spark=spark, df=clean, suite=get_suite("transcripts_v1"),
+                     run_id="t-nobase", registry_df=reg, baseline_df=None)
+    res = run_suite(ctx)
+    assert res.report.summarize()[FAIL] == 0
+    drift_rows = [r for r in res.report.results if "drift skipped" in r.detail]
+    assert len(drift_rows) == 2 and all(r.status == WARNING for r in drift_rows)
