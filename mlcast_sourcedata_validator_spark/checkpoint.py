@@ -1,0 +1,168 @@
+"""Per-partition lineage + resumable validation runs (north_rule).
+
+The reference validates one dataset per process invocation; resumability is
+"re-run the CLI". At 10^12 turns a validation run must survive interruption,
+so the engine processes the table one date-partition at a time and commits
+per-partition lineage to a results store:
+
+    <results_path>/results/partition_id=<p>/     verdict rows
+    <results_path>/violations/partition_id=<p>/  violation rows
+    <results_path>/lineage/                      commit markers (append)
+
+Exactly-once semantics under retry: results + violations are written with
+per-partition OVERWRITE (idempotent), and the lineage commit marker is
+appended LAST — a crash between data write and marker leaves a partition
+uncommitted, so the next run simply redoes it and overwrites the partial
+output. Resume = anti-join of planned partitions against committed lineage
+(here a driver-side set difference on the partition list — the list is
+O(days), not O(rows)).
+
+On Iceberg this maps to one transaction per partition batch + a lineage
+table; the Parquet fallback implements the same contract with directory
+overwrite + append-only marker files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compiler import SuiteRunResult, run_suite
+from .report import RESULTS_SCHEMA
+from .sources.tables import list_date_partitions
+from .suite import CheckSuite, RunContext
+
+LINEAGE_SCHEMA = (
+    "suite_id string, run_id string, partition_id string, status string, "
+    "n_input_rows long, n_violations long, n_fails long, n_warnings long, "
+    "n_passes long, wall_sec double, committed_at double"
+)
+
+
+def write_partitioned_transcripts(df: DataFrame, table_path: str) -> None:
+    """Write transcripts hive-partitioned by date(ts) — the layout the
+    storage_partitioning check asserts (analog of chunk-per-timestep)."""
+    (
+        df.withColumn("date", F.to_date("ts"))
+        .repartition("date")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(table_path)
+    )
+
+
+def committed_partitions(
+    spark: SparkSession, results_path: str, suite_id: str
+) -> set[str]:
+    lineage_dir = os.path.join(results_path, "lineage")
+    if not os.path.isdir(lineage_dir) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(lineage_dir) for f in fs
+    ):
+        return set()
+    df = spark.read.parquet(lineage_dir)
+    rows = (
+        df.where((F.col("suite_id") == suite_id) & (F.col("status") == "COMMITTED"))
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r["partition_id"] for r in rows}
+
+
+@dataclass
+class PartitionedRunSummary:
+    run_id: str
+    processed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    n_fails: int = 0
+    n_violations: int = 0
+    results: dict[str, SuiteRunResult] = field(default_factory=dict)
+
+    def exit_code(self) -> int:
+        return 1 if self.n_fails else 0
+
+
+def run_partitioned(
+    spark: SparkSession,
+    suite: CheckSuite,
+    table_path: str,
+    results_path: str,
+    registry_df: Optional[DataFrame] = None,
+    baseline_df: Optional[DataFrame] = None,
+    resume: bool = True,
+    partition_key: str = "date",
+    run_id: Optional[str] = None,
+    max_partitions: Optional[int] = None,
+    fail_injector=None,  # test hook: fn(partition_id) called pre-commit
+) -> PartitionedRunSummary:
+    """Validate every uncommitted date-partition of ``table_path``."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    summary = PartitionedRunSummary(run_id=run_id)
+    partitions = list_date_partitions(table_path, key=partition_key)
+    if not partitions:
+        raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
+    done = committed_partitions(spark, results_path, suite.suite_id) if resume else set()
+
+    for p in partitions:
+        if p in done:
+            summary.skipped.append(p)
+            continue
+        if max_partitions is not None and len(summary.processed) >= max_partitions:
+            break
+        batch = spark.read.option("basePath", table_path).parquet(
+            os.path.join(table_path, f"{partition_key}={p}")
+        ).drop(partition_key)
+        ctx = RunContext(
+            spark=spark, df=batch, suite=suite, run_id=run_id,
+            partition_id=p, registry_df=registry_df, baseline_df=baseline_df,
+            table_path=table_path,
+        )
+        res = run_suite(ctx)
+
+        # idempotent per-partition data writes, THEN the commit marker
+        res.violations.drop("partition_id").write.mode("overwrite").parquet(
+            os.path.join(results_path, "violations", f"partition_id={p}")
+        )
+        res.report.to_df(spark, suite.suite_id, run_id, p).drop(
+            "partition_id"
+        ).write.mode("overwrite").parquet(
+            os.path.join(results_path, "results", f"partition_id={p}")
+        )
+        if fail_injector is not None:
+            fail_injector(p)
+        s = res.report.summarize()
+        n_viol = res.violations.count()
+        marker = spark.createDataFrame(
+            [(suite.suite_id, run_id, p, "COMMITTED", res.n_input_rows, n_viol,
+              s["FAIL"], s["WARNING"], s["PASS"], res.wall_sec, time.time())],
+            schema=LINEAGE_SCHEMA,
+        )
+        marker.write.mode("append").parquet(os.path.join(results_path, "lineage"))
+
+        summary.processed.append(p)
+        summary.results[p] = res
+        summary.n_fails += s["FAIL"]
+        summary.n_violations += n_viol
+
+    return summary
+
+
+def read_results(spark: SparkSession, results_path: str) -> DataFrame:
+    return spark.read.schema(RESULTS_SCHEMA).parquet(
+        os.path.join(results_path, "results")
+    )
+
+
+def read_violations(spark: SparkSession, results_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(results_path, "violations"))
+
+
+def read_lineage(spark: SparkSession, results_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(results_path, "lineage"))

@@ -1,0 +1,122 @@
+"""spark-submit / python -m entrypoint.
+
+Mirrors the reference CLI contract (specs/cli.py:56-172): suite discovery +
+``--list`` (cli.py:122-135), dispatch to the suite, console report, and
+**exit code = 1 iff any FAIL** (cli.py:172). Designed to run unchanged via
+``spark-submit --py-files mlcast_sourcedata_validator_spark.zip`` on a real
+multi-executor cluster; locally it builds its own session.
+
+Usage::
+
+    python -m mlcast_sourcedata_validator_spark.cli --list
+    python -m mlcast_sourcedata_validator_spark.cli \
+        --suite transcripts_v1 --table /path/to/transcripts \
+        [--registry /path/to/conversations] [--baseline /path/to/baseline] \
+        [--results /path/to/results_store] [--no-resume] [--whole-table]
+    python -m mlcast_sourcedata_validator_spark.cli --demo  # synth demo run
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+
+from .suite import RunContext, get_suite, list_suites
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mlcast_sourcedata_validator_spark",
+        description="PySpark-native transcript validation engine",
+    )
+    p.add_argument("--suite", default="transcripts_v1")
+    p.add_argument("--table", help="transcripts table path (hive date= partitions)")
+    p.add_argument("--registry", help="conversations registry parquet path")
+    p.add_argument("--baseline", help="drift baseline histogram parquet path")
+    p.add_argument("--results", help="results store path (enables per-partition "
+                                     "checkpointed runs)")
+    p.add_argument("--no-resume", action="store_true",
+                   help="reprocess already-committed partitions")
+    p.add_argument("--whole-table", action="store_true",
+                   help="single unpartitioned run (no checkpointing)")
+    p.add_argument("--list", action="store_true", help="list available suites")
+    p.add_argument("--demo", action="store_true",
+                   help="run the suite on synthetic dirty data")
+    p.add_argument("--cores", default=None, help="local[N] cores (default: all)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.list:
+        for s in list_suites():
+            print(s)
+        return 0
+
+    try:
+        suite = get_suite(args.suite)
+    except KeyError:
+        print(f"error: unknown suite {args.suite!r}; available: "
+              f"{', '.join(list_suites())}", file=sys.stderr)
+        return 2
+
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    registry = spark.read.parquet(args.registry) if args.registry else None
+    baseline = spark.read.parquet(args.baseline) if args.baseline else None
+
+    if args.demo:
+        from .operators.drift import build_baseline
+        from .synth import (
+            dangling_conv_ids,
+            generate_conversations_registry,
+            generate_transcripts,
+            inject_violations,
+        )
+
+        clean = generate_transcripts(spark, n_convs=300, seed=42).localCheckpoint()
+        dirty, _expected = inject_violations(clean, k=7, seed=42)
+        registry = generate_conversations_registry(
+            dirty, drop_convs=dangling_conv_ids(_expected)
+        )
+        baseline = build_baseline(clean, expr="length(text)", metric="turn_len_chars")
+        df = dirty
+    elif args.table and not args.whole_table and args.results:
+        from .checkpoint import run_partitioned
+
+        summary = run_partitioned(
+            spark, suite, args.table, args.results,
+            registry_df=registry, baseline_df=baseline,
+            resume=not args.no_resume,
+        )
+        print(
+            f"run {summary.run_id}: processed {len(summary.processed)} "
+            f"partitions, skipped {len(summary.skipped)} (committed), "
+            f"{summary.n_fails} FAIL rows, {summary.n_violations} violations"
+        )
+        return summary.exit_code()
+    elif args.table:
+        from .sources.tables import read_table
+
+        df = read_table(spark, args.table)
+    else:
+        print("error: provide --table, --demo, or --list", file=sys.stderr)
+        return 2
+
+    from .compiler import run_suite
+
+    ctx = RunContext(
+        spark=spark, df=df, suite=suite, run_id=uuid.uuid4().hex[:12],
+        registry_df=registry, baseline_df=baseline, table_path=args.table,
+    )
+    res = run_suite(ctx)
+    res.report.console_print()
+    n_viol = res.violations.count()
+    print(f"{n_viol} violation rows; input rows: {res.n_input_rows}")
+    return res.exit_code()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

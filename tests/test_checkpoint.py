@@ -1,0 +1,117 @@
+"""Resumability: per-partition lineage commits, kill/rerun equivalence
+(SURVEY.md §5 item 6), storage checks against a real partitioned table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.checkpoint import (
+    committed_partitions,
+    read_lineage,
+    read_results,
+    read_violations,
+    run_partitioned,
+    write_partitioned_transcripts,
+)
+from mlcast_sourcedata_validator_spark.report import FAIL
+from mlcast_sourcedata_validator_spark.suite import get_suite
+from mlcast_sourcedata_validator_spark.synth import (
+    generate_conversations_registry,
+    generate_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """Small table with few distinct days so the partition loop is fast."""
+    path = str(tmp_path_factory.mktemp("tbl") / "transcripts")
+    df = generate_transcripts(spark, n_convs=60, seed=11)
+    # compress the date range to ~4 days for a fast partition loop
+    df = df.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(4)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    write_partitioned_transcripts(df, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def registry(spark, table):
+    return generate_conversations_registry(
+        spark.read.parquet(table)
+    ).localCheckpoint()
+
+
+def test_full_run_commits_every_partition(spark, table, registry, tmp_path):
+    results = str(tmp_path / "store")
+    suite = get_suite("transcripts_v1")
+    summary = run_partitioned(spark, suite, table, results, registry_df=registry)
+    assert len(summary.processed) >= 3 and not summary.skipped
+    assert committed_partitions(spark, results, suite.suite_id) == set(summary.processed)
+    # the storage checks now see a real partitioned zstd table -> no FAILs
+    res_df = read_results(spark, results)
+    storage_fails = res_df.where(
+        (F.col("section").startswith("6")) & (F.col("status") == FAIL)
+    ).count()
+    assert storage_fails == 0
+    lineage = read_lineage(spark, results)
+    assert lineage.where("status = 'COMMITTED'").count() == len(summary.processed)
+
+
+def test_interrupted_run_resumes_and_matches_uninterrupted(
+    spark, table, registry, tmp_path
+):
+    suite = get_suite("transcripts_v1")
+
+    # uninterrupted reference run
+    ref_store = str(tmp_path / "ref")
+    run_partitioned(spark, suite, table, ref_store, registry_df=registry)
+
+    # interrupted run: crash after 2 partitions (before their successors)
+    store = str(tmp_path / "resumable")
+
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def injector(p):
+        calls.append(p)
+        if len(calls) == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        run_partitioned(spark, suite, table, store, registry_df=registry,
+                        fail_injector=injector)
+    # partition 1 committed; partition 2 wrote data but no marker
+    done = committed_partitions(spark, store, suite.suite_id)
+    assert len(done) == 1
+
+    # resume: must skip the committed one, redo the rest
+    summary2 = run_partitioned(spark, suite, table, store, registry_df=registry)
+    assert summary2.skipped == sorted(done)
+    assert len(done) + len(summary2.processed) == len(
+        committed_partitions(spark, store, suite.suite_id)
+    )
+
+    # final state identical to the uninterrupted run
+    a = read_results(spark, ref_store).select(
+        "partition_id", "section", "requirement", "status", "detail"
+    )
+    b = read_results(spark, store).select(
+        "partition_id", "section", "requirement", "status", "detail"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    av = read_violations(spark, ref_store)
+    bv = read_violations(spark, store)
+    assert av.exceptAll(bv).count() == 0 and bv.exceptAll(av).count() == 0
+
+
+def test_no_resume_reprocesses(spark, table, registry, tmp_path):
+    store = str(tmp_path / "nores")
+    suite = get_suite("transcripts_v1")
+    s1 = run_partitioned(spark, suite, table, store, registry_df=registry)
+    s2 = run_partitioned(spark, suite, table, store, registry_df=registry,
+                         resume=False)
+    assert s2.processed == s1.processed and not s2.skipped
