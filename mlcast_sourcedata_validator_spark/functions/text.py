@@ -1,0 +1,123 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything is built from ``pyspark.sql.functions`` string/regex primitives
+(JVM-side, codegen'd); the same formulas are mirrored 1:1 in the DuckDB
+oracle SQL of __spark_entry__.py, so each operator is held to the
+engine-vs-oracle correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import char_shingles, enc4, uhash
+
+#: tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "por"],
+}
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (empty/NULL-safe)."""
+    t = F.trim(text)
+    return F.when(
+        t.isNull() | (F.length(t) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(t, "\\s+"))).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens (word pieces / numbers / symbols)."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(BPE_ISH_PATTERN)), F.lit(0)
+    ).cast("int")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    return F.when(n > 0, F.round(punct / n, 6)).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, words: list[str]) -> Column:
+    pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0))
+
+
+def stopword_ratio(text: Column, words: list[str] | None = None) -> Column:
+    words = words or LANG_MARKERS["en"]
+    toks = ws_token_count(text)
+    return F.when(
+        toks > 0, F.round(stopword_count(text, words) / toks, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable mean token length. Deterministic arithmetic only (mirrors
+    the oracle SQL exactly)."""
+    n = F.length(text)
+    toks = ws_token_count(text)
+    mean_tok = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 20) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok >= 2.5) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + punct_ok + tok_ok) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_count(text, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-word hit counts; 'und' when all zero.
+
+    First-match-wins CASE chain: a language is picked when its score is > 0
+    and >= every *later* language's score — ties break by the fixed order
+    (en, de, fr, es), replicated verbatim in the oracle SQL.
+    """
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for other in langs[i + 1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, k: int = 4) -> Column:
+    """Deterministic document fingerprint: min universal-hash over the
+    k-char shingle codes (rolling-hash winnowing's min-hash special case).
+    Identical arithmetic in the oracle SQL via hashing.enc4_sql/uhash_sql.
+    """
+    codes = F.transform(char_shingles(text, k), enc4)
+    return F.when(
+        F.size(codes) > 0,
+        F.array_min(F.transform(codes, lambda x: uhash(x, 0))),
+    ).otherwise(F.lit(None).cast("long"))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document text profile (the documents-table analog of the
+    transcripts suite's payload stats)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        ws_token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

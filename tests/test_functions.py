@@ -1,0 +1,137 @@
+"""Training-data pipeline ops: planted duplicates must be found; ANN must
+approximate brute force; multimodal plumbing must batch correctly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.functions import dedup as dd
+from mlcast_sourcedata_validator_spark.functions import multimodal as mm
+from mlcast_sourcedata_validator_spark.functions import similarity as sim
+from mlcast_sourcedata_validator_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 distinct docs + 3 exact dup pairs + 2 near-dup pairs (one word
+    changed)."""
+    base = [
+        (i, " ".join(f"w{(i * 13 + j * 7) % 97}" for j in range(30)))
+        for i in range(60)
+    ]
+    rows = list(base)
+    nid = 100
+    for i in (5, 6, 7):  # exact dups
+        rows.append((nid, base[i][1])); nid += 1
+    for i in (10, 11):  # near dups: one token changed
+        toks = base[i][1].split(); toks[3] = "CHANGED"
+        rows.append((nid, " ".join(toks))); nid += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+
+
+def test_exact_dup_groups_and_dedup(spark, docs):
+    groups = dd.exact_dup_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 3 and all(g["n_docs"] == 2 for g in groups)
+    deduped = dd.exact_dedup(docs, "doc_id", "text")
+    assert deduped.count() == docs.count() - 3
+    # representative kept is the min id
+    kept = {r.doc_id for r in deduped.collect()}
+    assert {5, 6, 7} <= kept and not ({100, 101, 102} & kept)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b)
+             for r in dd.minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    # exact dups always collide in every band; near dups (1/30 tokens
+    # changed => shingle jaccard ~0.87) should collide in >=1 of 4 bands
+    assert (5, 100) in pairs and (6, 101) in pairs and (7, 102) in pairs
+    assert (10, 103) in pairs and (11, 104) in pairs
+
+
+def test_ngram_jaccard_scores_planted_pairs(spark, docs):
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           n=3, threshold=0.5).collect()}
+    assert got[(5, 100)] == 1.0
+    assert 0.5 < got[(10, 103)] < 1.0
+
+
+def test_lsh_candidates_feed_jaccard_verify(spark, docs):
+    cand = dd.minhash_lsh_candidates(docs, "doc_id", "text")
+    verified = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.8, candidates=cand)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert {(5, 100), (6, 101), (7, 102), (10, 103), (11, 104)} <= pairs
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dd.simhash(docs, "doc_id", "text").collect()}
+    assert sh[5] == sh[100]  # identical text -> identical simhash
+    ham = bin(sh[10] ^ sh[103]).count("1")
+    assert ham <= 6  # one token of 30 changed
+
+
+def test_cosine_topk_and_ann_recall(spark):
+    import math
+    # 3 clusters of unit vectors around orthogonal axes + noise
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 5) % 16] = 0.3 * math.sin(i * 0.7)
+        v[(axis + 9) % 16] = 0.2 * math.cos(i * 1.3)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+    brute = [r.vec_id for r in
+             sim.cosine_topk(emb.where("vec_id != 0"), "vec_id", "embedding",
+                             query, k=10).collect()]
+    ann = [r.vec_id for r in
+           sim.ann_lsh_topk(emb.where("vec_id != 0"), "vec_id", "embedding",
+                            query, k=10, n_planes=6, multiprobe=1).collect()]
+    recall = len(set(brute) & set(ann)) / 10
+    assert recall >= 0.7, (brute, ann)
+    # brute-force order is by true cosine: cluster-0 members only
+    assert all(v % 3 == 0 for v in brute)
+
+
+def test_text_profile_fields(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog runs over the hill"),
+         (2, "der hund und die katze ist nicht da und das ist gut"),
+         (3, "!!!"), (4, "")],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in tx.text_profile(df, "doc_id", "text").collect()}
+    assert prof[1].lang_guess == "en" and prof[2].lang_guess == "de"
+    assert prof[1].n_tokens == 12
+    assert prof[3].lang_guess == "und" and prof[3].quality < 0.5
+    assert prof[4].n_tokens == 0 and prof[4].fingerprint is None
+    assert prof[1].fingerprint is not None
+
+
+def test_multimodal_meta_and_batching(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * (i * 100)) for i in range(1, 30)], "doc_id long, text string"
+    )
+    media = mm.attach_fake_media(df, "text")
+    assert dict(media.dtypes)["media"] == "binary"
+    meta = mm.extract_media_meta(media, "doc_id")
+    rows = {r.doc_id: r for r in meta.collect()}
+    assert rows[5].byte_len == 500 and rows[5].width == 500 and rows[5].height == 0
+    assert rows[15].byte_len == 1500 and rows[15].width == 1500 % 1024 \
+        and rows[15].height == 1
+    assert all(r.format == "fake/v1" for r in rows.values())
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"not an image")
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([(1, "a" * 200)], "doc_id long, text string")
+    media = mm.attach_fake_media(df, "text")
+    frames = mm.frame_sample(media, "doc_id", every_n_bytes=64).collect()
+    assert len(frames) == 4  # offsets 0, 64, 128, 192
+    assert frames[0].frame_bytes == "a" * 64
