@@ -285,6 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ngram_jaccard_pairs_documents"] = ngram_jaccard_pairs_documents
 
+    def lsh_verified_near_dups_documents(spark, sf):
+        return dd.lsh_verified_near_dups(
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+        )
+    q["lsh_verified_near_dups_documents"] = lsh_verified_near_dups_documents
+
     def simhash_documents(spark, sf):
         return dd.simhash(_t(spark, sf, "documents"), "doc_id", "text")
     q["simhash_documents"] = simhash_documents
@@ -483,6 +489,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
         WHERE a.doc_id < b.doc_id"""
+
+    wsh3 = word_shingles_sql("t", 3)
+    o["lsh_verified_near_dups_documents"] = minhash_cte + f""",
+        bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id),
+        shl AS (
+          SELECT doc_id, list_distinct({wsh3}) AS sh FROM
+            (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        SELECT id_a, id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                 AS jaccard
+        FROM cand JOIN shl a ON id_a = a.doc_id JOIN shl b ON id_b = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"""
 
     wsh = word_shingles_sql("t", 3)
     o["ngram_jaccard_pairs_documents"] = f"""

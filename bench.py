@@ -1,0 +1,195 @@
+"""Benchmark harness (driver contract).
+
+Measures two things and prints ONE JSON line:
+
+1. Headline operator queries from __spark_entry__.py at
+   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+   ``local[$SPARK_GRAFT_CPUS]`` — per-query wall seconds.
+2. Full transcripts_v1 suite throughput (validated turns/sec) on a
+   >=1M-turn synthetic transcripts table at TWO parallelism levels
+   (local[8] vs local[32]) on the SAME input files — the sandbox evidence
+   for the north_rule's N -> 4N executor scaling criterion:
+   efficiency = thr(32) / (4 * thr(8)).
+
+The synthetic bench table is generated once (seed-fixed) under
+.cache/bench_transcripts and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = max(2, CPUS // 4)
+BENCH_TABLE = os.path.join(REPO, ".cache", "bench_transcripts")
+BENCH_BASELINE = os.path.join(REPO, ".cache", "bench_baseline")
+BENCH_REGISTRY = os.path.join(REPO, ".cache", "bench_registry")
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "700000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "lineitem_top_line_per_order",
+    "top_customers_revenue",
+    "stats_events",
+    "timestep_analysis_events",
+    "hist_value_events",
+    "drift_psi_events",
+    "minhash_lsh_pairs_documents",
+    "lsh_verified_near_dups_documents",
+    "simhash_documents",
+    "text_profile_documents",
+    "embedding_cosine_topk",
+    "multimodal_meta_documents",
+]
+
+
+def _session(cores: int):
+    from mlcast_sourcedata_validator_spark.session import get_spark
+
+    return get_spark(app_name=f"bench_{cores}", cores=cores,
+                     shuffle_partitions=max(8, cores * 2))
+
+
+def ensure_bench_table(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.operators.drift import build_baseline
+    from mlcast_sourcedata_validator_spark.synth import generate_transcripts
+
+    if (os.path.isdir(BENCH_TABLE) and os.path.isdir(BENCH_BASELINE)
+            and os.path.isdir(BENCH_REGISTRY)):
+        return
+    shutil.rmtree(BENCH_TABLE, ignore_errors=True)
+    shutil.rmtree(BENCH_BASELINE, ignore_errors=True)
+    shutil.rmtree(BENCH_REGISTRY, ignore_errors=True)
+    df = generate_transcripts(spark, n_convs=N_CONVS, seed=42,
+                              n_output_partitions=CPUS * 2)
+    write_partitioned_transcripts(df, BENCH_TABLE, files_per_partition=8)
+    # registry is its own table at real scale — precompute once
+    spark.read.parquet(BENCH_TABLE).select("conv_id").distinct() \
+        .coalesce(4).write.mode("overwrite").parquet(BENCH_REGISTRY)
+    clean = generate_transcripts(spark, n_convs=max(2000, N_CONVS // 20), seed=43)
+    b1 = build_baseline(clean, expr="length(text)", metric="turn_len_chars",
+                        scale="log", lo=1.0, hi=10000.0, n_bins=32)
+    b2 = build_baseline(clean, expr="hour(ts) + 1", metric="ts_hour",
+                        scale="linear", lo=1.0, hi=25.0, n_bins=24)
+    b1.unionByName(b2).coalesce(1).write.mode("overwrite").parquet(BENCH_BASELINE)
+    _ = F  # keep import local-use explicit
+
+
+def run_suite_once(spark) -> tuple[float, int]:
+    """Run the full suite on the bench table; return (wall_sec, n_rows)."""
+    from pyspark.sql import functions as F
+
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
+
+    df = spark.read.parquet(BENCH_TABLE).drop("date")
+    registry = spark.read.parquet(BENCH_REGISTRY)
+    baseline = spark.read.parquet(BENCH_BASELINE)
+    suite = get_suite("transcripts_v1")
+    t0 = time.time()
+    res = run_suite(
+        RunContext(spark=spark, df=df, suite=suite, run_id="bench",
+                   registry_df=registry, baseline_df=baseline,
+                   table_path=BENCH_TABLE)
+    )
+    wall = time.time() - t0
+    assert res.n_input_rows > 0
+    _ = F
+    return wall, res.n_input_rows
+
+
+def calibration_once(spark, cores: int) -> float:
+    """Embarrassingly-parallel CPU job (hash 300M longs, no shuffle): the
+    machine's Spark-parallelism ceiling. On this sandbox the vCPUs are
+    SMT-paired and clocks throttle under multi-core load, so even a
+    perfectly parallel job scales well below 4x from N to 4N threads —
+    suite efficiency is therefore reported both raw and normalized by this
+    ceiling (protocol documented in BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, 300_000_000, 1, cores * 4).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1000)))
+    ).collect()
+    return time.time() - t0
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+
+    result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
+
+    # --- phase 1: headline queries at SF_DIR on local[CPUS] ----------------
+    spark = _session(CPUS)
+    ensure_bench_table(spark)
+    qs = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {per_query[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+
+    # --- phase 2: suite throughput at two parallelism levels ---------------
+    # Interleaved rounds (hi, lo, hi, lo, ...) with min-of-2 per session and
+    # min across rounds: the sandbox has heavy ambient wall-clock noise, and
+    # min-of-interleaved is the least-contended sample at each level.
+    suite_walls: dict[int, list[float]] = {CPUS: [], LOW_CPUS: []}
+    calib_walls: dict[int, list[float]] = {CPUS: [], LOW_CPUS: []}
+    n_rows = 0
+    for _round in range(2):
+        for cores in (CPUS, LOW_CPUS):
+            s = _session(cores)
+            w1, n_rows = run_suite_once(s)
+            w2, _ = run_suite_once(s)
+            suite_walls[cores].append(min(w1, w2))
+            c1 = calibration_once(s, cores)
+            c2 = calibration_once(s, cores)
+            calib_walls[cores].append(min(c1, c2))
+            s.stop()
+
+    wall_hi, wall_lo = min(suite_walls[CPUS]), min(suite_walls[LOW_CPUS])
+    cal_hi, cal_lo = min(calib_walls[CPUS]), min(calib_walls[LOW_CPUS])
+    thr_hi, thr_lo = n_rows / wall_hi, n_rows / wall_lo
+    factor = CPUS / LOW_CPUS
+    raw_eff = thr_hi / (factor * thr_lo)
+    ceiling_eff = (cal_lo / cal_hi) / factor  # calibration speedup / factor
+    norm_eff = raw_eff / ceiling_eff if ceiling_eff > 0 else float("nan")
+
+    result.update(
+        {
+            "metric": "full_suite_wall_sec",
+            "value": round(wall_hi, 3),
+            "unit": "sec",
+            "queries": per_query,
+            "suite_turns": n_rows,
+            "suite_turns_per_sec_hi": round(thr_hi, 1),
+            "suite_turns_per_sec_lo": round(thr_lo, 1),
+            "cores_hi": CPUS,
+            "cores_lo": LOW_CPUS,
+            "scaling_efficiency_raw": round(raw_eff, 3),
+            "hardware_ceiling_efficiency": round(ceiling_eff, 3),
+            "scaling_efficiency_normalized": round(norm_eff, 3),
+        }
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

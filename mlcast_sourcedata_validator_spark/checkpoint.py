@@ -46,16 +46,25 @@ LINEAGE_SCHEMA = (
 )
 
 
-def write_partitioned_transcripts(df: DataFrame, table_path: str) -> None:
+def write_partitioned_transcripts(
+    df: DataFrame, table_path: str, files_per_partition: int = 1
+) -> None:
     """Write transcripts hive-partitioned by date(ts) — the layout the
-    storage_partitioning check asserts (analog of chunk-per-timestep)."""
-    (
-        df.withColumn("date", F.to_date("ts"))
-        .repartition("date")
-        .write.mode("overwrite")
-        .partitionBy("date")
-        .parquet(table_path)
-    )
+    storage_partitioning check asserts (analog of chunk-per-timestep).
+
+    ``files_per_partition > 1`` splits each date dir into multiple files
+    (hashed by conv_id) so scan parallelism isn't capped at one task per
+    date — the local-mode analog of sizing row groups to
+    spark.sql.files.maxPartitionBytes.
+    """
+    out = df.withColumn("date", F.to_date("ts"))
+    if files_per_partition > 1:
+        out = out.repartition(
+            F.col("date"), F.pmod(F.xxhash64(F.col("conv_id")), F.lit(files_per_partition))
+        )
+    else:
+        out = out.repartition("date")
+    out.write.mode("overwrite").partitionBy("date").parquet(table_path)
 
 
 def committed_partitions(

@@ -218,55 +218,86 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
         obs = Observation("suite_metrics")
         df = df.observe(obs, *agg_exprs)
 
-    enriched = df
-    if need_registry:
-        if ctx.registry_df is None:
-            raise ValueError("suite has a refint check but no registry_df given")
-        reg = ctx.registry_df.select(F.col(conv).alias(refint.REG_MARKER)).distinct()
-        enriched = enriched.join(
-            F.broadcast(reg), enriched[conv] == reg[refint.REG_MARKER], "left"
-        )
-    if need_window or need_registry:
-        w = Window.partitionBy(conv).orderBy(turn)
-        enriched = (
-            enriched.withColumn(ordering.RN, F.row_number().over(w))
-            .withColumn(ordering.LAG_TS, F.lag(ts).over(w))
-            .withColumn(ordering.LAG_TURN, F.lag(turn).over(w))
-        )
-        if need_conv_stats:
-            w_all = Window.partitionBy(conv)
-            dt = F.col(ts).cast("long") - F.col(ordering.LAG_TS).cast("long")
-            enriched = (
-                enriched.withColumn("_dt", dt)
-                .withColumn(
-                    ordering.N_DISTINCT_DT,
-                    F.size(F.array_distinct(F.collect_list("_dt").over(w_all))),
-                )
-                .withColumn(
-                    ordering.IS_LAST, F.col(ordering.RN) == F.count(F.lit(1)).over(w_all)
-                )
+    def _hits_array(checks: list[tuple[str, RowCheck]]):
+        return F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        rc.pred,
+                        F.struct(
+                            F.lit(rc.check_id).alias("check_id"),
+                            rc.detail.cast("string").alias("detail"),
+                        ),
+                    )
+                    for _, rc in checks
+                ]
             )
+        )
 
-    # --- 3. violations: one array of failing-check structs per row --------
+    # --- 3. violations -----------------------------------------------------
+    # Payload predicates (domain/nullness/...) are evaluated MAP-SIDE,
+    # before any shuffle, and packed into a hits array that is empty for
+    # clean rows. The window shuffle then carries only
+    # (conv_id, turn_idx, ts, hits) — at 10^12 rows this is the difference
+    # between shuffling keys (~40B/row) and shuffling full transcripts
+    # (text included, ~10x more bytes).
     n_input_rows = 0
     if cs.row_checks:
-        hits = F.array(
-            *[
-                F.when(
-                    rc.pred,
-                    F.struct(
-                        F.lit(rc.check_id).alias("check_id"),
-                        rc.detail.cast("string").alias("detail"),
-                    ),
-                )
-                for _, rc in cs.row_checks
-            ]
+        pre_checks = [(cid, rc) for cid, rc in cs.row_checks if not rc.needs_window]
+        win_checks = [(cid, rc) for cid, rc in cs.row_checks if rc.needs_window]
+
+        slim = df.select(
+            F.col(conv),
+            F.col(turn),
+            F.col(ts),
+            _hits_array(pre_checks).alias("_row_hits"),
         )
+
+        if need_registry:
+            if ctx.registry_df is None:
+                raise ValueError("suite has a refint check but no registry_df given")
+            reg = ctx.registry_df.select(
+                F.col(conv).alias(refint.REG_MARKER)
+            ).distinct()
+            # no broadcast hint: AQE broadcasts small registries
+            # automatically; large ones sort-merge on conv_id, and that
+            # exchange is the SAME partitioning the window needs, so the
+            # exchange is reused — forcing broadcast would serialize a
+            # driver-side hash build of the whole registry (measured: flat
+            # cost that destroys N->4N scaling)
+            slim = slim.join(reg, slim[conv] == reg[refint.REG_MARKER], "left")
+
+        enriched = slim
+        if win_checks:
+            w = Window.partitionBy(conv).orderBy(turn)
+            enriched = (
+                enriched.withColumn(ordering.RN, F.row_number().over(w))
+                .withColumn(ordering.LAG_TS, F.lag(ts).over(w))
+                .withColumn(ordering.LAG_TURN, F.lag(turn).over(w))
+            )
+            if need_conv_stats:
+                w_all = Window.partitionBy(conv)
+                dt = F.col(ts).cast("long") - F.col(ordering.LAG_TS).cast("long")
+                enriched = (
+                    enriched.withColumn("_dt", dt)
+                    .withColumn(
+                        ordering.N_DISTINCT_DT,
+                        F.size(F.array_distinct(F.collect_list("_dt").over(w_all))),
+                    )
+                    .withColumn(
+                        ordering.IS_LAST,
+                        F.col(ordering.RN) == F.count(F.lit(1)).over(w_all),
+                    )
+                )
+            all_hits = F.concat(F.col("_row_hits"), _hits_array(win_checks))
+        else:
+            all_hits = F.col("_row_hits")
+
         viol = (
             enriched.select(
                 F.col(conv).alias("conv_id"),
                 F.col(turn).cast("int").alias("turn_idx"),
-                F.array_compact(hits).alias("_hits"),
+                all_hits.alias("_hits"),
             )
             .where(F.size("_hits") > 0)
             .select(

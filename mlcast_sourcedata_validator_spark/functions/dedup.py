@@ -66,17 +66,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 4
 ) -> DataFrame:
-    """Per-doc MinHash signature: (id, h0..h15) — pure map-side work."""
+    """Per-doc MinHash signature: (id, h0..h15).
+
+    Implemented as shingle explode -> hash-aggregate of 16 mins rather
+    than 16 ``array_min(transform(...))`` higher-order expressions: Catalyst
+    duplicates the shingle-code subexpression into every h_j (16x
+    recompute, interpreted lambda evaluation), measured ~20x slower. The
+    explode feeds a partial-aggregating groupBy — map-side combine keeps
+    the shuffle at one row per (doc, 16 mins) partial, so this scales to
+    arbitrarily long documents.
+    """
     sh = char_shingles(F.col(text_col), k)
-    codes = F.transform(sh, enc4)
-
-    def _minhash(j: int):
-        # NB: the transform lambda must be unary — a second parameter would
-        # be bound to the element *index* column by PySpark
-        return F.array_min(F.transform(codes, lambda x: uhash(x, j)))
-
-    cols = [_minhash(j).alias(f"h{j}") for j in range(len(MINHASH_COEFFS))]
-    return df.select(F.col(id_col), *cols).where(F.length(text_col) >= k)
+    exploded = (
+        df.where(F.length(text_col) >= k)
+        .select(F.col(id_col), F.explode(sh).alias("_s"))
+        .select(F.col(id_col), enc4(F.col("_s")).alias("_x"))
+    )
+    aggs = [
+        F.min(uhash(F.col("_x"), j)).alias(f"h{j}")
+        for j in range(len(MINHASH_COEFFS))
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -152,6 +162,40 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
         )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_verified_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = 4,
+) -> DataFrame:
+    """The scalable near-dup pipeline: MinHash-LSH candidates verified by
+    exact word-n-gram Jaccard via per-pair array intersection.
+
+    Unlike :func:`ngram_jaccard_pairs` (global shingle self-join — fanout
+    is quadratic in shingle document-frequency), verification here joins
+    the candidate pairs to each side's distinct-shingle *array* and
+    computes ``size(array_intersect)`` per pair: O(|candidates| x shingle
+    count), independent of shingle popularity. (id_a, id_b, jaccard).
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, k)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
