@@ -76,6 +76,11 @@ def ensure_bench_table(spark) -> None:
     df = generate_transcripts(spark, n_convs=N_CONVS, seed=42,
                               n_output_partitions=CPUS * 2)
     write_partitioned_transcripts(df, BENCH_TABLE, files_per_partition=8)
+    from mlcast_sourcedata_validator_spark.sources.properties import (
+        write_table_properties,
+    )
+    write_table_properties(BENCH_TABLE, {"license": "CC-BY-4.0",
+                                         "consistent_timestep_start": "true"})
     # registry is its own table at real scale — precompute once
     spark.read.parquet(BENCH_TABLE).select("conv_id").distinct() \
         .coalesce(4).write.mode("overwrite").parquet(BENCH_REGISTRY)

@@ -38,13 +38,25 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from .operators import domains, drift, ordering, refint, schema_check, stats, storage
+from .operators import (
+    conditional,
+    domains,
+    drift,
+    interop,
+    licensing,
+    ordering,
+    refint,
+    schema_check,
+    stats,
+    storage,
+)
 from .report import VIOLATIONS_SCHEMA, ValidationReport
 from .suite import (
     AggCheck,
     CheckSuite,
     DriftCheck,
     DriverCheck,
+    PostAggCheck,
     RowCheck,
     RunContext,
 )
@@ -72,6 +84,13 @@ _COMPILERS = {
     "refint": refint.compile_refint,
     # drift
     "drift": drift.compile_drift,
+    # table properties (ds.attrs analog)
+    "license": licensing.compile_license,
+    "required_property": licensing.compile_required_property,
+    "conditional_property": conditional.compile_conditional_property,
+    # interop / roundtrip
+    "roundtrip": interop.compile_roundtrip,
+    "sampled_decode": interop.compile_sampled_decode,
 }
 
 _AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality", "numeric_bounds", "min_rows"}
@@ -85,6 +104,7 @@ class CompiledSuite:
     agg_checks: list[tuple[str, AggCheck]] = field(default_factory=list)
     row_checks: list[tuple[str, RowCheck]] = field(default_factory=list)
     drift_checks: list[tuple[str, DriftCheck]] = field(default_factory=list)
+    post_agg_checks: list[tuple[str, PostAggCheck]] = field(default_factory=list)
     #: check order for report assembly
     order: list[str] = field(default_factory=list)
 
@@ -125,6 +145,8 @@ def compile_suite(suite: CheckSuite, exact: bool = False) -> CompiledSuite:
                 cs.row_checks.append((spec.check_id, item))
             elif isinstance(item, DriftCheck):
                 cs.drift_checks.append((spec.check_id, item))
+            elif isinstance(item, PostAggCheck):
+                cs.post_agg_checks.append((spec.check_id, item))
             else:  # pragma: no cover
                 raise TypeError(f"unexpected contribution {type(item)}")
     return cs
@@ -242,7 +264,11 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
     # between shuffling keys (~40B/row) and shuffling full transcripts
     # (text included, ~10x more bytes).
     n_input_rows = 0
-    if cs.row_checks:
+    need_dt = need_conv_stats or any(
+        "dt" in pc.needs for _, pc in cs.post_agg_checks
+    )
+    enriched = None
+    if cs.row_checks or cs.post_agg_checks:
         pre_checks = [(cid, rc) for cid, rc in cs.row_checks if not rc.needs_window]
         win_checks = [(cid, rc) for cid, rc in cs.row_checks if rc.needs_window]
 
@@ -268,19 +294,25 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
             slim = slim.join(reg, slim[conv] == reg[refint.REG_MARKER], "left")
 
         enriched = slim
-        if win_checks:
+        if win_checks or need_dt:
             w = Window.partitionBy(conv).orderBy(turn)
             enriched = (
                 enriched.withColumn(ordering.RN, F.row_number().over(w))
                 .withColumn(ordering.LAG_TS, F.lag(ts).over(w))
                 .withColumn(ordering.LAG_TURN, F.lag(turn).over(w))
             )
+            if need_dt:
+                # unix_micros over an explicit TIMESTAMP cast: NTZ inputs
+                # cannot cast straight to BIGINT under ANSI mode
+                enriched = enriched.withColumn(
+                    "_dt",
+                    F.unix_micros(F.col(ts).cast("timestamp"))
+                    - F.unix_micros(F.col(ordering.LAG_TS).cast("timestamp")),
+                )
             if need_conv_stats:
                 w_all = Window.partitionBy(conv)
-                dt = F.col(ts).cast("long") - F.col(ordering.LAG_TS).cast("long")
                 enriched = (
-                    enriched.withColumn("_dt", dt)
-                    .withColumn(
+                    enriched.withColumn(
                         ordering.N_DISTINCT_DT,
                         F.size(F.array_distinct(F.collect_list("_dt").over(w_all))),
                     )
@@ -289,10 +321,25 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                         F.col(ordering.RN) == F.count(F.lit(1)).over(w_all),
                     )
                 )
+        if win_checks:
             all_hits = F.concat(F.col("_row_hits"), _hits_array(win_checks))
         else:
             all_hits = F.col("_row_hits")
 
+    # post-aggregates ride the SAME action as a second Observation on the
+    # enriched plan; only when no action will run (no row checks) or in
+    # exact mode do they fall back to a dedicated agg job
+    post_obs: Optional[Observation] = None
+    post_exprs = [
+        col.alias(name)
+        for _, pc in cs.post_agg_checks
+        for name, col in pc.exprs.items()
+    ]
+    if post_exprs and enriched is not None and cs.row_checks and not ctx.exact:
+        post_obs = Observation("post_metrics")
+        enriched = enriched.observe(post_obs, *post_exprs)
+
+    if cs.row_checks:
         viol = (
             enriched.select(
                 F.col(conv).alias("conv_id"),
@@ -341,6 +388,17 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
         metrics.update(row.asDict())
         n_input_rows = metrics.get("__n_rows", 0)
 
+    # --- 3b. shared post-aggregates (explicit analog of the reference's
+    # memoized shared timestep analysis, variable_timestep.py:12,35-44) ----
+    if post_exprs and enriched is not None:
+        if post_obs is not None:
+            try:
+                metrics.update(post_obs.get)
+            except Exception:
+                metrics.update(enriched.agg(*post_exprs).collect()[0].asDict())
+        else:
+            metrics.update(enriched.agg(*post_exprs).collect()[0].asDict())
+
     # --- 4. drift baselines ------------------------------------------------
     for cid, dc in cs.drift_checks:
         if ctx.baseline_df is not None:
@@ -365,6 +423,9 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
     for cid, dc in cs.drift_checks:
         reports.setdefault(cid, ValidationReport())
         reports[cid] += dc.verdict(metrics)
+    for cid, pc in cs.post_agg_checks:
+        reports.setdefault(cid, ValidationReport())
+        reports[cid] += pc.verdict(metrics, ctx)
 
     final = ValidationReport()
     for cid in cs.order:

@@ -117,6 +117,35 @@ def suite() -> CheckSuite:
              "lo": 1.0, "hi": 25.0, "n_bins": 24,
              "warn_ks": 0.15, "max_ks": 0.30, "warn_psi": 0.2, "max_psi": 0.5},
         ),
+        CheckSpec(
+            "license", "license", "5.3 licensing",
+            "The table MUST declare a 'license' property; it SHOULD be a "
+            "valid SPDX identifier from the recommended list; NC/ND "
+            "licenses trigger a WARNING.",
+            {"require_spdx": True, "warn_on_restricted": True,
+             "recommended": ["CC0-1.0", "CC-BY-4.0", "CC-BY-SA-4.0",
+                             "ODbL-1.0", "ODC-By-1.0", "PDDL-1.0",
+                             "MIT", "Apache-2.0"]},
+        ),
+        CheckSpec(
+            "timestep_start_property", "conditional_property", "5.4 conditional",
+            "If conversations have variable timesteps, the table MUST "
+            "declare a 'consistent_timestep_start' property.",
+            {"property": "consistent_timestep_start",
+             "condition": "variable_timestep"},
+        ),
+        CheckSpec(
+            "roundtrip", "roundtrip", "5.5 interop",
+            "A sample of the batch MUST survive a parquet write/read "
+            "roundtrip exactly.",
+            {"sample_rows": 100},
+        ),
+        CheckSpec(
+            "text_decode", "sampled_decode", "5.6 interop",
+            "Sampled text values MUST survive a utf-8 encode/decode "
+            "roundtrip.",
+            {"column": "text", "fraction": 0.01},
+        ),
         # --- section 6: storage layout (ref: chunking/compression/format) -
         CheckSpec(
             "storage_partitioning", "storage_partitioning", "6.1 layout",

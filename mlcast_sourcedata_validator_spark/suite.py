@@ -96,6 +96,21 @@ class RowCheck:
 
 
 @dataclass
+class PostAggCheck:
+    """Aggregate over the window-enriched slim plan, evaluated in one
+    shared post-aggregate job (the explicit replacement for the
+    reference's memoized shared analysis, variable_timestep.py:12,35-44).
+    ``needs`` declares required enrichment columns (e.g. 'dt')."""
+
+    check_id: str
+    #: metric name -> aggregate Column over the enriched plan
+    exprs: dict[str, Column]
+    #: (metrics, ctx) -> report
+    verdict: Callable[..., ValidationReport]
+    needs: tuple = ()
+
+
+@dataclass
 class DriftCheck:
     check_id: str
     #: column expression producing the bin index (int, 1..n_bins)

@@ -13,6 +13,9 @@ from mlcast_sourcedata_validator_spark.checkpoint import (
     write_partitioned_transcripts,
 )
 from mlcast_sourcedata_validator_spark.report import FAIL
+from mlcast_sourcedata_validator_spark.sources.properties import (
+    write_table_properties,
+)
 from mlcast_sourcedata_validator_spark.suite import get_suite
 from mlcast_sourcedata_validator_spark.synth import (
     generate_conversations_registry,
@@ -33,6 +36,8 @@ def table(spark, tmp_path_factory):
                           + F.col("turn_idx") * 10),
     )
     write_partitioned_transcripts(df, path)
+    write_table_properties(path, {"license": "CC-BY-4.0",
+                                  "consistent_timestep_start": "true"})
     return path
 
 

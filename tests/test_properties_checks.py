@@ -1,0 +1,170 @@
+"""License (4-way verdict), conditional property, and roundtrip/interop
+checks — reference-semantics parity tests."""
+
+import pytest
+
+from mlcast_sourcedata_validator_spark.compiler import run_suite
+from mlcast_sourcedata_validator_spark.report import FAIL, PASS, WARNING
+from mlcast_sourcedata_validator_spark.sources.properties import (
+    read_table_properties,
+    write_table_properties,
+)
+from mlcast_sourcedata_validator_spark.suite import (
+    CheckSpec,
+    CheckSuite,
+    RunContext,
+    get_suite,
+)
+from mlcast_sourcedata_validator_spark.synth import (
+    generate_conversations_registry,
+    generate_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    return generate_transcripts(spark, n_convs=60, seed=21).localCheckpoint()
+
+
+def _license_suite():
+    return CheckSuite("lic", [CheckSpec(
+        "license", "license", "5.3", "license req",
+        {"require_spdx": True, "warn_on_restricted": True,
+         "recommended": ["CC-BY-4.0", "CC0-1.0"]},
+    )])
+
+
+def _status_for(spark, clean, tmp_path, props):
+    path = str(tmp_path / "tbl")
+    import os
+    os.makedirs(path, exist_ok=True)
+    if props is not None:
+        write_table_properties(path, props)
+    ctx = RunContext(spark=spark, df=clean, suite=_license_suite(),
+                     run_id="t", table_path=path)
+    res = run_suite(ctx)
+    assert len(res.report.results) == 1
+    return res.report.results[0]
+
+
+def test_license_missing_fails(spark, clean, tmp_path):
+    r = _status_for(spark, clean, tmp_path, {})
+    assert r.status == FAIL and "missing" in r.detail
+
+
+def test_license_recommended_passes(spark, clean, tmp_path):
+    r = _status_for(spark, clean, tmp_path, {"license": "CC-BY-4.0"})
+    assert r.status == PASS
+
+
+def test_license_invalid_fails_with_suggestion(spark, clean, tmp_path):
+    r = _status_for(spark, clean, tmp_path, {"license": "CC-BY-4"})
+    assert r.status == FAIL and "did you mean" in r.detail \
+        and "CC-BY-4.0" in r.detail
+
+
+def test_license_nc_warns(spark, clean, tmp_path):
+    r = _status_for(spark, clean, tmp_path, {"license": "CC-BY-NC-4.0"})
+    assert r.status == WARNING and "NC/ND" in r.detail
+
+
+def test_license_valid_unrecommended_warns_case_by_case(spark, clean, tmp_path):
+    r = _status_for(spark, clean, tmp_path, {"license": "GPL-3.0-only"})
+    assert r.status == WARNING and "case-by-case" in r.detail
+
+
+def test_properties_roundtrip(tmp_path):
+    p = str(tmp_path / "t")
+    write_table_properties(p, {"a": "1", "license": "MIT"})
+    assert read_table_properties(p) == {"a": "1", "license": "MIT"}
+    assert read_table_properties(str(tmp_path / "nope")) == {}
+    assert read_table_properties(None) == {}
+
+
+def _cond_suite():
+    return CheckSuite("cond", [
+        # a window check must be present so the enriched plan exists
+        CheckSpec("ts_monotonic", "ts_monotonic", "3", "mono"),
+        CheckSpec("cts", "conditional_property", "5.4", "cond prop",
+                  {"property": "consistent_timestep_start",
+                   "condition": "variable_timestep"}),
+    ])
+
+
+def test_conditional_property_required_when_variable(spark, clean, tmp_path):
+    path = str(tmp_path / "tbl")
+    import os
+    os.makedirs(path, exist_ok=True)
+    write_table_properties(path, {})
+    # synthetic transcripts have variable dt -> property required -> WARNING
+    res = run_suite(RunContext(spark=spark, df=clean, suite=_cond_suite(),
+                               run_id="c", table_path=path))
+    rows = [r for r in res.report.results if "consistent_timestep_start" in r.detail]
+    assert rows and rows[0].status == WARNING and "missing" in rows[0].detail
+
+    write_table_properties(path, {"consistent_timestep_start": "true"})
+    res2 = run_suite(RunContext(spark=spark, df=clean, suite=_cond_suite(),
+                                run_id="c2", table_path=path))
+    rows2 = [r for r in res2.report.results if "consistent_timestep_start" in r.detail]
+    assert rows2 and rows2[0].status == PASS
+
+
+def test_conditional_property_not_required_when_constant(spark, tmp_path):
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "tbl")
+    import os
+    os.makedirs(path, exist_ok=True)
+    write_table_properties(path, {})
+    # constant 10s timestep -> condition false -> PASS without the property
+    df = generate_transcripts(spark, n_convs=30, seed=3).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("turn_idx") * 10),
+    )
+    res = run_suite(RunContext(spark=spark, df=df, suite=_cond_suite(),
+                               run_id="k", table_path=path))
+    rows = [r for r in res.report.results if "not required" in r.detail]
+    assert rows and rows[0].status == PASS
+
+
+def test_unknown_condition_raises(spark, clean):
+    suite = CheckSuite("x", [
+        CheckSpec("c", "conditional_property", "5", "r",
+                  {"property": "p", "condition": "nope"})])
+    with pytest.raises(ValueError, match="unknown condition"):
+        run_suite(RunContext(spark=spark, df=clean, suite=suite, run_id="x"))
+
+
+def test_roundtrip_and_decode_pass_on_clean(spark, clean):
+    suite = CheckSuite("rt", [
+        CheckSpec("roundtrip", "roundtrip", "5.5", "rt", {"sample_rows": 50}),
+        CheckSpec("text_decode", "sampled_decode", "5.6", "dec",
+                  {"column": "text", "fraction": 0.5}),
+    ])
+    res = run_suite(RunContext(spark=spark, df=clean, suite=suite, run_id="r"))
+    assert [r.status for r in res.report.results] == [PASS, PASS]
+
+
+def test_full_suite_all_green_with_properties(spark, clean, tmp_path):
+    """The flagship suite is all-PASS when the table carries its
+    properties and storage layout (no WARNINGs left except drift-baseline
+    absence)."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.operators.drift import build_baseline
+
+    path = str(tmp_path / "tbl")
+    write_partitioned_transcripts(clean, path)
+    write_table_properties(path, {"license": "CC-BY-4.0",
+                                  "consistent_timestep_start": "true"})
+    df = spark.read.parquet(path).drop("date")
+    reg = generate_conversations_registry(df)
+    b1 = build_baseline(df, expr="length(text)", metric="turn_len_chars")
+    b2 = build_baseline(df, expr="hour(ts) + 1", metric="ts_hour",
+                        scale="linear", lo=1.0, hi=25.0, n_bins=24)
+    res = run_suite(RunContext(
+        spark=spark, df=df, suite=get_suite("transcripts_v1"), run_id="g",
+        registry_df=reg, baseline_df=b1.unionByName(b2), table_path=path,
+    ))
+    s = res.report.summarize()
+    assert s[FAIL] == 0 and s[WARNING] == 0, res.report.console_print()
