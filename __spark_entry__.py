@@ -208,6 +208,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return psi
     q["drift_psi_events"] = drift_psi_events
 
+    def daily_drift_events(spark, sf):
+        """Per-day KS/PSI of the value distribution vs the whole-table
+        baseline — exercises the applyInPandas (Arrow) drift path against a
+        pure-SQL oracle."""
+        from mlcast_sourcedata_validator_spark.operators.drift import (
+            build_baseline,
+            daily_drift,
+        )
+
+        ev = _t(spark, sf, "events")
+        baseline = build_baseline(ev, expr="value", metric="value",
+                                  scale="linear", lo=0.0, hi=500.0, n_bins=25)
+        out = daily_drift(ev, baseline, expr="value", metric="value",
+                          scale="linear", lo=0.0, hi=500.0, n_bins=25)
+        return out.select("day", "metric",
+                          F.round("ks", 6).alias("ks"),
+                          F.round("psi", 6).alias("psi"), "n")
+    q["daily_drift_events"] = daily_drift_events
+
+    def salted_count_events(spark, sf):
+        """Two-phase salted per-key count (skew path) — must equal a plain
+        GROUP BY, which is exactly what the oracle runs."""
+        from mlcast_sourcedata_validator_spark.skew import salted_count
+
+        ev = _t(spark, sf, "events")
+        return salted_count(ev, ["user_id"], n_salts=8)
+    q["salted_count_events"] = salted_count_events
+
+    def dedup_keep_min_documents(spark, sf):
+        """Exact dedup keeping the min-id representative of each
+        identical-text group; documents are all distinct at these SFs so a
+        duplicated slice is unioned in first."""
+        d = _t(spark, sf, "documents")
+        dup = d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        return dd.exact_dedup(d.unionByName(dup), "doc_id", "text") \
+                 .select("doc_id", "n_chars")
+    q["dedup_keep_min_documents"] = dedup_keep_min_documents
+
     # --- TPC-H-ish analytics (scan/filter/agg/join/window/topk coverage) ---
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -422,6 +462,56 @@ def oracle_sql() -> dict[str, str]:
           (greatest(a/ta, 1e-6) - greatest(b/tb, 1e-6))
           * ln(greatest(a/ta, 1e-6) / greatest(b/tb, 1e-6))), 6) AS psi
         FROM hist, tot"""
+
+    o["daily_drift_events"] = """
+        WITH hist AS (
+          SELECT ts::DATE AS day,
+                 least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25) AS bucket,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        base AS (
+          SELECT least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25) AS bucket,
+                 count(*) AS c
+          FROM events GROUP BY 1),
+        grid AS (
+          SELECT d.day, t.range AS bucket
+          FROM (SELECT DISTINCT day FROM hist) d, range(1, 26) t),
+        filled AS (
+          SELECT g.day, g.bucket,
+                 coalesce(h.c, 0)::DOUBLE AS cur,
+                 coalesce(b.c, 0)::DOUBLE AS bas
+          FROM grid g
+          LEFT JOIN hist h ON g.day = h.day AND g.bucket = h.bucket
+          LEFT JOIN base b ON g.bucket = b.bucket),
+        tot AS (
+          SELECT day, sum(cur) AS na, (SELECT sum(c) FROM base)::DOUBLE AS nb
+          FROM filled GROUP BY day),
+        cum AS (
+          SELECT f.day,
+                 sum(f.cur) OVER (PARTITION BY f.day ORDER BY f.bucket) / t.na AS ca,
+                 sum(f.bas) OVER (PARTITION BY f.day ORDER BY f.bucket) / t.nb AS cb,
+                 greatest(f.cur / t.na, 1e-6) AS p,
+                 greatest(f.bas / t.nb, 1e-6) AS q2,
+                 t.na
+          FROM filled f JOIN tot t ON f.day = t.day)
+        SELECT day, 'value' AS metric,
+               round(max(abs(ca - cb)), 6) AS ks,
+               round(sum((p - q2) * ln(p / q2)), 6) AS psi,
+               max(na)::BIGINT AS n
+        FROM cum GROUP BY day"""
+
+    o["salted_count_events"] = """
+        SELECT user_id, count(*)::BIGINT AS count FROM events GROUP BY user_id"""
+
+    o["dedup_keep_min_documents"] = """
+        WITH all_docs AS (
+          SELECT doc_id, text, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id < 50),
+        keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                 FROM all_docs GROUP BY 1)
+        SELECT a.doc_id, a.n_chars FROM all_docs a
+        JOIN keep k ON a.doc_id = k.doc_id"""
 
     o["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .operators import (
+    column_rules,
     conditional,
     domains,
     drift,
@@ -64,6 +65,7 @@ from .suite import (
 _COMPILERS = {
     # driver-side (zero scan)
     "required_columns": schema_check.compile_required_columns,
+    "column_rules": column_rules.compile_column_rules,
     "storage_codec": storage.compile_codec,
     "storage_partitioning": storage.compile_partitioning,
     "storage_format": storage.compile_format,
@@ -169,67 +171,44 @@ def _agg_exprs(cs: CompiledSuite) -> list:
     return exprs
 
 
-def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRunResult:
-    """Compile + execute the suite on ctx.df; optionally persist violations."""
-    t0 = time.time()
+@dataclass
+class SuitePlan:
+    """The fully-built (unexecuted) fused plan for one suite run."""
+
+    agg_exprs: list
+    post_exprs: list
+    obs: Optional[Observation]
+    post_obs: Optional[Observation]
+    #: window-enriched slim plan (None when no row/post-agg checks)
+    enriched: Any
+    #: violations DataFrame plan (None when no row checks)
+    violations: Any
+
+
+def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
+    """Assemble the single fused Spark plan for the suite.
+
+    Payload predicates (domain/nullness/...) are evaluated MAP-SIDE, before
+    any shuffle, and packed into a hits array that is empty for clean rows.
+    The window shuffle then carries only (conv_id, turn_idx, ts, hits) — at
+    10^12 rows this is the difference between shuffling keys (~40B/row) and
+    shuffling full transcripts (text included, ~10x more bytes). Every
+    aggregate (stats + drift bins) rides the same scan via CollectMetrics;
+    condition-gated post-aggregates ride the same action as a second
+    Observation on the enriched plan.
+    """
     suite = ctx.suite
-    run_id = ctx.run_id or uuid.uuid4().hex[:12]
-    cs = compile_suite(suite, exact=ctx.exact)
-    spark = ctx.spark
-
-    # --- 1. driver-side checks (no scan) ---------------------------------
-    reports: dict[str, ValidationReport] = {}
-    for cid, dc in cs.driver_checks:
-        reports.setdefault(cid, ValidationReport())
-        reports[cid] += dc.fn(ctx)
-
-    # short-circuit: a failed schema check gates every scan-based check
-    # (reference pattern: cheap checks gate expensive ones; early returns at
-    # licensing.py:76,101 / temporal.py:30-34). Running the scan against a
-    # wrong schema would abort with an unresolved-column error instead of a
-    # report row.
-    schema_failed = any(
-        spec.kind == "required_columns"
-        and cid in reports
-        and reports[cid].has_fails()
-        for spec in suite.checks
-        for cid in [spec.check_id]
-    )
-    if schema_failed:
-        final = ValidationReport()
-        skipped = {cid for cid, _ in cs.agg_checks}
-        skipped |= {rc.check_id for _, rc in cs.row_checks}
-        skipped |= {cid for cid, _ in cs.drift_checks}
-        for spec in suite.checks:
-            if spec.check_id in reports:
-                final += reports[spec.check_id]
-            elif spec.check_id in skipped or any(
-                c.startswith(spec.check_id) for c in skipped
-            ):
-                final.add(spec.section, spec.requirement, "FAIL",
-                          "skipped: schema validation failed",
-                          _MOD_NAME, "run_suite")
-        return SuiteRunResult(
-            report=final,
-            violations=spark.createDataFrame([], schema=VIOLATIONS_SCHEMA),
-            metrics={},
-            run_id=run_id,
-            partition_id=ctx.partition_id,
-            n_input_rows=0,
-            wall_sec=time.time() - t0,
-        )
-
-    # --- 2. build the fused plan ------------------------------------------
     conv, turn, ts = suite.conv_col, suite.turn_col, suite.ts_col
     agg_exprs = _agg_exprs(cs)
-    metrics: dict[str, Any] = {}
 
-    need_window = any(rc.needs_window for _, rc in cs.row_checks)
     need_registry = any(spec.kind == "refint" for spec in suite.checks)
     need_conv_stats = any(
         spec.kind == "variable_timestep"
         and not spec.params.get("allow_variable_timestep", True)
         for spec in suite.checks
+    )
+    need_dt = need_conv_stats or any(
+        "dt" in pc.needs for _, pc in cs.post_agg_checks
     )
 
     df = ctx.df
@@ -256,18 +235,8 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
             )
         )
 
-    # --- 3. violations -----------------------------------------------------
-    # Payload predicates (domain/nullness/...) are evaluated MAP-SIDE,
-    # before any shuffle, and packed into a hits array that is empty for
-    # clean rows. The window shuffle then carries only
-    # (conv_id, turn_idx, ts, hits) — at 10^12 rows this is the difference
-    # between shuffling keys (~40B/row) and shuffling full transcripts
-    # (text included, ~10x more bytes).
-    n_input_rows = 0
-    need_dt = need_conv_stats or any(
-        "dt" in pc.needs for _, pc in cs.post_agg_checks
-    )
     enriched = None
+    all_hits = None
     if cs.row_checks or cs.post_agg_checks:
         pre_checks = [(cid, rc) for cid, rc in cs.row_checks if not rc.needs_window]
         win_checks = [(cid, rc) for cid, rc in cs.row_checks if rc.needs_window]
@@ -326,9 +295,6 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
         else:
             all_hits = F.col("_row_hits")
 
-    # post-aggregates ride the SAME action as a second Observation on the
-    # enriched plan; only when no action will run (no row checks) or in
-    # exact mode do they fall back to a dedicated agg job
     post_obs: Optional[Observation] = None
     post_exprs = [
         col.alias(name)
@@ -339,6 +305,7 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
         post_obs = Observation("post_metrics")
         enriched = enriched.observe(post_obs, *post_exprs)
 
+    viol = None
     if cs.row_checks:
         viol = (
             enriched.select(
@@ -347,9 +314,7 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                 all_hits.alias("_hits"),
             )
             .where(F.size("_hits") > 0)
-            .select(
-                F.explode("_hits").alias("h"), "conv_id", "turn_idx"
-            )
+            .select(F.explode("_hits").alias("h"), "conv_id", "turn_idx")
             .select(
                 F.col("h.check_id").alias("check_id"),
                 "conv_id",
@@ -358,6 +323,69 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                 F.lit(ctx.partition_id).cast("string").alias("partition_id"),
             )
         )
+
+    return SuitePlan(agg_exprs, post_exprs, obs, post_obs, enriched, viol)
+
+
+def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRunResult:
+    """Compile + execute the suite on ctx.df; optionally persist violations."""
+    t0 = time.time()
+    suite = ctx.suite
+    run_id = ctx.run_id or uuid.uuid4().hex[:12]
+    cs = compile_suite(suite, exact=ctx.exact)
+    spark = ctx.spark
+
+    # --- 1. driver-side checks (no scan) ---------------------------------
+    reports: dict[str, ValidationReport] = {}
+    for cid, dc in cs.driver_checks:
+        reports.setdefault(cid, ValidationReport())
+        reports[cid] += dc.fn(ctx)
+
+    # short-circuit: a failed schema check gates every scan-based check
+    # (reference pattern: cheap checks gate expensive ones; early returns at
+    # licensing.py:76,101 / temporal.py:30-34). Running the scan against a
+    # wrong schema would abort with an unresolved-column error instead of a
+    # report row.
+    schema_failed = any(
+        spec.kind == "required_columns"
+        and cid in reports
+        and reports[cid].has_fails()
+        for spec in suite.checks
+        for cid in [spec.check_id]
+    )
+    if schema_failed:
+        final = ValidationReport()
+        skipped = {cid for cid, _ in cs.agg_checks}
+        skipped |= {rc.check_id for _, rc in cs.row_checks}
+        skipped |= {cid for cid, _ in cs.drift_checks}
+        for spec in suite.checks:
+            if spec.check_id in reports:
+                final += reports[spec.check_id]
+            elif spec.check_id in skipped or any(
+                c.startswith(spec.check_id) for c in skipped
+            ):
+                final.add(spec.section, spec.requirement, "FAIL",
+                          "skipped: schema validation failed",
+                          _MOD_NAME, "run_suite")
+        return SuiteRunResult(
+            report=final,
+            violations=spark.createDataFrame([], schema=VIOLATIONS_SCHEMA),
+            metrics={},
+            run_id=run_id,
+            partition_id=ctx.partition_id,
+            n_input_rows=0,
+            wall_sec=time.time() - t0,
+        )
+
+    # --- 2./3. build the fused plan ----------------------------------------
+    metrics: dict[str, Any] = {}
+    plan = build_suite_plan(ctx, cs)
+    obs, post_obs = plan.obs, plan.post_obs
+    agg_exprs, post_exprs = plan.agg_exprs, plan.post_exprs
+    enriched, viol = plan.enriched, plan.violations
+
+    n_input_rows = 0
+    if cs.row_checks:
         if violations_path:
             viol.write.mode("append").parquet(violations_path)
             viol = spark.read.parquet(violations_path)
@@ -398,7 +426,6 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                 metrics.update(enriched.agg(*post_exprs).collect()[0].asDict())
         else:
             metrics.update(enriched.agg(*post_exprs).collect()[0].asDict())
-
     # --- 4. drift baselines ------------------------------------------------
     for cid, dc in cs.drift_checks:
         if ctx.baseline_df is not None:

@@ -35,6 +35,19 @@ def suite() -> CheckSuite:
             },
         ),
         CheckSpec(
+            "column_roles", "column_rules", "3.1 schema",
+            "The table MUST expose key, ordering and time column roles "
+            "(rule-matched by name/type/metadata).",
+            {"categories": {
+                "key": {"rules": [{"name": "conv_id", "type": "string"},
+                                  {"metadata": {"role": "key"}}]},
+                "ordering": {"rules": [{"name": "turn_idx", "type": "int"},
+                                       {"metadata": {"role": "ordering"}}]},
+                "time": {"rules": [{"name": "ts", "type": "timestamp"},
+                                   {"metadata": {"standard_name": "time"}}]},
+            }},
+        ),
+        CheckSpec(
             "unique_key", "unique_key", "3.2 keys",
             "(conv_id, turn_idx) MUST be unique.",
         ),

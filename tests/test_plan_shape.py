@@ -1,0 +1,88 @@
+"""Plan-shape regression tests: the fused suite must stay one-scan /
+one-shuffle with map-side predicate evaluation. These assert structural
+properties of the *physical plan string*, so a future change that silently
+adds a shuffle or drops the fused Observation fails here, not in a
+benchmark three rounds later."""
+
+import re
+
+import pytest
+
+from mlcast_sourcedata_validator_spark.compiler import (
+    build_suite_plan,
+    compile_suite,
+)
+from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
+from mlcast_sourcedata_validator_spark.synth import (
+    generate_conversations_registry,
+    generate_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def plan_str(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pl") / "t")
+    df = generate_transcripts(spark, n_convs=50, seed=2)
+    df.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    reg = generate_conversations_registry(stored)
+    ctx = RunContext(spark=spark, df=stored, suite=get_suite("transcripts_v1"),
+                     run_id="p", registry_df=reg)
+    plan = build_suite_plan(ctx, compile_suite(ctx.suite))
+    return plan.violations._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_scan_of_the_transcripts_table(plan_str):
+    # 1 scan for the transcripts + 1 for the registry = exactly 2
+    assert plan_str.count("Scan parquet") == 2
+
+
+def test_metrics_ride_the_scan(plan_str):
+    assert "CollectMetrics" in plan_str
+
+
+def test_single_bigside_shuffle(plan_str):
+    # exchanges: >=1 for the window (big side); the registry side may add a
+    # distinct-exchange + broadcast. The BIG side must contribute exactly
+    # one hash partitioning on conv_id feeding the window sort.
+    exchanges = re.findall(r"Exchange hashpartitioning\(conv_id#\d+", plan_str)
+    assert len(exchanges) == 1, plan_str[:2000]
+
+
+def test_exactly_one_window(plan_str):
+    # uniqueness + contiguity + monotonicity + refint marker all share ONE
+    # window operator
+    assert plan_str.count("Window [") == 1
+
+
+def test_row_hits_computed_before_the_shuffle(plan_str):
+    # the map-side hits array (role/tool domain checks) must appear UNDER
+    # the exchange: the project containing 'role_domain' must come later in
+    # the bottom-up plan string than the exchange line... simpler: the
+    # shuffle's input already contains _row_hits
+    m = re.search(r"Exchange hashpartitioning\(conv_id#\d+.*", plan_str)
+    assert m is not None
+    below = plan_str[m.end():]
+    assert "role_domain" in below, "row hits must be computed below the exchange"
+
+
+def test_partition_pruned_batch_reads_single_partition(spark, tmp_path):
+    """run_partitioned reads one date= dir per batch — the scan location
+    must point at that partition only."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_partitioned_transcripts,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = generate_transcripts(spark, n_convs=30, seed=4).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-03-01"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(3)) * 86400
+                          + F.col("turn_idx")),
+    )
+    write_partitioned_transcripts(df, path)
+    batch = spark.read.option("basePath", path).parquet(f"{path}/date=2024-03-02")
+    files = batch.inputFiles()
+    assert files and all("date=2024-03-02" in f for f in files)
+    n_all = spark.read.parquet(path).count()
+    assert 0 < batch.count() < n_all
