@@ -305,6 +305,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lineitem_top_line_per_order"] = lineitem_top_line_per_order
 
+    def sessionize_events(spark, sf):
+        """Gap-based sessionization (30-min inactivity) via one window pass:
+        lag-diff -> new-session flag -> running sum = session index."""
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = ts_us - F.lag(ts_us).over(w)
+        new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+        return (
+            ev.select("user_id", "ts", "event_id",
+                      F.sum(new_s).over(w).alias("session_idx"))
+            .groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+        )
+    q["sessionize_events"] = sessionize_events
+
+    def conv_text_equality_events(spark, sf):
+        """north_star invariant: per-turn text equality under the stable
+        window-ordered (conv_id, turn_idx) sort — per conversation, an
+        order-sensitive md5 over the turn texts; any reorder or text drift
+        changes the hash."""
+        ev = _t(spark, sf, "events")
+        rows = F.sort_array(F.collect_list(F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.coalesce(F.col("props"), F.lit("")).alias("p"))))
+        return (
+            ev.groupBy(F.col("user_id").alias("conv_id"))
+            .agg(
+                F.md5(F.concat_ws("|", F.transform(rows, lambda r: r["p"])))
+                .alias("text_hash"),
+                F.count(F.lit(1)).alias("n_turns"),
+            )
+        )
+    q["conv_text_equality_events"] = conv_text_equality_events
+
+    def json_extract_events(spark, sf):
+        """JSON payload probing (props is a JSON object {'k': int})."""
+        ev = _t(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return (
+            ev.where(F.col("props").isNotNull())
+            .groupBy("event_type")
+            .agg(F.round(F.avg(k), 6).alias("avg_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+    q["json_extract_events"] = json_extract_events
+
+    def percentiles_value_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        pct = F.percentile("value", F.array(*[F.lit(p) for p in
+                                              (0.25, 0.5, 0.75, 0.95)]))
+        return ev.agg(
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+            F.round(pct[3], 6).alias("p95"),
+        )
+    q["percentiles_value_events"] = percentiles_value_events
+
+    def setop_users_without_high_value(spark, sf):
+        """Distinct users with no high-value event (EXCEPT set semantics)."""
+        ev = _t(spark, sf, "events")
+        allu = ev.select("user_id").distinct()
+        high = ev.where(F.col("value") > 450).select("user_id").distinct()
+        return allu.exceptAll(high)
+    q["setop_users_without_high_value"] = setop_users_without_high_value
+
+    def semi_join_big_spenders(spark, sf):
+        """left_semi membership: customers having >=1 order above 300k."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 4).alias("c_acctbal"))
+        )
+    q["semi_join_big_spenders"] = semi_join_big_spenders
+
+    def q3_shipping_priority(spark, sf):
+        """TPC-H Q3 shape: filter both join sides, 3-way join (broadcast the
+        pruned customer dim), revenue agg, top-10."""
+        c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders").where(
+            F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        li = _t(spark, sf, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+            .limit(10)
+        )
+    q["q3_shipping_priority"] = q3_shipping_priority
+
     # --- dedup family -------------------------------------------------------
     def dedup_exact_documents(spark, sf):
         return dd.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text") \
@@ -545,6 +645,68 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem)
         SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS l_extendedprice
         FROM ranked WHERE rn = 1"""
+
+    o["sessionize_events"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx::BIGINT AS session_idx,
+               count(*)::BIGINT AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_idx"""
+
+    o["conv_text_equality_events"] = """
+        SELECT user_id AS conv_id,
+               md5(string_agg(coalesce(props, ''), '|' ORDER BY ts, event_id))
+                 AS text_hash,
+               count(*)::BIGINT AS n_turns
+        FROM events GROUP BY user_id"""
+
+    o["json_extract_events"] = """
+        SELECT event_type,
+               round(avg((props->>'k')::INT), 6) AS avg_k,
+               sum((props->>'k')::INT)::BIGINT AS sum_k,
+               count(*)::BIGINT AS n
+        FROM events WHERE props IS NOT NULL GROUP BY event_type"""
+
+    o["percentiles_value_events"] = """
+        SELECT round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events"""
+
+    o["setop_users_without_high_value"] = """
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE value > 450"""
+
+    o["semi_join_big_spenders"] = """
+        SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)"""
+
+    o["q3_shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
     o["dedup_exact_documents"] = """
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
