@@ -25,6 +25,7 @@ from mlcast_sourcedata_validator_spark.functions.hashing import (
     P,
     char_shingles_sql,
     enc4_sql,
+    encw_sql,
     uhash_sql,
     word_shingles_sql,
 )
@@ -479,6 +480,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["langid_documents"] = langid_documents
 
+    # --- structured streaming (watermark + tumbling window, availableNow) ---
+    _stream_seq = [0]
+
+    def streaming_hourly_counts_events(spark, sf):
+        """Hourly tumbling-window aggregate computed by Structured Streaming
+        (readStream over the parquet file, 1h watermark, availableNow
+        trigger, memory sink) — the drained result must equal the batch
+        GROUP BY the oracle runs."""
+        _stream_seq[0] += 1
+        qname = f"stream_hourly_{_stream_seq[0]}"
+        sch = _t(spark, sf, "events").schema
+        s = (
+            spark.readStream.schema(sch)
+            # FileStreamSource needs a directory or glob, not a plain file
+            .parquet(os.path.join(sf, "events*.parquet"))
+            # watermark requires TIMESTAMP; NTZ->TZ cast is lossless under
+            # the UTC session timezone
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+        )
+        q_ = (agg.writeStream.outputMode("complete").format("memory")
+              .queryName(qname).trigger(availableNow=True).start())
+        q_.awaitTermination()
+        return spark.sql(
+            f"SELECT w.start AS hour_start, n_events, sum_value FROM {qname}"
+        )
+    q["streaming_hourly_counts_events"] = streaming_hourly_counts_events
+
     # --- multimodal plumbing (pandas UDF over binary payloads) --------------
     def multimodal_meta_documents(spark, sf):
         d = mm.attach_fake_media(_t(spark, sf, "documents"), "text")
@@ -713,16 +747,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
     # --- portable-hash dedup oracles ---------------------------------------
-    sh4 = char_shingles_sql("text", 4)
-    x = enc4_sql("s")
+    wsh_mh = word_shingles_sql("t", 3)
+    x = encw_sql("s")
     minhash_cols = ",\n               ".join(
         f"min({uhash_sql('x', j)})::BIGINT AS h{j}" for j in range(len(MINHASH_COEFFS))
     )
     minhash_cte = f"""
         WITH sh AS (
           SELECT doc_id, {x} AS x FROM (
-            SELECT doc_id, unnest({sh4}) AS s FROM documents
-            WHERE length(text) >= 4)),
+            SELECT doc_id, unnest({wsh_mh}) AS s FROM
+              (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
         mh AS (
           SELECT doc_id,
                {minhash_cols}
@@ -866,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
     o["langid_documents"] = f"""
         SELECT lang, {lang_case} AS lang_guess, count(*)::BIGINT AS n
         FROM documents GROUP BY 1, 2"""
+
+    o["streaming_hourly_counts_events"] = """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1"""
 
     o["multimodal_meta_documents"] = """
         SELECT doc_id,

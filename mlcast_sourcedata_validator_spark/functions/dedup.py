@@ -33,6 +33,7 @@ from .hashing import (
     N_BANDS,
     char_shingles,
     enc4,
+    encw,
     uhash,
     word_shingles,
 )
@@ -64,9 +65,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 4
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: (id, h0..h15).
+    """Per-doc MinHash signature over word-n-shingles: (id, h0..h15).
+
+    Word shingles (not char-4-grams): on natural text char-4-grams are so
+    common across documents that every signature's min lands on the same
+    globally-frequent shingles — measured 250k candidate pairs from 5k
+    docs (10% of all pairs) before the switch, ~0.1% after. Word shingles
+    also align the candidate stage with the word-n-gram Jaccard verify
+    stage.
 
     Implemented as shingle explode -> hash-aggregate of 16 mins rather
     than 16 ``array_min(transform(...))`` higher-order expressions: Catalyst
@@ -74,13 +82,14 @@ def minhash_signatures(
     recompute, interpreted lambda evaluation), measured ~20x slower. The
     explode feeds a partial-aggregating groupBy — map-side combine keeps
     the shuffle at one row per (doc, 16 mins) partial, so this scales to
-    arbitrarily long documents.
+    arbitrarily long documents. Docs with fewer than ``n`` tokens produce
+    no shingles and drop out (same as the oracle's unnest of an empty
+    list).
     """
-    sh = char_shingles(F.col(text_col), k)
+    sh = word_shingles(F.col(text_col), n)
     exploded = (
-        df.where(F.length(text_col) >= k)
-        .select(F.col(id_col), F.explode(sh).alias("_s"))
-        .select(F.col(id_col), enc4(F.col("_s")).alias("_x"))
+        df.select(F.col(id_col), F.explode(sh).alias("_s"))
+        .select(F.col(id_col), encw(F.col("_s")).alias("_x"))
     )
     aggs = [
         F.min(uhash(F.col("_x"), j)).alias(f"h{j}")
@@ -90,7 +99,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, text_col: str, k: int = 4
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 full band signature.
 
@@ -98,7 +107,7 @@ def minhash_lsh_candidates(
     groupBy bucket, emit intra-bucket pairs. Shuffle volume is
     N_BANDS x n rows of small signatures; no O(n^2) join.
     """
-    sig = minhash_signatures(df, id_col, text_col, k)
+    sig = minhash_signatures(df, id_col, text_col, n)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -173,7 +182,6 @@ def lsh_verified_near_dups(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    k: int = 4,
 ) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates verified by
     exact word-n-gram Jaccard via per-pair array intersection.
@@ -184,7 +192,7 @@ def lsh_verified_near_dups(
     computes ``size(array_intersect)`` per pair: O(|candidates| x shingle
     count), independent of shingle popularity. (id_a, id_b, jaccard).
     """
-    cand = minhash_lsh_candidates(df, id_col, text_col, k)
+    cand = minhash_lsh_candidates(df, id_col, text_col, n)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),

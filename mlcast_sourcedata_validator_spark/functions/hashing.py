@@ -82,6 +82,29 @@ def char_shingles_sql(text: str, k: int = SHINGLE_K) -> str:
     )
 
 
+SHINGLE_PAD = "____________"  # pad to >=12 chars so all 3 enc4 chunks exist
+
+
+def encw(s: Column) -> Column:
+    """Portable encoding of a (word-)shingle string: three enc4 chunks of
+    the underscore-padded first 12 chars, rolling-combined mod P. Spans
+    enough of the shingle that multi-word shingles differing beyond char 4
+    (where plain enc4 stops reading) still hash apart."""
+    p = F.concat(s, F.lit(SHINGLE_PAD))
+    h = enc4(p)
+    for off in (5, 9):
+        h = F.pmod(h * F.lit(65599) + enc4(F.substring(p, off, 4)), F.lit(P))
+    return h
+
+
+def encw_sql(s: str) -> str:
+    p = f"({s} || '{SHINGLE_PAD}')"
+    h = enc4_sql(p)
+    for off in (5, 9):
+        h = f"(({h} * 65599 + {enc4_sql(f'substr({p}, {off}, 4)')}) % {P})"
+    return h
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-word shingles over whitespace tokens."""
     toks = F.split(text, " ")
