@@ -467,6 +467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_lsh_topk_embeddings"] = ann_lsh_topk_embeddings  # rows-only check
 
+    def ann_ivf_topk_embeddings(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        rest = emb.where(F.col("vec_id") != 0)
+        cents = sim.ivf_fit(rest, "embedding", n_lists=8, seed=7)
+        return sim.ivf_topk(rest, "vec_id", "embedding",
+                            [float(v) for v in qv], cents, k=10, nprobe=3)
+    q["ann_ivf_topk_embeddings"] = ann_ivf_topk_embeddings  # rows-only check
+
     # --- text analysis -------------------------------------------------------
     def text_profile_documents(spark, sf):
         return tx.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
@@ -915,7 +924,10 @@ def oracle_sql() -> dict[str, str]:
                'fake/v1' AS format
         FROM documents"""
 
-    # ann_lsh_topk_embeddings intentionally has no oracle: the LSH bucket
-    # membership depends on engine-side deterministic hyperplanes (rows-only
-    # check; cosine_topk above is the exact-oracle baseline).
+    # ann_lsh_topk_embeddings / ann_ivf_topk_embeddings intentionally have
+    # no oracle: bucket/list membership depends on engine-side structures
+    # (deterministic hyperplanes / KMeans centroids) that SQL can't
+    # reproduce (rows-only checks; cosine_topk above is the exact-oracle
+    # baseline, and the probe-all==brute-force invariant is pinned in
+    # tests/test_functions.py).
     return o

@@ -11,10 +11,16 @@
   bucket (and optionally its 1-bit-flip neighbors), reducing the scan from
   O(n) to O(n / 2^bits) per probe.
 
+- ``ivf_fit`` / ``ivf_assign`` / ``ivf_topk``: IVF (inverted-file) ANN —
+  a KMeans coarse quantizer (distributed fit, centroids on the driver),
+  map-side nearest-centroid assignment as Column expressions, and search
+  that probes only the query's ``nprobe`` nearest lists. With
+  ``nprobe == n_lists`` it equals brute force exactly (tested invariant).
+
 At 10^12 rows the brute-force path is a full scan per query — only viable
-batched (many queries x one scan); the LSH path keeps per-query work
-sublinear and its bucket table is a plain DataFrame that bucket-prunes via
-a partition column.
+batched (many queries x one scan); the LSH and IVF paths keep per-query
+work sublinear, and their bucket/list tables are plain DataFrames that
+prune via a partition column.
 """
 
 from __future__ import annotations
@@ -84,6 +90,91 @@ def rhp_signatures(
         bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer (KMeans) and return its centroids.
+
+    Distributed fit (Spark ML KMeans); only the k x dim centroid matrix
+    comes back to the driver. At 10^12 rows you fit on a sample
+    (``df.sample``) — centroids converge long before full passes matter.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
+                   featuresCol="_features").fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """score_j = dot(v, c_j) - |c_j|^2/2 — argmax(score) == nearest centroid
+    by euclidean distance, without computing |v|^2 per row."""
+    scores = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        n2 = sum(x * x for x in c)
+        scores.append(dot(vec, carr) - F.lit(n2 / 2.0))
+    return scores
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: (id, list_id).
+
+    Pure map-side Column expressions (no Python, no shuffle): an array of
+    (score, j) structs reduced with array_max — struct comparison is
+    lexicographic, so ties break deterministically toward the larger j.
+    At scale this is the partition column of the IVF index table.
+    """
+    scored = F.array(*[
+        F.struct(s.alias("s"), F.lit(j).alias("j"))
+        for j, s in enumerate(_centroid_scores(F.col(vec_col), centroids))
+    ])
+    return df.select(
+        F.col(id_col), F.array_max(scored)["j"].alias("list_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: score only vectors whose list is among the query's
+    ``nprobe`` nearest centroids — O(n * nprobe / n_lists) per query.
+
+    With ``nprobe == len(centroids)`` this probes every list and equals
+    brute-force :func:`cosine_topk` exactly (the correctness invariant the
+    tests pin).
+    """
+    qscores = [
+        sum(a * b for a, b in zip(query_vec, c)) - sum(x * x for x in c) / 2.0
+        for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda j: -qscores[j])[:nprobe]
+    assign = ivf_assign(df, id_col, vec_col, centroids)
+    cand = df.join(assign, id_col).where(F.col("list_id").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def ann_lsh_topk(

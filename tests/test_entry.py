@@ -25,7 +25,7 @@ def test_every_oracle_key_has_a_query():
     assert set(o) <= set(q)
     # all but the documented rows-only ops have oracles
     rows_only = set(q) - set(o)
-    assert rows_only == {"ann_lsh_topk_embeddings"}
+    assert rows_only == {"ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings"}
 
 
 def test_two_fast_query_oracle_pairs_match(spark, sf_dir):

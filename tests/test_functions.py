@@ -95,6 +95,36 @@ def test_cosine_topk_and_ann_recall(spark):
     assert all(v % 3 == 0 for v in brute)
 
 
+def test_ivf_topk_probe_all_equals_brute_force(spark):
+    import math
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 5) % 16] = 0.3 * math.sin(i * 0.7)
+        v[(axis + 9) % 16] = 0.2 * math.cos(i * 1.3)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rest = emb.where("vec_id != 0")
+    query = rows[0][1]
+    cents = sim.ivf_fit(rest, "embedding", n_lists=4, seed=7)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    brute = [(r.vec_id, r.cosine) for r in
+             sim.cosine_topk(rest, "vec_id", "embedding", query, k=10).collect()]
+    # probing every list is exactly brute force, independent of clustering
+    full = [(r.vec_id, r.cosine) for r in
+            sim.ivf_topk(rest, "vec_id", "embedding", query, cents,
+                         k=10, nprobe=4).collect()]
+    assert full == brute
+    # probing 1 list still finds most of the true top-k (clusters align
+    # with the 3 planted axes)
+    one = {r.vec_id for r in
+           sim.ivf_topk(rest, "vec_id", "embedding", query, cents,
+                        k=10, nprobe=1).collect()}
+    assert len(one & {v for v, _ in brute}) / 10 >= 0.7
+
+
 def test_text_profile_fields(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox and the lazy dog runs over the hill"),
