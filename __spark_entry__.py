@@ -442,6 +442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["simhash_pairs_documents"] = simhash_pairs_documents
 
+    def simhash_banded_pairs_documents(spark, sf):
+        """Banded (pigeonhole) SimHash pairs — must equal the O(n^2)
+        self-join exactly, so it shares simhash_pairs' oracle SQL."""
+        return dd.simhash_banded_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+        )
+    q["simhash_banded_pairs_documents"] = simhash_banded_pairs_documents
+
     def embedding_near_dup_pairs(spark, sf):
         return dd.embedding_near_dup_pairs(
             _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.4
@@ -845,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    o["simhash_banded_pairs_documents"] = o["simhash_pairs_documents"]
 
     o["embedding_near_dup_pairs"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -271,6 +271,56 @@ def simhash_pairs(
     )
 
 
+def simhash_banded_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Scale path for :func:`simhash_pairs` — identical output, no O(n^2)
+    join.
+
+    Pigeonhole: a pair within Hamming distance d must agree EXACTLY on at
+    least one of d+1 disjoint bit blocks. So: explode each signature into
+    its d+1 (block_idx, block_value) keys, bucket-join on them (shuffle is
+    (d+1) x n small rows; fan-in bounded by block-collision rates), then
+    verify true Hamming distance on the candidate pairs. Recall is exactly
+    1.0 vs the self-join — equality is pinned by tests and by sharing the
+    simhash_pairs oracle SQL.
+    """
+    sig = simhash(df, id_col, text_col)
+    n_blocks = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, n_blocks)
+    blocks, start = [], 0
+    for bi in range(n_blocks):
+        w = base + (1 if bi < rem else 0)
+        blocks.append(
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftright("simhash", start).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                ).alias("val"),
+            )
+        )
+        start += w
+    keyed = sig.select(
+        F.col(id_col), F.explode(F.array(*blocks)).alias("b")
+    ).select(id_col, "b.blk", "b.val")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, on=["blk", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

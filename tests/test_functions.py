@@ -70,6 +70,16 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert ham <= 6  # one token of 30 changed
 
 
+def test_simhash_banded_pairs_equal_self_join(spark, docs):
+    ref = {(r.id_a, r.id_b, r.hamming)
+           for r in dd.simhash_pairs(docs, "doc_id", "text",
+                                     max_hamming=3).collect()}
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in dd.simhash_banded_pairs(docs, "doc_id", "text",
+                                               max_hamming=3).collect()}
+    assert banded == ref and len(ref) > 0
+
+
 def test_cosine_topk_and_ann_recall(spark):
     import math
     # 3 clusters of unit vectors around orthogonal axes + noise
