@@ -542,6 +542,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_hourly_counts_events"] = streaming_hourly_counts_events
 
     # --- multimodal plumbing (pandas UDF over binary payloads) --------------
+    def frame_sample_documents(spark, sf):
+        """Row-expanding frame extraction over the fake media payload —
+        offsets computed JVM-side, one row per 64-byte 'frame'."""
+        d = mm.attach_fake_media(_t(spark, sf, "documents"), "text")
+        fr = mm.frame_sample(d, "doc_id", "media", every_n_bytes=64)
+        return fr.select("doc_id", "frame_no",
+                         F.length("frame_bytes").alias("frame_len"))
+    q["frame_sample_documents"] = frame_sample_documents
+
     def multimodal_meta_documents(spark, sf):
         d = mm.attach_fake_media(_t(spark, sf, "documents"), "text")
         return mm.extract_media_meta(d, "doc_id", "media")
@@ -940,6 +949,16 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events,
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1"""
+
+    o["frame_sample_documents"] = """
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest((n - 1) // 64, 0) + 1)) AS i
+          FROM d)
+        SELECT doc_id, i::INT AS frame_no,
+               length(substr(text, (i * 64 + 1)::INT, 64))::INT AS frame_len
+        FROM f"""
 
     o["multimodal_meta_documents"] = """
         SELECT doc_id,
