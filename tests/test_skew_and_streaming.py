@@ -62,3 +62,61 @@ def test_streaming_validation_available_now(spark, tmp_path):
     assert seen, "no micro-batch was validated"
     for summary in seen.values():
         assert summary[FAIL] == 0
+
+
+def test_stateful_conversation_stream(spark, tmp_path):
+    """applyInPandasWithState: per-conv state across micro-batches,
+    event-time timeout emits completion, watermark drops late rows."""
+    import os
+    import time as _time
+
+    from mlcast_sourcedata_validator_spark.streaming.conversation_state import (
+        conversation_state_stream,
+    )
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    t0 = "2024-01-01 00:00:"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(str(tmp_path / name / part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    # file 1: conv A (dup turn_idx 1), conv B turn 0
+    write_file("f1", [("A", 0, f"{t0}00"), ("A", 1, f"{t0}01"),
+                      ("A", 1, f"{t0}02"), ("B", 0, f"{t0}00")], now - 30)
+    # file 2: B advances 5 min -> watermark jumps past A's timeout
+    write_file("f2", [("B", 1, "2024-01-01 00:05:00")], now - 20)
+    # file 3: B again +5 min; plus a LATE A row behind the watermark
+    write_file("f3", [("B", 2, "2024-01-01 00:10:00"),
+                      ("A", 2, f"{t0}03")], now - 10)
+    # file 4: B only — gives A's (clamped) timeout a batch to fire in
+    write_file("f4", [("B", 3, "2024-01-01 00:15:00")], now - 5)
+
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx int, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = conversation_state_stream(stream, inactivity_ms=1000,
+                                    watermark="0 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("conv_state").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM conv_state").collect()
+
+    done = {r.conv_id: r for r in rows if r.complete}
+    # A timed out once the watermark passed t0+2s + 1s inactivity; the
+    # late A row in file 3 was dropped by the watermark, so n_turns == 3
+    assert "A" in done
+    assert done["A"].n_turns == 3
+    assert done["A"].n_dup_or_gap == 1  # duplicate turn_idx 1
+    # B incremental updates accumulated across batches
+    b_updates = [r for r in rows if r.conv_id == "B" and not r.complete]
+    assert b_updates and max(r.n_turns for r in b_updates) == 4
+    assert all(r.n_dup_or_gap == 0 for r in b_updates)
