@@ -508,6 +508,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["langid_documents"] = langid_documents
 
+    def pipeline_clean_documents(spark, sf):
+        """The composed training-data pipeline: text profiling -> quality +
+        language filter -> exact dedup -> per-language summary. All stages
+        are the library operators chained as one lazy plan (Catalyst fuses
+        the profile expressions into the scan; the only shuffles are the
+        dedup hash-agg and the final groupBy)."""
+        d = _t(spark, sf, "documents")
+        prof = tx.text_profile(d, "doc_id", "text")
+        keep = prof.where(
+            (F.col("quality") >= 0.66) & (F.col("lang_guess") == "en")
+        ).select("doc_id")
+        kept = d.join(keep, "doc_id", "left_semi")
+        deduped = dd.exact_dedup(kept, "doc_id", "text")
+        return deduped.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    q["pipeline_clean_documents"] = pipeline_clean_documents
+
     # --- structured streaming (watermark + tumbling window, availableNow) ---
     _stream_seq = [0]
 
@@ -943,6 +962,17 @@ def oracle_sql() -> dict[str, str]:
     o["langid_documents"] = f"""
         SELECT lang, {lang_case} AS lang_guess, count(*)::BIGINT AS n
         FROM documents GROUP BY 1, 2"""
+
+    o["pipeline_clean_documents"] = f"""
+        WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
+        keep AS (SELECT doc_id FROM prof
+                 WHERE quality >= 0.66 AND lang_guess = 'en'),
+        kd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        rep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                FROM kd GROUP BY 1)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM kd JOIN rep ON kd.doc_id = rep.doc_id GROUP BY lang"""
 
     o["streaming_hourly_counts_events"] = """
         SELECT date_trunc('hour', ts) AS hour_start,
