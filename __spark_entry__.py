@@ -477,6 +477,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
+    def cosine_topk_batch_embeddings(spark, sf):
+        """Exact top-5 per query for 3 query vectors in ONE corpus scan
+        (broadcast query set + window rank)."""
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return sim.cosine_topk_batch(
+            emb.where(F.col("vec_id") >= 3), "vec_id", "embedding",
+            qs, k=5,
+        )
+    q["cosine_topk_batch_embeddings"] = cosine_topk_batch_embeddings
+
     def ann_lsh_topk_embeddings(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -912,6 +926,22 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
         FROM embeddings, q WHERE vec_id != 0
         ORDER BY cosine DESC, vec_id LIMIT 20"""
+
+    o["cosine_topk_batch_embeddings"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS cosine
+          FROM embeddings e, q WHERE e.vec_id >= 3),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank::INT AS rank
+        FROM ranked WHERE rank <= 5"""
 
     # text profile: formulas mirror functions/text.py exactly; the
     # apostrophe inside the punct class must be doubled for SQL literals

@@ -61,6 +61,39 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k for a whole query SET in one corpus scan.
+
+    The query table broadcasts (it is small by construction); every
+    (row, query) cosine is scored map-side, and per-query top-k is a
+    window rank — the per-query-partition shuffle carries only
+    (query_id, id, cosine). At 10^12 rows this is THE way to run exact
+    search: one scan amortized over |Q| queries, vs |Q| scans for
+    one-at-a-time :func:`cosine_topk`.
+    """
+    scored = df.crossJoin(F.broadcast(queries_df)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane in [-1, 1]^dim (driver-side;
     same values every run — reproducible signatures without persisting a

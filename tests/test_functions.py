@@ -105,6 +105,25 @@ def test_cosine_topk_and_ann_recall(spark):
     assert all(v % 3 == 0 for v in brute)
 
 
+def test_cosine_topk_batch_matches_per_query(spark):
+    import math
+    rows = []
+    for i in range(60):
+        v = [math.sin(i * 0.3 + d) for d in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.where("vec_id >= 2")
+    qs = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    batch = sim.cosine_topk_batch(corpus, "vec_id", "embedding", qs, k=5)
+    got = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in batch.collect()}
+    for qid in (0, 1):
+        single = sim.cosine_topk(corpus, "vec_id", "embedding",
+                                 rows[qid][1], k=5).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r.vec_id, r.cosine)
+
+
 def test_embedding_lsh_near_dup_recall_and_precision(spark):
     import math
     rows = []
