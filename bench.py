@@ -194,6 +194,12 @@ def main() -> int:
             "scaling_efficiency_raw": round(raw_eff, 3),
             "hardware_ceiling_efficiency": round(ceiling_eff, 3),
             "scaling_efficiency_normalized": round(norm_eff, 3),
+            # raw calibration walls (fixed CPU job, 300M xxhash64): lets a
+            # reader judge how contended the shared sandbox was during THIS
+            # run — compare across runs; higher means ambient load inflated
+            # the absolute suite walls proportionally
+            "calibration_wall_sec_hi": round(cal_hi, 3),
+            "calibration_wall_sec_lo": round(cal_lo, 3),
         }
     )
     print(json.dumps(result))
