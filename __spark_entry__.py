@@ -406,6 +406,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q3_shipping_priority"] = q3_shipping_priority
 
+    def rollup_region_nation(spark, sf):
+        """Multi-level aggregate (ROLLUP): acctbal totals by (region,
+        nation), per-region subtotals, and a grand total."""
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"))
+        )
+    q["rollup_region_nation"] = rollup_region_nation
+
+    def pivot_user_event_counts(spark, sf):
+        """Pivot: per-user counts with one column per event type."""
+        ev = _t(spark, sf, "events")
+        piv = (
+            ev.groupBy("user_id")
+            .pivot("event_type", EVENT_DOMAIN + ["error"])
+            .agg(F.count(F.lit(1)))
+        )
+        return piv.select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+              for c in EVENT_DOMAIN + ["error"]],
+        )
+    q["pivot_user_event_counts"] = pivot_user_event_counts
+
     # --- dedup family -------------------------------------------------------
     def dedup_exact_documents(spark, sf):
         return dd.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text") \
@@ -811,6 +842,23 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    o["rollup_region_nation"] = """
+        SELECT r_name AS region, n_name AS nation,
+               count(*)::BIGINT AS n_customers,
+               round(sum(c_acctbal), 4) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)"""
+
+    pivot_cols = ",\n               ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in EVENT_DOMAIN + ["error"]
+    )
+    o["pivot_user_event_counts"] = f"""
+        SELECT user_id,
+               {pivot_cols}
+        FROM events GROUP BY user_id"""
 
     o["dedup_exact_documents"] = """
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
