@@ -572,6 +572,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pipeline_clean_documents"] = pipeline_clean_documents
 
+    # --- temporal joins (as-of, binned interval) ----------------------------
+    def asof_last_purchase_events(spark, sf):
+        """As-of join within events: every event gets the user's most
+        recent purchase at-or-before its ts. Union + single-window plan
+        (one shuffle, no range explosion) — joins.asof_join."""
+        from mlcast_sourcedata_validator_spark.functions.joins import asof_join
+
+        ev = _t(spark, sf, "events")
+        purch = (
+            ev.where(F.col("event_type") == "purchase")
+            # one right row per (user_id, ts): deterministic tie-break
+            .groupBy("user_id", F.col("ts").alias("pts"))
+            .agg(F.max_by("event_id", "event_id").alias("last_purchase_id"),
+                 F.max_by("value", "event_id").alias("pv"))
+        )
+        out = asof_join(
+            ev.select("event_id", "user_id", "ts"), purch,
+            on=["user_id"], left_ts="ts", right_ts="pts",
+            payload_cols=["last_purchase_id", "pv"],
+        )
+        return out.select(
+            "event_id", "user_id", "ts", "last_purchase_id",
+            F.round("pv", 6).alias("last_purchase_value"),
+        )
+    q["asof_last_purchase_events"] = asof_last_purchase_events
+
+    def range_count_purchase_window_events(spark, sf):
+        """Binned point-in-interval join: for each purchase, how many
+        events (any user) land in [ts, ts+10min)."""
+        from mlcast_sourcedata_validator_spark.functions.joins import (
+            point_in_interval_join,
+        )
+
+        ev = _t(spark, sf, "events")
+        points = ev.select(F.col("event_id").alias("pid"),
+                           F.col("ts").alias("pts"))
+        ivs = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("interval 10 minutes")).alias("w_end"),
+        )
+        m = point_in_interval_join(points, ivs, "pts", "w_start", "w_end",
+                                   bin_width_sec=600)
+        return m.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_events"))
+    q["range_count_purchase_window_events"] = range_count_purchase_window_events
+
+    def q5_local_supplier_volume(spark, sf):
+        """TPC-H Q5 shape: 6-way join (two broadcast dims), local-supplier
+        predicate c_nationkey == s_nationkey, revenue by nation."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")))
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .where(c.c_nationkey == s.s_nationkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        )
+    q["q5_local_supplier_volume"] = q5_local_supplier_volume
+
+    def running_revenue_customers(spark, sf):
+        """Cumulative window: per-customer running order revenue in
+        (o_orderdate, o_orderkey) order — deterministic summation order,
+        so the rounded running totals match the oracle exactly."""
+        o = _t(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+             .rowsBetween(W.unboundedPreceding, W.currentRow)
+        seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return o.select(
+            "o_custkey", "o_orderkey",
+            F.row_number().over(seq).alias("order_seq"),
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_rev"),
+        )
+    q["running_revenue_customers"] = running_revenue_customers
+
+    def dim_stats_embeddings(spark, sf):
+        """Per-dimension stats via posexplode — array column unpivoted to
+        (dim, value) rows, then a plain hash aggregate."""
+        emb = _t(spark, sf, "embeddings")
+        ex = emb.select(F.posexplode("embedding").alias("dim", "v"))
+        return ex.groupBy("dim").agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("avg_v"),
+            F.round(F.min(F.col("v").cast("double")), 6).alias("min_v"),
+            F.round(F.max(F.col("v").cast("double")), 6).alias("max_v"),
+        )
+    q["dim_stats_embeddings"] = dim_stats_embeddings
+
+    def cardinality_sketch_events(spark, sf):
+        """HLL sketch (north_star cardinality path): exact distinct count
+        plus a boolean that the 2%-rsd approx_count_distinct landed within
+        5% of it — the sketch value itself is engine-specific, the bound
+        is portable."""
+        ev = _t(spark, sf, "events")
+        return ev.agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            (
+                F.abs(F.approx_count_distinct("user_id", 0.02)
+                      - F.count_distinct("user_id"))
+                <= 0.05 * F.count_distinct("user_id")
+            ).alias("approx_within_5pct"),
+        )
+    q["cardinality_sketch_events"] = cardinality_sketch_events
+
     # --- structured streaming (watermark + tumbling window, availableNow) ---
     _stream_seq = [0]
 
@@ -604,6 +717,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT w.start AS hour_start, n_events, sum_value FROM {qname}"
         )
     q["streaming_hourly_counts_events"] = streaming_hourly_counts_events
+
+    def streaming_dedup_events(spark, sf):
+        """Stateful streaming dedup: the event stream unioned with itself
+        (every row arrives twice), dropDuplicates('event_id') keyed state
+        removes the copies, then a per-type aggregate. Result must equal
+        the batch DISTINCT the oracle runs."""
+        _stream_seq[0] += 1
+        qname = f"stream_dedup_{_stream_seq[0]}"
+        sch = _t(spark, sf, "events").schema
+        src = os.path.join(sf, "events*.parquet")
+
+        def _read():
+            return spark.readStream.schema(sch).parquet(src)
+
+        dedup = _read().unionByName(_read()).dropDuplicates(["event_id"])
+        agg = dedup.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        q_ = (agg.writeStream.outputMode("complete").format("memory")
+              .queryName(qname).trigger(availableNow=True).start())
+        q_.awaitTermination()
+        return spark.sql(
+            f"SELECT event_type, n_events, sum_value FROM {qname}"
+        )
+    q["streaming_dedup_events"] = streaming_dedup_events
 
     # --- multimodal plumbing (pandas UDF over binary payloads) --------------
     def frame_sample_documents(spark, sf):
@@ -1051,6 +1190,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*)::BIGINT AS n_docs,
                sum(n_chars)::BIGINT AS sum_chars
         FROM kd JOIN rep ON kd.doc_id = rep.doc_id GROUP BY lang"""
+
+    o["asof_last_purchase_events"] = """
+        WITH purch AS (
+          SELECT user_id, ts AS pts,
+                 max(event_id) AS last_purchase_id,
+                 arg_max(value, event_id) AS pv
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT e.event_id, e.user_id, e.ts, p.last_purchase_id,
+               round(p.pv, 6) AS last_purchase_value
+        FROM events e ASOF LEFT JOIN purch p
+          ON e.user_id = p.user_id AND e.ts >= p.pts"""
+
+    o["range_count_purchase_window_events"] = """
+        SELECT p.event_id AS purchase_id, count(*)::BIGINT AS n_events
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN events e
+          ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 10 MINUTE
+        GROUP BY p.event_id"""
+
+    o["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n_name"""
+
+    o["running_revenue_customers"] = """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS order_seq,
+               round(sum(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING), 4) AS running_rev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+    o["dim_stats_embeddings"] = """
+        WITH ex AS (
+          SELECT unnest(range(len(embedding)))::INT AS dim,
+                 unnest(embedding)::DOUBLE AS v
+          FROM embeddings)
+        SELECT dim, round(avg(v), 6) AS avg_v,
+               round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+        FROM ex GROUP BY dim"""
+
+    o["cardinality_sketch_events"] = """
+        SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
+               true AS approx_within_5pct
+        FROM events"""
+
+    o["streaming_dedup_events"] = """
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type"""
 
     o["streaming_hourly_counts_events"] = """
         SELECT date_trunc('hour', ts) AS hour_start,
