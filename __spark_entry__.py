@@ -437,6 +437,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pivot_user_event_counts"] = pivot_user_event_counts
 
+    def sql_api_revenue_by_priority(spark, sf):
+        """Same engine through the spark.sql surface: testdata registered
+        as temp views, the query text is ANSI SQL (identical to the
+        oracle) — demonstrates the SQL entry point over the same Catalyst
+        plans the DataFrame API builds."""
+        from mlcast_sourcedata_validator_spark.sources.tables import (
+            register_testdata_views,
+        )
+
+        register_testdata_views(spark, sf)
+        return spark.sql("""
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal > 0
+            GROUP BY o_orderpriority""")
+    q["sql_api_revenue_by_priority"] = sql_api_revenue_by_priority
+
+    def cube_status_priority_orders(spark, sf):
+        """CUBE: all four grouping combinations of (status, priority)."""
+        o = _t(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        )
+    q["cube_status_priority_orders"] = cube_status_priority_orders
+
+    def orders_above_customer_avg(spark, sf):
+        """Correlated-predicate shape (order > its customer's average),
+        decorrelated as a single window pass instead of a per-row
+        subquery — the scale-correct plan (one shuffle on o_custkey)."""
+        o = _t(spark, sf, "orders")
+        w = W.partitionBy("o_custkey")
+        return (
+            o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+            .where(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 4).alias("o_totalprice"),
+                    F.round("cust_avg", 2).alias("cust_avg"))
+        )
+    q["orders_above_customer_avg"] = orders_above_customer_avg
+
     # --- dedup family -------------------------------------------------------
     def dedup_exact_documents(spark, sf):
         return dd.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text") \
@@ -998,6 +1042,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                {pivot_cols}
         FROM events GROUP BY user_id"""
+
+    o["sql_api_revenue_by_priority"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+        GROUP BY o_orderpriority"""
+
+    o["cube_status_priority_orders"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+    o["orders_above_customer_avg"] = """
+        WITH wa AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+          FROM orders)
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
+               round(cust_avg, 2) AS cust_avg
+        FROM wa WHERE o_totalprice > 2 * cust_avg"""
 
     o["dedup_exact_documents"] = """
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
