@@ -481,6 +481,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["orders_above_customer_avg"] = orders_above_customer_avg
 
+    def window_funcs_events(spark, sf):
+        """Window-function breadth on one pass: lead (gap to next event),
+        ntile quartile, cume_dist, first/last value over a unique
+        (ts, event_id) ordering."""
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        next_ts = F.lead("ts").over(w)
+        return ev.select(
+            "user_id", "event_id",
+            (F.unix_micros(next_ts.cast("timestamp"))
+             - F.unix_micros(F.col("ts").cast("timestamp"))).alias("gap_to_next_us"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("event_id").over(wf).alias("first_event_id"),
+            F.last("event_id").over(wf).alias("last_event_id"),
+        )
+    q["window_funcs_events"] = window_funcs_events
+
+    def unpivot_customer_balances(spark, sf):
+        """Unpivot/melt: per-nation aggregate row widened to two metric
+        columns, melted back to (nation, metric, val) long form."""
+        c = _t(spark, sf, "customer")
+        wide = c.groupBy("c_nationkey").agg(
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        return wide.unpivot("c_nationkey", ["sum_bal", "avg_bal"],
+                            "metric", "val")
+    q["unpivot_customer_balances"] = unpivot_customer_balances
+
     # --- dedup family -------------------------------------------------------
     def dedup_exact_documents(spark, sf):
         return dd.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text") \
@@ -1064,6 +1095,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
                round(cust_avg, 2) AS cust_avg
         FROM wa WHERE o_totalprice > 2 * cust_avg"""
+
+    o["window_funcs_events"] = """
+        SELECT user_id, event_id,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_to_next_us,
+               ntile(4) OVER w AS quartile,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(event_id) OVER wf AS first_event_id,
+               last_value(event_id) OVER wf AS last_event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)"""
+
+    o["unpivot_customer_balances"] = """
+        WITH wide AS (
+          SELECT c_nationkey, round(sum(c_acctbal), 4) AS sum_bal,
+                 round(avg(c_acctbal), 4) AS avg_bal
+          FROM customer GROUP BY c_nationkey)
+        SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS val FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS val FROM wide"""
 
     o["dedup_exact_documents"] = """
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs

@@ -48,6 +48,9 @@ HEADLINE = [
     "text_profile_documents",
     "embedding_cosine_topk",
     "multimodal_meta_documents",
+    "asof_last_purchase_events",
+    "range_count_purchase_window_events",
+    "q5_local_supplier_volume",
 ]
 
 
