@@ -39,6 +39,21 @@ from .hashing import (
 )
 
 
+def _sorted_pairs(arr):
+    """All forward pairs struct(a, b) from a sorted array Column — the
+    intra-bucket pair expansion for banded LSH searches. Element order in
+    ``arr`` must already give the desired a < b orientation."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
     return (
@@ -124,14 +139,22 @@ def minhash_lsh_candidates(
             ])
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, on=["band", "sig"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    # groupBy-bucket pair emission, NOT a bands-self-join: a self-join
+    # materializes the whole explode->agg signature pipeline TWICE (two
+    # corpus scans); grouping computes it once and shuffles one row per
+    # (band, sig) bucket. Buckets are near-dup groups, so arrays stay
+    # small; a globally-degenerate signature (e.g. all-empty docs) is the
+    # standard LSH hot-bucket hazard either way.
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode(_sorted_pairs(F.col("_ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -300,24 +323,30 @@ def simhash_banded_pairs(
             )
         )
         start += w
+    # Carry the signature into the bucket rows: pairs AND their Hamming
+    # distance come straight out of the bucket arrays — ONE signature
+    # computation, one bucket shuffle, no candidate-to-signature re-joins
+    # (the previous self-join + two verify joins evaluated the token
+    # explode/vote aggregation four times).
     keyed = sig.select(
-        F.col(id_col), F.explode(F.array(*blocks)).alias("b")
-    ).select(id_col, "b.blk", "b.val")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(b, on=["blk", "val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("e"),
+        F.explode(F.array(*blocks)).alias("b"),
+    ).select("e", "b.blk", "b.val")
+    buckets = (
+        keyed.groupBy("blk", "val")
+        .agg(F.sort_array(F.collect_list("e")).alias("_es"))
+        .where(F.size("_es") >= 2)
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("p.a.sh").bitwiseXOR(F.col("p.b.sh")))
     return (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .where(ham <= max_hamming)
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        buckets.select(F.explode(_sorted_pairs(F.col("_es"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
