@@ -86,3 +86,30 @@ def test_partition_pruned_batch_reads_single_partition(spark, tmp_path):
     assert files and all("date=2024-03-02" in f for f in files)
     n_all = spark.read.parquet(path).count()
     assert 0 < batch.count() < n_all
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join strategy: two tables bucketed by the join key join
+    with ZERO Exchange nodes — the layout a 100 TB deployment uses for
+    repeated conv_id joins (registry, prior-run results)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v"))
+    b = spark.range(0, 2_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("w"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, df in (("bkt_a", a), ("bkt_b", b)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            df.write.bucketBy(8, "user_id").sortBy("user_id") \
+                .mode("overwrite").saveAsTable(name)
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 2_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
