@@ -512,6 +512,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             "metric", "val")
     q["unpivot_customer_balances"] = unpivot_customer_balances
 
+    def pandas_udaf_median_value_events(spark, sf):
+        """Grouped-aggregate pandas UDF (Arrow-batched UDAF surface):
+        per-type median of value. np.median's midpoint interpolation
+        equals quantile_cont(0.5)."""
+        import numpy as np
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        # explicit functionType: this module's `from __future__ import
+        # annotations` stringifies type hints, breaking inference
+        @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+        def median_udaf(v):
+            return float(np.median(v))
+
+        # Spark disallows mixing pandas and native aggregates in one agg
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the count is pandas too
+        @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+        def count_udaf(v):
+            return len(v)
+
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(median_udaf("value"), 6).alias("median_value"),
+            count_udaf("value").alias("n"),
+        )
+    q["pandas_udaf_median_value_events"] = pandas_udaf_median_value_events
+
+    def udtf_sentences_documents(spark, sf):
+        """Python UDTF (lateral table function surface): one output row
+        per '. '-separated sentence with its position. API demonstration —
+        a production text pipeline would use the JVM-side split/explode
+        (text_profile); the UDTF exists to cover the UDTF registration +
+        LATERAL join path."""
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="pos int, sentence string")
+        class Sentences:
+            def eval(self, text: str):
+                if text is None:
+                    return
+                for i, s in enumerate(text.split(". ")):
+                    yield i, s
+
+        spark.udtf.register("sentences_udtf", Sentences)
+        _t(spark, sf, "documents").createOrReplaceTempView("docs_for_udtf")
+        return spark.sql("""
+            SELECT d.doc_id, s.pos, length(s.sentence) AS sentence_len
+            FROM docs_for_udtf d, LATERAL sentences_udtf(d.text) s
+            WHERE d.doc_id < 200""")
+    q["udtf_sentences_documents"] = udtf_sentences_documents
+
     # --- dedup family -------------------------------------------------------
     def dedup_exact_documents(spark, sf):
         return dd.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text") \
@@ -1117,6 +1167,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS val FROM wide
         UNION ALL
         SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS val FROM wide"""
+
+    o["pandas_udaf_median_value_events"] = """
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type"""
+
+    o["udtf_sentences_documents"] = """
+        WITH s AS (
+          SELECT doc_id,
+                 unnest(range(len(string_split(text, '. '))))::INT AS pos,
+                 unnest(string_split(text, '. ')) AS sentence
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id, pos, length(sentence)::INT AS sentence_len FROM s"""
 
     o["dedup_exact_documents"] = """
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
