@@ -376,6 +376,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return allu.exceptAll(high)
     q["setop_users_without_high_value"] = setop_users_without_high_value
 
+    def intersect_clickers_and_buyers(spark, sf):
+        """INTERSECT set semantics: users with both a click and a purchase."""
+        ev = _t(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select("user_id")
+        buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+        return clicks.intersect(buys)
+    q["intersect_clickers_and_buyers"] = intersect_clickers_and_buyers
+
+    def quantile_sketch_events(spark, sf):
+        """Mergeable quantile sketch (approx_percentile, the distributed
+        scale path for percentiles): exact p50 plus a portable bound that
+        the sketch landed within 1%% of it."""
+        ev = _t(spark, sf, "events")
+        exact = F.percentile("value", F.lit(0.5))
+        appr = F.approx_percentile("value", F.lit(0.5), F.lit(10000))
+        return ev.agg(
+            F.round(exact, 6).alias("exact_p50"),
+            (F.abs(appr - exact) <= 0.01 * F.abs(exact)).alias("sketch_within_1pct"),
+        )
+    q["quantile_sketch_events"] = quantile_sketch_events
+
     def semi_join_big_spenders(spark, sf):
         """left_semi membership: customers having >=1 order above 300k."""
         c = _t(spark, sf, "customer")
@@ -1088,6 +1109,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT user_id FROM events
         EXCEPT
         SELECT DISTINCT user_id FROM events WHERE value > 450"""
+
+    o["intersect_clickers_and_buyers"] = """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'"""
+
+    o["quantile_sketch_events"] = """
+        SELECT round(quantile_cont(value, 0.5), 6) AS exact_p50,
+               true AS sketch_within_1pct
+        FROM events"""
 
     o["semi_join_big_spenders"] = """
         SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
