@@ -114,13 +114,20 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 full band signature.
 
     Scale path: explode each doc into N_BANDS (band, signature) rows,
     groupBy bucket, emit intra-bucket pairs. Shuffle volume is
     N_BANDS x n rows of small signatures; no O(n^2) join.
+
+    ``max_bucket_size``: drop buckets larger than this instead of
+    expanding them. A degenerate band signature (e.g. millions of
+    boilerplate-identical docs) otherwise produces a quadratic pair
+    blow-up; such bands carry no discriminative signal — standard LSH
+    hot-bucket practice. None (default) expands every bucket exactly.
     """
     sig = minhash_signatures(df, id_col, text_col, n)
     bands = sig.select(
@@ -150,6 +157,8 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
         .where(F.size("_ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
     return (
         buckets.select(F.explode(_sorted_pairs(F.col("_ids"))).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
@@ -295,7 +304,8 @@ def simhash_pairs(
 
 
 def simhash_banded_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for :func:`simhash_pairs` — identical output, no O(n^2)
     join.
@@ -337,6 +347,10 @@ def simhash_banded_pairs(
         .agg(F.sort_array(F.collect_list("e")).alias("_es"))
         .where(F.size("_es") >= 2)
     )
+    # hot-bucket guard (see minhash_lsh_candidates): a block value shared
+    # by a huge boilerplate cluster would expand quadratically
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_es") <= max_bucket_size)
     ham = F.bit_count(F.col("p.a.sh").bitwiseXOR(F.col("p.b.sh")))
     return (
         buckets.select(F.explode(_sorted_pairs(F.col("_es"))).alias("p"))

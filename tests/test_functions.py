@@ -218,3 +218,22 @@ def test_frame_sample_offsets(spark):
     frames = mm.frame_sample(media, "doc_id", every_n_bytes=64).collect()
     assert len(frames) == 4  # offsets 0, 64, 128, 192
     assert frames[0].frame_bytes == "a" * 64
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """max_bucket_size drops degenerate mega-buckets (boilerplate clusters)
+    instead of expanding them quadratically; None stays exact."""
+    same = [(i, "the same boilerplate text repeated here again and again ok")
+            for i in range(12)]
+    distinct = [(100 + i, " ".join(f"u{i}w{j * (i + 3)}" for j in range(12)))
+                for i in range(4)]
+    df = spark.createDataFrame(same + distinct, "doc_id long, text string")
+    exact = dd.minhash_lsh_candidates(df, "doc_id", "text")
+    assert exact.count() >= 12 * 11 // 2  # the boilerplate clique
+    capped = dd.minhash_lsh_candidates(df, "doc_id", "text", max_bucket_size=8)
+    cap_ids = {r.id_a for r in capped.collect()} | {r.id_b for r in capped.collect()}
+    assert not any(i < 12 for i in cap_ids)  # clique buckets dropped
+
+    s_exact = dd.simhash_banded_pairs(df, "doc_id", "text")
+    s_capped = dd.simhash_banded_pairs(df, "doc_id", "text", max_bucket_size=8)
+    assert s_capped.count() <= s_exact.count()
