@@ -125,3 +125,19 @@ def test_point_in_interval_left_outer_keeps_points(spark):
                                  bin_width_sec=60, how="left_outer")
     rows = {r.pid: r.iid for r in got.collect()}
     assert rows == {1: 7, 2: None}
+
+
+def test_point_in_interval_plan_is_equi_join(spark):
+    """The bin equality must be extracted as the join key: a plan that
+    degrades to BroadcastNestedLoopJoin/CartesianProduct would be the
+    O(n*m) theta join this operator exists to avoid."""
+    points = spark.createDataFrame(
+        [(1, _ts(0))], "pid long, pts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts(0), _ts(1))], "iid long, s timestamp, e timestamp"
+    )
+    plan = point_in_interval_join(
+        points, intervals, "pts", "s", "e", bin_width_sec=60
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
