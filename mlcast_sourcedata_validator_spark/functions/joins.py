@@ -22,6 +22,7 @@ the training-data-pipeline extension surface.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
 
 _TS = "__asof_ts"
 _SIDE = "__asof_side"
@@ -50,29 +51,41 @@ def asof_join(
     with ``last(payload_struct, ignorenulls)`` — one exchange, one sort,
     zero Python. The payload rides in a struct so a NULL *inside* a right
     row is carried through instead of falling back to an older row.
+
+    NULL semantics match the theta-join ``right_ts <= left_ts`` (and the
+    equi-join on keys): right rows with a NULL timestamp or a NULL join
+    key never match anything — they are filtered from the right branch
+    (otherwise NULLS-FIRST window ordering would make a NULL-ts right row
+    a match-all earliest row, and NULL keys would pair up via
+    partitionBy). Left rows with NULL key/ts simply get a NULL payload.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     payload_cols = payload_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
+    if not payload_cols:
+        raise ValueError(
+            "asof_join needs at least one payload column from the right "
+            "side (right has no columns beyond the key and timestamp)"
+        )
     clash = set(payload_cols) & set(left.columns)
     if clash:
         raise ValueError(f"payload columns collide with left columns: {clash}")
 
+    payload_type = T.StructType([right.schema[c] for c in payload_cols])
     left_only = [c for c in left.columns if c not in set(on) | {left_ts}]
     l2 = left.select(
         *on,
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         *left_only,
-        F.lit(None).cast(
-            "struct<" + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}"
-                for c in payload_cols
-            ) + ">"
-        ).alias(_PAYLOAD),
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
     )
+    null_match = F.col(right_ts).isNull()
+    for k in on:
+        null_match = null_match | F.col(k).isNull()
+    right = right.where(~null_match)
     r2 = right.select(
         *on,
         F.col(right_ts).alias(_TS),
@@ -109,6 +122,7 @@ def point_in_interval_join(
     end_ts: str,
     bin_width_sec: int,
     how: str = "inner",
+    max_bins_per_interval: int | None = 10_000,
 ) -> DataFrame:
     """Join points to the intervals containing them: start <= ts < end.
 
@@ -117,6 +131,14 @@ def point_in_interval_join(
     JVM-side), then an equi-join on the bucket + the exact range predicate.
     Choose ``bin_width_sec`` near the typical interval length so each
     interval lands in ~2 buckets.
+
+    Guards: empty/inverted intervals (``end <= start`` — end is exclusive)
+    are dropped before exploding, matching the theta-join result, instead
+    of silently producing descending junk sequences. An interval spanning
+    more than ``max_bins_per_interval`` buckets fails the job with a clear
+    error (``assert_true``) rather than silently exploding into span/bin
+    rows — e.g. a 1-year interval at 60s bins is ~525k rows *per interval*;
+    pick a wider ``bin_width_sec`` or raise/None the limit deliberately.
 
     Returns points.* + intervals.* matched pairs (column names must not
     collide). ``how='left_outer'`` keeps unmatched points with NULL
@@ -131,8 +153,27 @@ def point_in_interval_join(
         return F.floor(F.unix_micros(c.cast("timestamp")) / binw)
 
     p = points.withColumn(_BIN, _bin(F.col(point_ts)))
-    # end is exclusive: an interval ending exactly on a bucket edge does
-    # not reach into that bucket
+    # end <= start is an empty interval under the exclusive end — the
+    # theta join matches nothing, so dropping the row is exact (and stops
+    # F.sequence from emitting a descending run of junk bins)
+    intervals = intervals.where(F.col(end_ts) > F.col(start_ts))
+    if max_bins_per_interval is not None:
+        n_bins = (
+            _bin(F.expr(f"{end_ts} - interval 1 microsecond"))
+            - _bin(F.col(start_ts)) + 1
+        )
+        # assert_true inside the filter cannot be pruned; it throws with
+        # the offending span instead of letting the explode run away
+        guard = F.assert_true(
+            n_bins <= F.lit(int(max_bins_per_interval)),
+            F.concat(
+                F.lit("point_in_interval_join: interval spans "),
+                n_bins.cast("string"),
+                F.lit(f" bins (> max_bins_per_interval="
+                      f"{int(max_bins_per_interval)}); widen bin_width_sec"),
+            ),
+        )
+        intervals = intervals.where(guard.isNull())
     iv = intervals.withColumn(
         _BIN,
         F.explode(

@@ -286,19 +286,32 @@ def ann_lsh_topk(
     n_planes: int = 8,
     seed: int = 7,
     multiprobe: int = 1,
+    probe_all: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket
-    (plus ``multiprobe`` 1-bit-flip neighbor buckets)."""
+    (plus ``multiprobe`` 1-bit-flip neighbor buckets).
+
+    ``probe_all=True`` probes every bucket — the search runs through the
+    full signature/bucket machinery but scores the whole corpus, so the
+    result equals brute-force :func:`cosine_topk` exactly (the
+    correctness invariant the driver oracle pins; same trick as
+    ``ivf_topk(nprobe=n_lists)``).
+    """
     dim = len(query_vec)
     qbits = 0
     for p in range(n_planes):
         plane = _hyperplane(dim, p, seed)
         if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
             qbits |= 1 << p
-    # probe the home bucket, plus every 1-bit-flip neighbor when multiprobe
-    probe_buckets = [qbits] + (
-        [qbits ^ (1 << i) for i in range(n_planes)] if multiprobe >= 1 else []
-    )
+    if probe_all:
+        probe_buckets = list(range(2 ** n_planes))
+    else:
+        # probe the home bucket, plus every 1-bit-flip neighbor when
+        # multiprobe
+        probe_buckets = [qbits] + (
+            [qbits ^ (1 << i) for i in range(n_planes)]
+            if multiprobe >= 1 else []
+        )
 
     sigs = rhp_signatures(df, id_col, vec_col, n_planes, dim, seed)
     cand = df.join(sigs, id_col).where(F.col("bucket").isin(probe_buckets))

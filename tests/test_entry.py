@@ -23,9 +23,9 @@ def test_every_oracle_key_has_a_query():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # all but the documented rows-only ops have oracles
-    rows_only = set(q) - set(o)
-    assert rows_only == {"ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings"}
+    # every driver-window query now has an exact oracle (the two ANN
+    # queries run probe-all / nprobe=n_lists so brute-force SQL is exact)
+    assert set(q) == set(o)
 
 
 def test_two_fast_query_oracle_pairs_match(spark, sf_dir):

@@ -55,6 +55,46 @@ def test_ngram_jaccard_scores_planted_pairs(spark, docs):
     assert 0.5 < got[(10, 103)] < 1.0
 
 
+def test_ngram_jaccard_auto_vs_global_contract(spark, docs):
+    """The bounded default (method='auto': LSH candidates + per-pair
+    array_intersect verify) is precision-1 (subset of the global
+    self-join, identical scores) and recall-complete in the
+    high-similarity regime the 4x4 banding targets. This fixture is
+    adversarial — its modular construction plants many mid-similarity
+    (0.5-0.87) pairs where banded-MinHash collision probability is well
+    below 1, so equality is asserted only on the planted dup pairs (the
+    driver's documents tables have no mid-band pairs;
+    tools/check_oracles.py pins auto==global there at both SFs)."""
+    auto = {(r.id_a, r.id_b, r.jaccard)
+            for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                            n=3, threshold=0.5).collect()}
+    glob = {(r.id_a, r.id_b, r.jaccard)
+            for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                            threshold=0.5,
+                                            method="global").collect()}
+    assert auto <= glob and len(auto) >= 5
+    # every emitted score is the exact global score (precision 1)
+    glob_scores = {(a, b): j for a, b, j in glob}
+    assert all(glob_scores[(a, b)] == j for a, b, j in auto)
+    # the planted exact + one-token-changed near-dups are always recalled
+    assert {(a, b) for a, b, _ in auto} >= {
+        (5, 100), (6, 101), (7, 102), (10, 103), (11, 104)}
+
+
+def test_ngram_jaccard_global_shingle_df_cap(spark, docs):
+    """A df-cap far above every shingle's document frequency leaves the
+    global result untouched (the safety valve is exact until it fires)."""
+    uncapped = {(r.id_a, r.id_b, r.jaccard)
+                for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                                threshold=0.5,
+                                                method="global").collect()}
+    capped = {(r.id_a, r.id_b, r.jaccard)
+              for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                              threshold=0.5, method="global",
+                                              max_shingle_df=1000).collect()}
+    assert capped == uncapped
+
+
 def test_lsh_candidates_feed_jaccard_verify(spark, docs):
     cand = dd.minhash_lsh_candidates(docs, "doc_id", "text")
     verified = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,

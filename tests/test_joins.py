@@ -127,6 +127,83 @@ def test_point_in_interval_left_outer_keeps_points(spark):
     assert rows == {1: 7, 2: None}
 
 
+def test_asof_null_ts_and_null_key_right_rows_never_match(spark):
+    """Theta semantics: ``right_ts <= left_ts`` is NULL for a NULL right
+    timestamp, and NULL keys never equi-match — such right rows must not
+    attach to anything (they used to sort NULLS FIRST and act as a
+    match-all earliest row)."""
+    left = spark.createDataFrame(
+        [("A", _ts(5)), (None, _ts(5))], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", None, 1.0), (None, _ts(0), 2.0), ("A", _ts(1), 3.0)],
+        "k string, rts timestamp, v double",
+    )
+    got = {r.k: r.v for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                     payload_cols=["v"]).collect()}
+    assert got == {"A": 3.0, None: None}
+
+
+def test_asof_null_left_ts_gets_null_payload(spark):
+    left = spark.createDataFrame([("A", None)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("A", _ts(0), 1.0)], "k string, rts timestamp, v double"
+    )
+    got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    payload_cols=["v"]).collect()
+    assert len(got) == 1 and got[0].v is None
+
+
+def test_asof_empty_payload_raises(spark):
+    left = spark.createDataFrame([("A", _ts(1))], "k string, ts timestamp")
+    right = spark.createDataFrame([("A", _ts(0))], "k string, rts timestamp")
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+
+
+def test_asof_payload_with_nonidentifier_name(spark):
+    """Programmatic StructType: payload column names that are not bare SQL
+    identifiers (spaces) must survive (the old DDL-string cast broke)."""
+    left = spark.createDataFrame([("A", _ts(1))], "k string, ts timestamp")
+    right = spark.createDataFrame([("A", _ts(0), 5.0)],
+                                  "k string, rts timestamp, `my val` double")
+    got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    payload_cols=["my val"]).collect()
+    assert got[0]["my val"] == 5.0
+
+
+def test_point_in_interval_inverted_interval_dropped(spark):
+    """end < start is an empty interval: no matches, no junk candidate
+    rows from a descending sequence."""
+    points = spark.createDataFrame(
+        [(1, _ts(5))], "pid long, pts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts(10), _ts(0))], "iid long, s timestamp, e timestamp"
+    )
+    got = point_in_interval_join(points, intervals, "pts", "s", "e",
+                                 bin_width_sec=60)
+    assert got.count() == 0
+
+
+def test_point_in_interval_oversized_interval_raises(spark):
+    """An interval spanning more bins than max_bins_per_interval must fail
+    loudly instead of silently exploding into span/bin rows."""
+    points = spark.createDataFrame([(1, _ts(5))], "pid long, pts timestamp")
+    intervals = spark.createDataFrame(
+        [(7, _ts(0), _ts(60 * 24 * 365))], "iid long, s timestamp, e timestamp"
+    )
+    big = point_in_interval_join(points, intervals, "pts", "s", "e",
+                                 bin_width_sec=60, max_bins_per_interval=1000)
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        big.collect()
+    # and the limit is advisory: None disables it
+    ok = point_in_interval_join(points, intervals, "pts", "s", "e",
+                                bin_width_sec=60, max_bins_per_interval=None)
+    assert ok.count() == 1
+
+
 def test_point_in_interval_plan_is_equi_join(spark):
     """The bin equality must be extracted as the join key: a plan that
     degrades to BroadcastNestedLoopJoin/CartesianProduct would be the

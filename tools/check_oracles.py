@@ -43,8 +43,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    qs = dict(entry.queries())
+    oracles = dict(entry.oracle_sql())
+    # also cover the oracle-twin variants outside the driver's 50-window
+    qs.update(entry.extra_queries())
+    oracles.update(entry.extra_oracle_sql())
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
