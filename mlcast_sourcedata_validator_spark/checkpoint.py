@@ -24,8 +24,6 @@ overwrite + append-only marker files.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -36,6 +34,7 @@ from pyspark.sql import functions as F
 
 from .compiler import SuiteRunResult, run_suite
 from .report import RESULTS_SCHEMA
+from .sources import fs
 from .sources.tables import list_date_partitions
 from .suite import CheckSuite, RunContext
 
@@ -70,9 +69,11 @@ def write_partitioned_transcripts(
 def committed_partitions(
     spark: SparkSession, results_path: str, suite_id: str
 ) -> set[str]:
-    lineage_dir = os.path.join(results_path, "lineage")
-    if not os.path.isdir(lineage_dir) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(lineage_dir) for f in fs
+    lineage_dir = fs.join(results_path, "lineage")
+    # bounded probe: one parquet file is enough to know lineage exists —
+    # never walk the full lineage dir on the driver
+    if not fs.isdir(lineage_dir) or not fs.list_parquet_files(
+        lineage_dir, limit=1
     ):
         return set()
     df = spark.read.parquet(lineage_dir)
@@ -126,7 +127,7 @@ def run_partitioned(
         if max_partitions is not None and len(summary.processed) >= max_partitions:
             break
         batch = spark.read.option("basePath", table_path).parquet(
-            os.path.join(table_path, f"{partition_key}={p}")
+            fs.join(table_path, f"{partition_key}={p}")
         ).drop(partition_key)
         ctx = RunContext(
             spark=spark, df=batch, suite=suite, run_id=run_id,
@@ -137,23 +138,24 @@ def run_partitioned(
 
         # idempotent per-partition data writes, THEN the commit marker
         res.violations.drop("partition_id").write.mode("overwrite").parquet(
-            os.path.join(results_path, "violations", f"partition_id={p}")
+            fs.join(results_path, "violations", f"partition_id={p}")
         )
         res.report.to_df(spark, suite.suite_id, run_id, p).drop(
             "partition_id"
         ).write.mode("overwrite").parquet(
-            os.path.join(results_path, "results", f"partition_id={p}")
+            fs.join(results_path, "results", f"partition_id={p}")
         )
         if fail_injector is not None:
             fail_injector(p)
         s = res.report.summarize()
-        n_viol = res.violations.count()
+        # counts were collected during the run — no second pass
+        n_viol = res.n_violations
         marker = spark.createDataFrame(
             [(suite.suite_id, run_id, p, "COMMITTED", res.n_input_rows, n_viol,
               s["FAIL"], s["WARNING"], s["PASS"], res.wall_sec, time.time())],
             schema=LINEAGE_SCHEMA,
         )
-        marker.write.mode("append").parquet(os.path.join(results_path, "lineage"))
+        marker.write.mode("append").parquet(fs.join(results_path, "lineage"))
 
         summary.processed.append(p)
         summary.results[p] = res
@@ -165,13 +167,13 @@ def run_partitioned(
 
 def read_results(spark: SparkSession, results_path: str) -> DataFrame:
     return spark.read.schema(RESULTS_SCHEMA).parquet(
-        os.path.join(results_path, "results")
+        fs.join(results_path, "results")
     )
 
 
 def read_violations(spark: SparkSession, results_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(results_path, "violations"))
+    return spark.read.parquet(fs.join(results_path, "violations"))
 
 
 def read_lineage(spark: SparkSession, results_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(results_path, "lineage"))
+    return spark.read.parquet(fs.join(results_path, "lineage"))

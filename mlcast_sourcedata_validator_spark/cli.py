@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reprocess already-committed partitions")
     p.add_argument("--whole-table", action="store_true",
                    help="single unpartitioned run (no checkpointing)")
+    p.add_argument("--s3-endpoint-url", default=None,
+                   help="custom S3 endpoint for remote table paths "
+                        "(reference parity: specs/cli.py:140-160)")
+    p.add_argument("--s3-anon", action="store_true",
+                   help="anonymous S3 access for remote table paths")
     p.add_argument("--list", action="store_true", help="list available suites")
     p.add_argument("--demo", action="store_true",
                    help="run the suite on synthetic dirty data")
@@ -62,6 +67,19 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from .session import get_spark
+
+    # fsspec-style storage options for DRIVER-side metadata I/O (sidecar
+    # properties, footer sampling, partition listing); Spark's own scans
+    # resolve remote schemes through Hadoop FileSystems independently
+    storage_options = None
+    if args.s3_endpoint_url or args.s3_anon:
+        storage_options = {}
+        if args.s3_endpoint_url:
+            storage_options["client_kwargs"] = {
+                "endpoint_url": args.s3_endpoint_url
+            }
+        if args.s3_anon:
+            storage_options["anon"] = True
 
     spark = get_spark(cores=args.cores)
     registry = spark.read.parquet(args.registry) if args.registry else None
@@ -110,11 +128,13 @@ def main(argv: list[str] | None = None) -> int:
     ctx = RunContext(
         spark=spark, df=df, suite=suite, run_id=uuid.uuid4().hex[:12],
         registry_df=registry, baseline_df=baseline, table_path=args.table,
+        storage_options=storage_options,
     )
     res = run_suite(ctx)
     res.report.console_print()
-    n_viol = res.violations.count()
-    print(f"{n_viol} violation rows; input rows: {res.n_input_rows}")
+    # per-check counts were collected during the run — re-counting the
+    # violations DataFrame would be a second pass over the data
+    print(f"{res.n_violations} violation rows; input rows: {res.n_input_rows}")
     return res.exit_code()
 
 

@@ -120,6 +120,10 @@ class SuiteRunResult:
     partition_id: Optional[str]
     n_input_rows: int
     wall_sec: float
+    #: total violation rows, from the per-check counts already collected
+    #: during the run — callers must NOT re-count the violations DataFrame
+    #: (a second pass over checkpointed violations at cluster scale)
+    n_violations: int = 0
 
     def has_fails(self) -> bool:
         return self.report.has_fails()
@@ -486,4 +490,5 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
         partition_id=ctx.partition_id,
         n_input_rows=int(n_input_rows or 0),
         wall_sec=time.time() - t0,
+        n_violations=int(sum(counts.values())),
     )

@@ -21,7 +21,7 @@ from typing import Any
 from pyspark.sql import functions as F
 
 from ..report import PASS, WARNING, ValidationReport, stamp
-from ..sources.properties import read_table_properties
+from ..sources.properties import read_properties_or_warning
 from ..suite import CheckSpec, CheckSuite, PostAggCheck
 
 _MOD = __name__
@@ -72,7 +72,12 @@ def compile_conditional_property(spec: CheckSpec, suite: CheckSuite) -> PostAggC
                        f"condition '{cond_name}' not met; property '{prop}' "
                        f"not required")
             return stamp(report, _MOD, "compile_conditional_property")
-        props = read_table_properties(ctx.table_path)
+        props, fs_warn = read_properties_or_warning(
+            ctx.table_path, ctx.storage_options)
+        if fs_warn:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"conditional check skipped: {fs_warn}")
+            return stamp(report, _MOD, "compile_conditional_property")
         if prop in props:
             report.add(spec.section, spec.requirement, PASS,
                        f"{cond['describe']} and property '{prop}'="

@@ -24,7 +24,7 @@ from __future__ import annotations
 import difflib
 
 from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
-from ..sources.properties import read_table_properties
+from ..sources.properties import read_properties_or_warning
 from ..suite import CheckSpec, CheckSuite, DriverCheck, RunContext
 
 _MOD = __name__
@@ -42,12 +42,77 @@ KNOWN_SPDX = [
 
 _RESTRICTED_TOKENS = ("-NC", "-ND")  # non-commercial / no-derivatives
 
+#: SPDX license-exception ids the offline fallback recognizes after WITH
+KNOWN_EXCEPTIONS = [
+    "Classpath-exception-2.0", "GCC-exception-3.1", "LLVM-exception",
+    "GPL-3.0-linking-exception", "Autoconf-exception-3.0",
+]
+
+
+def _normalize_fallback(value: str) -> str | None:
+    """Offline SPDX *expression* normalizer: full ``AND``/``OR``/``WITH``
+    grammar with parentheses and ``+`` suffixes, canonicalizing each
+    license id case-insensitively against KNOWN_SPDX (exception ids
+    against KNOWN_EXCEPTIONS). Returns the canonical-cased expression or
+    None if any token is unknown / the syntax is invalid — so
+    ``"MIT OR Apache-2.0"`` verdicts identically with and without the
+    license_expression package (reference licensing.py:16-33 parses the
+    same grammar)."""
+    by_lower = {k.lower(): k for k in KNOWN_SPDX}
+    exc_lower = {k.lower(): k for k in KNOWN_EXCEPTIONS}
+    toks = value.replace("(", " ( ").replace(")", " ) ").split()
+    if not toks:
+        return None
+    out: list[str] = []
+    depth = 0
+    #: state machine: an expression alternates id-or-'(' with op-or-')'
+    expect_id = True
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower()
+        if expect_id:
+            if t == "(":
+                out.append("(")
+                depth += 1
+            else:
+                base, plus = (low[:-1], "+") if low.endswith("+") else (low, "")
+                if base not in by_lower:
+                    return None
+                lic = by_lower[base] + plus
+                # WITH binds tighter than AND/OR: consume it here
+                if i + 2 < len(toks) and toks[i + 1].lower() == "with":
+                    exc = exc_lower.get(toks[i + 2].lower())
+                    if exc is None:
+                        return None
+                    lic = f"{lic} WITH {exc}"
+                    i += 2
+                out.append(lic)
+                expect_id = False
+        else:
+            if t == ")":
+                if depth == 0:
+                    return None
+                out.append(")")
+                depth -= 1
+            elif low in ("and", "or"):
+                out.append(low.upper())
+                expect_id = True
+            else:
+                return None
+        i += 1
+    if depth != 0 or expect_id:
+        return None
+    # render with the same spacing conventions license_expression uses
+    s = " ".join(out).replace("( ", "(").replace(" )", ")")
+    return s
+
 
 def _normalize(value: str) -> str | None:
-    """Canonical SPDX id for ``value``, or None if unrecognized.
+    """Canonical SPDX expression for ``value``, or None if unrecognized.
 
     Uses the license_expression package when importable (reference parity,
-    licensing.py:16-33); falls back to case-insensitive membership.
+    licensing.py:16-33); falls back to the offline expression parser.
     """
     try:
         from license_expression import get_spdx_licensing  # type: ignore
@@ -56,8 +121,7 @@ def _normalize(value: str) -> str | None:
         parsed = licensing.parse(value, validate=True)
         return str(parsed)
     except ImportError:
-        by_lower = {k.lower(): k for k in KNOWN_SPDX}
-        return by_lower.get(value.strip().lower())
+        return _normalize_fallback(value)
     except Exception:
         return None
 
@@ -86,7 +150,12 @@ def compile_license(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
             report.add(spec.section, spec.requirement, WARNING,
                        "table properties unavailable — license check skipped")
             return stamp(report, _MOD, "compile_license")
-        props = read_table_properties(ctx.table_path)
+        props, fs_warn = read_properties_or_warning(
+            ctx.table_path, ctx.storage_options)
+        if fs_warn:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"license check skipped: {fs_warn}")
+            return stamp(report, _MOD, "compile_license")
         raw = props.get(prop)
         # 1. missing -> FAIL, early return (licensing.py:69-76)
         if raw is None or not str(raw).strip():
@@ -142,7 +211,12 @@ def compile_required_property(spec: CheckSpec, suite: CheckSuite) -> DriverCheck
             report.add(spec.section, spec.requirement, WARNING,
                        "table properties unavailable — property check skipped")
             return stamp(report, _MOD, "compile_required_property")
-        props = read_table_properties(ctx.table_path)
+        props, fs_warn = read_properties_or_warning(
+            ctx.table_path, ctx.storage_options)
+        if fs_warn:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"property check skipped: {fs_warn}")
+            return stamp(report, _MOD, "compile_required_property")
         val = props.get(prop)
         if val is None:
             report.add(spec.section, spec.requirement, severity,

@@ -14,46 +14,65 @@ Reference analogs (all metadata-only, never reading payload data):
   version from the footer; for Iceberg tables this would be the
   ``format-version`` property + snapshot existence via the catalog.
 
-Graceful degradation: when the table path is unknown or footers are
-unreadable, these emit WARNING rows and never FAIL — mirroring the
-reference's optional-dependency pattern (checks/tool_compatibility/
-gdal.py:133-140).
+Graceful degradation: when the table path is unknown, its remote backend
+is unavailable (fsspec not installed), or footers are unreadable, these
+emit WARNING rows and never FAIL — mirroring the reference's
+optional-dependency pattern (checks/tool_compatibility/gdal.py:133-140).
+
+Paths may be local, ``memory://`` or any fsspec URL (``s3://`` ...) — the
+reference's ``storage_options`` plumbing (specs/cli.py:140-160) arrives
+via ``RunContext.storage_options``. The file walk is BOUNDED: sampling 8
+footers stops listing after 8 matches instead of walking a potentially
+million-file table on the driver.
 """
 
 from __future__ import annotations
 
-import os
-
 from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
+from ..sources import fs
 from ..suite import CheckSpec, CheckSuite, DriverCheck, RunContext
 
 _MOD = __name__
 _MAX_FOOTER_SAMPLE = 8
 
 
-def _parquet_files(path: str) -> list[str]:
-    out = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                out.append(os.path.join(root, f))
-    return sorted(out)
+def _footer_info(
+    path: str, storage_options=None
+) -> tuple[set[str], set[str]]:
+    """(codecs, format_versions) from a bounded sample of parquet footers.
 
-
-def _footer_info(files: list[str]) -> tuple[set[str], set[str]]:
-    """(codecs, format_versions) from a bounded sample of parquet footers."""
+    The listing stops at ``_MAX_FOOTER_SAMPLE`` files (fs.list_parquet_files
+    is an early-exit walk); footers are KBs, read through the fs layer so
+    remote tables sample identically.
+    """
     import pyarrow.parquet as pq
 
+    files = fs.list_parquet_files(path, limit=_MAX_FOOTER_SAMPLE,
+                                  storage_options=storage_options)
     codecs: set[str] = set()
     versions: set[str] = set()
-    for f in files[:_MAX_FOOTER_SAMPLE]:
-        md = pq.ParquetFile(f).metadata
-        versions.add(md.format_version)
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for c in range(g.num_columns):
-                codecs.add(g.column(c).compression.lower())
+    for f in files:
+        with fs.open_file(f, "rb", storage_options) as fh:
+            md = pq.ParquetFile(fh).metadata
+            versions.add(md.format_version)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    codecs.add(g.column(c).compression.lower())
     return codecs, versions
+
+
+def _table_dir_state(ctx: RunContext) -> tuple[bool, str | None]:
+    """(usable, warning_detail): False when the path is unset, absent, or
+    on an unreachable remote backend."""
+    if not ctx.table_path:
+        return False, "table path unavailable"
+    try:
+        if not fs.isdir(ctx.table_path, ctx.storage_options):
+            return False, f"table path {ctx.table_path} is not a directory"
+    except fs.FsUnavailable as exc:
+        return False, str(exc)
+    return True, None
 
 
 def compile_codec(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
@@ -63,12 +82,13 @@ def compile_codec(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
 
     def fn(ctx: RunContext) -> ValidationReport:
         report = ValidationReport()
-        if not ctx.table_path or not os.path.isdir(ctx.table_path):
+        ok, why = _table_dir_state(ctx)
+        if not ok:
             report.add(spec.section, spec.requirement, WARNING,
-                       "table path unavailable — codec check skipped")
+                       f"{why} — codec check skipped")
             return stamp(report, _MOD, "compile_codec")
         try:
-            codecs, _ = _footer_info(_parquet_files(ctx.table_path))
+            codecs, _ = _footer_info(ctx.table_path, ctx.storage_options)
         except Exception as exc:  # footer unreadable -> degrade, never abort
             report.add(spec.section, spec.requirement, WARNING,
                        f"could not read parquet footers: {exc}")
@@ -97,13 +117,15 @@ def compile_partitioning(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
 
     def fn(ctx: RunContext) -> ValidationReport:
         report = ValidationReport()
-        if not ctx.table_path or not os.path.isdir(ctx.table_path):
+        ok, why = _table_dir_state(ctx)
+        if not ok:
             report.add(spec.section, spec.requirement, WARNING,
-                       "table path unavailable — partitioning check skipped")
+                       f"{why} — partitioning check skipped")
             return stamp(report, _MOD, "compile_partitioning")
         parts = [
-            d for d in os.listdir(ctx.table_path)
-            if d.startswith(f"{key}=") and os.path.isdir(os.path.join(ctx.table_path, d))
+            d for d in fs.listdir(ctx.table_path, ctx.storage_options)
+            if d.startswith(f"{key}=")
+            and fs.isdir(fs.join(ctx.table_path, d), ctx.storage_options)
         ]
         if parts:
             report.add(spec.section, spec.requirement, PASS,
@@ -125,12 +147,13 @@ def compile_format(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
 
     def fn(ctx: RunContext) -> ValidationReport:
         report = ValidationReport()
-        if not ctx.table_path or not os.path.isdir(ctx.table_path):
+        ok, why = _table_dir_state(ctx)
+        if not ok:
             report.add(spec.section, spec.requirement, WARNING,
-                       "table path unavailable — format check skipped")
+                       f"{why} — format check skipped")
             return stamp(report, _MOD, "compile_format")
         try:
-            _, versions = _footer_info(_parquet_files(ctx.table_path))
+            _, versions = _footer_info(ctx.table_path, ctx.storage_options)
         except Exception as exc:
             report.add(spec.section, spec.requirement, WARNING,
                        f"could not read parquet footers: {exc}")

@@ -13,28 +13,53 @@ checks/global_attributes/zarr_format.py:13-42).
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional
+
+from . import fs
 
 SIDECAR = "_table_properties.json"
 
 
-def read_table_properties(table_path: Optional[str]) -> dict[str, str]:
-    """Properties for a table path; {} when absent/unreadable (the checks
-    then FAIL/WARN on missing required properties, like the reference does
-    for missing attrs)."""
+def read_table_properties(
+    table_path: Optional[str], storage_options: Optional[dict] = None
+) -> dict[str, str]:
+    """Properties for a table path (local, memory:// or any fsspec URL);
+    {} when absent/unreadable (the checks then FAIL/WARN on missing
+    required properties, like the reference does for missing attrs).
+
+    An unreachable remote scheme (fsspec not installed) raises
+    :class:`fs.FsUnavailable` so callers can WARN instead of silently
+    treating the table as property-less.
+    """
     if not table_path:
         return {}
-    p = os.path.join(table_path, SIDECAR)
+    p = fs.join(table_path, SIDECAR)
     try:
-        with open(p) as f:
-            data = json.load(f)
+        data = json.loads(fs.read_text(p, storage_options))
         return {str(k): str(v) for k, v in data.items()}
+    except fs.FsUnavailable:
+        raise
     except (OSError, ValueError):
         return {}
 
 
-def write_table_properties(table_path: str, props: dict[str, str]) -> None:
-    os.makedirs(table_path, exist_ok=True)
-    with open(os.path.join(table_path, SIDECAR), "w") as f:
-        json.dump(props, f, indent=2, sort_keys=True)
+def read_properties_or_warning(
+    table_path: Optional[str], storage_options: Optional[dict] = None
+) -> tuple[dict[str, str], Optional[str]]:
+    """(props, None), or ({}, warning_detail) when the path's backend is
+    unavailable — the degrade-to-WARNING contract property checks share."""
+    try:
+        return read_table_properties(table_path, storage_options), None
+    except fs.FsUnavailable as exc:
+        return {}, str(exc)
+
+
+def write_table_properties(
+    table_path: str, props: dict[str, str],
+    storage_options: Optional[dict] = None,
+) -> None:
+    fs.write_text(
+        fs.join(table_path, SIDECAR),
+        json.dumps(props, indent=2, sort_keys=True),
+        storage_options,
+    )

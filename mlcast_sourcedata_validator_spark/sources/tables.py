@@ -27,8 +27,9 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
-    """Read an Iceberg identifier or a parquet path/directory."""
-    if os.path.exists(ref) or ref.startswith(("file:", "s3:", "s3a:", "hdfs:")):
+    """Read an Iceberg identifier or a parquet path/directory (local or
+    remote URI — Spark's Hadoop FileSystems resolve the scheme)."""
+    if os.path.exists(ref) or "://" in ref or ref.startswith("file:"):
         return spark.read.parquet(ref)
     return spark.read.table(ref)
 
@@ -46,13 +47,19 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(p).createOrReplaceTempView(name)
 
 
-def list_date_partitions(table_path: str, key: str = "date") -> list[str]:
-    """Hive-partition values under a table dir (fallback for Iceberg's
-    ``.partitions`` metadata table)."""
-    if not os.path.isdir(table_path):
+def list_date_partitions(
+    table_path: str, key: str = "date", storage_options: dict | None = None
+) -> list[str]:
+    """Hive-partition values under a table dir — local or remote URL
+    (fallback for Iceberg's ``.partitions`` metadata table)."""
+    from . import fs
+
+    if not fs.isdir(table_path, storage_options):
         return []
     vals = []
-    for d in sorted(os.listdir(table_path)):
-        if d.startswith(f"{key}=") and os.path.isdir(os.path.join(table_path, d)):
+    for d in fs.listdir(table_path, storage_options):
+        if d.startswith(f"{key}=") and fs.isdir(
+            fs.join(table_path, d), storage_options
+        ):
             vals.append(d.split("=", 1)[1])
     return vals

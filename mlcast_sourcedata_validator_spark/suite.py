@@ -132,6 +132,9 @@ class RunContext:
     registry_df: Any = None  # conversations registry (refint parent)
     baseline_df: Any = None  # drift baseline histograms
     table_path: Optional[str] = None  # for storage checks
+    #: fsspec storage options for remote table paths (the reference's
+    #: --s3-endpoint-url/--s3-anon plumbing, specs/cli.py:140-160)
+    storage_options: Optional[dict] = None
     exact: bool = False  # tests: exact countDistinct instead of HLL
 
 

@@ -73,6 +73,64 @@ def test_license_valid_unrecommended_warns_case_by_case(spark, clean, tmp_path):
     assert r.status == WARNING and "case-by-case" in r.detail
 
 
+@pytest.mark.parametrize("value,expected", [
+    # single ids (case-insensitive canonicalization)
+    ("mit", "MIT"),
+    ("Apache-2.0", "Apache-2.0"),
+    # compound expressions — the reference parses these via
+    # license_expression (licensing.py:16-33); the offline fallback must
+    # verdict identically
+    ("MIT OR Apache-2.0", "MIT OR Apache-2.0"),
+    ("mit or apache-2.0", "MIT OR Apache-2.0"),
+    ("MIT AND CC0-1.0", "MIT AND CC0-1.0"),
+    ("(MIT OR Apache-2.0) AND CC-BY-4.0",
+     "(MIT OR Apache-2.0) AND CC-BY-4.0"),
+    ("GPL-3.0-only WITH Classpath-exception-2.0",
+     "GPL-3.0-only WITH Classpath-exception-2.0"),
+    ("Apache-2.0+", "Apache-2.0+"),
+    # invalid: unknown id, dangling operator, unbalanced parens, bad
+    # exception
+    ("MIT OR NotALicense", None),
+    ("MIT OR", None),
+    ("(MIT OR Apache-2.0", None),
+    ("MIT WITH MIT", None),
+    ("AND MIT", None),
+    ("", None),
+])
+def test_spdx_fallback_expression_parser(value, expected):
+    from mlcast_sourcedata_validator_spark.operators.licensing import (
+        _normalize_fallback,
+    )
+
+    assert _normalize_fallback(value) == expected
+    # when the real license_expression package is present, the fallback's
+    # accept/reject decision must agree with it
+    try:
+        from license_expression import get_spdx_licensing
+    except ImportError:
+        return
+    try:
+        parsed = get_spdx_licensing().parse(value, validate=True)
+        lib_ok = parsed is not None
+    except Exception:
+        lib_ok = False
+    assert (expected is not None) == lib_ok
+
+
+def test_license_compound_expression_verdicts(spark, clean, tmp_path):
+    # valid multi-license expression, not in recommended -> case-by-case
+    r = _status_for(spark, clean, tmp_path, {"license": "MIT OR Apache-2.0"})
+    assert r.status == WARNING and "case-by-case" in r.detail
+    # compound containing an NC license -> restricted warning
+    r2 = _status_for(spark, clean, tmp_path,
+                     {"license": "CC-BY-NC-4.0 OR MIT"})
+    assert r2.status == WARNING and "NC/ND" in r2.detail
+    # compound with an unknown member -> FAIL (require_spdx)
+    r3 = _status_for(spark, clean, tmp_path,
+                     {"license": "MIT OR MadeUp-1.0"})
+    assert r3.status == FAIL
+
+
 def test_properties_roundtrip(tmp_path):
     p = str(tmp_path / "t")
     write_table_properties(p, {"a": "1", "license": "MIT"})
