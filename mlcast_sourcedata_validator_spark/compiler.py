@@ -75,9 +75,12 @@ _COMPILERS = {
     "cardinality": stats.compile_cardinality,
     "numeric_bounds": stats.compile_numeric_bounds,
     "min_rows": stats.compile_min_rows,
+    "unique_column": stats.compile_unique_column,
+    "dup_rate": stats.compile_dup_rate,
     # row predicates
     "domain": domains.compile_domain,
     "conditional_column": domains.compile_conditional_column,
+    "sql_predicate": domains.compile_sql_predicate,
     # window predicates
     "unique_key": ordering.compile_unique_key,
     "turn_contiguity": ordering.compile_turn_contiguity,
@@ -95,7 +98,8 @@ _COMPILERS = {
     "sampled_decode": interop.compile_sampled_decode,
 }
 
-_AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality", "numeric_bounds", "min_rows"}
+_AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality",
+              "numeric_bounds", "min_rows", "unique_column", "dup_rate"}
 _MOD_NAME = __name__
 
 
@@ -332,7 +336,9 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
     if cs.row_checks:
         viol = (
             enriched.select(
-                F.col(conv).alias("conv_id"),
+                # explicit casts: VIOLATIONS_SCHEMA is fixed across suites
+                # (documents_v1 binds a bigint doc_id into both id slots)
+                F.col(conv).cast("string").alias("conv_id"),
                 F.col(turn).cast("int").alias("turn_idx"),
                 all_hits.alias("_hits"),
             )

@@ -77,6 +77,42 @@ def compile_domain(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
     ]
 
 
+def compile_sql_predicate(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """Generic row invariant: an arbitrary SQL predicate that flags
+    violating rows (compiled via ``F.expr`` — stays a JVM Column
+    expression, so it fuses into the shared scan like every built-in
+    check).
+
+    params: violation_when (SQL boolean: True = violation),
+            detail (optional SQL string expression rendered per row),
+            severity ('FAIL' default), max_violations (0 default: any
+            violation fails; a positive bound makes small counts a PASS).
+    """
+    pred_sql = spec.params["violation_when"]
+    detail_sql = spec.params.get("detail")
+    severity = spec.params.get("severity", FAIL)
+    max_viol = spec.params.get("max_violations", 0)
+    pred = F.coalesce(F.expr(pred_sql), F.lit(False))
+    detail = (F.expr(detail_sql).cast("string") if detail_sql
+              else F.lit(f"row violates: {pred_sql}"))
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol > max_viol:
+            report.add(spec.section, spec.requirement, severity,
+                       f"{n_viol} rows violate '{pred_sql}'"
+                       + (f" (> {max_viol} allowed)" if max_viol else ""))
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"{n_viol} rows violate '{pred_sql}' "
+                       f"(<= {max_viol} allowed)" if n_viol else
+                       f"no rows violate '{pred_sql}'")
+        return stamp(report, _MOD, "compile_sql_predicate")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict,
+                     severity=severity)]
+
+
 def compile_conditional_column(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
     """A column must be set iff a row condition holds (tool iff role='tool').
 

@@ -159,6 +159,91 @@ def compile_numeric_bounds(spec: CheckSpec, suite: CheckSuite, exact: bool = Fal
     return AggCheck(cid, exprs, verdict)
 
 
+def compile_unique_column(spec: CheckSpec, suite: CheckSuite, exact: bool = False):
+    """A single column must be a primary key: count == count_distinct.
+
+    Uniqueness needs an EXACT distinct count (the HLL sketch cannot prove
+    it), and Spark disallows DISTINCT aggregates inside CollectMetrics —
+    so this check runs as one dedicated aggregate job, column-pruned to
+    the key column (a cheap single-column scan; the partial/final
+    distinct agg is Catalyst-standard). For composite transcript keys the
+    window-based ``unique_key`` check is the scale path that also emits
+    per-row violations.
+
+    params: column.
+    """
+    from ..suite import DriverCheck
+
+    col = spec.params["column"]
+
+    def fn(ctx) -> ValidationReport:
+        report = ValidationReport()
+        row = ctx.df.agg(
+            F.count(F.col(col)).alias("n"),
+            F.count_distinct(F.col(col)).alias("d"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("nulls"),
+        ).collect()[0]
+        n, d, nulls = row["n"] or 0, row["d"] or 0, row["nulls"] or 0
+        if nulls:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"'{col}' has {nulls} NULLs — cannot be a key")
+        elif n != d:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"'{col}' has {n - d} duplicate values ({d} distinct "
+                       f"of {n})")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"'{col}' is unique ({n} rows)")
+        return stamp(report, _MOD, "compile_unique_column")
+
+    return DriverCheck(spec.check_id, fn)
+
+
+def compile_dup_rate(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """Exact-duplicate content rate: 1 - distinct(md5(col))/count(col).
+
+    The validation-engine face of the dedup operator family
+    (functions/dedup.py): a corpus whose duplicate fraction exceeds the
+    advisory/hard thresholds fails the suite. Hashes ride the same fused
+    scan — no extra pass, one 128-bit hash per row into the distinct
+    sketch/agg.
+
+    params: column, warn_frac=0.05, max_frac=0.2, rsd=0.02 (HLL; tests
+    flip exact=True for parity with small-scale oracles — warn_frac must
+    stay above the sketch's rsd so clean data cannot spuriously WARN).
+    """
+    col = spec.params["column"]
+    warn_frac = spec.params.get("warn_frac", 0.05)
+    max_frac = spec.params.get("max_frac", 0.2)
+    rsd = spec.params.get("rsd", 0.02)
+    cid = spec.check_id
+    h = F.md5(F.col(col).cast("string"))
+    agg = F.count_distinct(h) if exact else F.approx_count_distinct(h, rsd)
+    exprs = {
+        f"{cid}__n": F.count(F.col(col)),
+        f"{cid}__d": agg,
+    }
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        n, d = m[f"{cid}__n"] or 0, m[f"{cid}__d"] or 0
+        frac = max(0.0, (n - d) / n) if n else 0.0
+        kind = "exact" if exact else f"approx(rsd={rsd})"
+        detail = (f"{kind} duplicate rate of '{col}' = {frac:.6f} "
+                  f"({n - d}/{n})")
+        if frac > max_frac:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} > {max_frac}")
+        elif frac > warn_frac:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} > advisory {warn_frac}")
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_dup_rate")
+
+    return AggCheck(cid, exprs, verdict)
+
+
 def compile_min_rows(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
     """Table (or partition batch) must have >= min_rows rows.
 

@@ -1,0 +1,118 @@
+"""documents_v1 — CheckSuite for LLM training-document corpora.
+
+Second spec module, discovered by the package walk in suite.py exactly
+like the reference discovers ``specs/<stage>/<product>`` modules
+(/root/reference/mlcast_dataset_validator/specs/cli.py:18-44). It
+validates the driver's ``documents`` table shape
+(doc_id:long, text:string, lang:string, source:string, n_chars:long)
+and folds the §2C dedup surface into the validation engine via the
+``dup_rate`` check.
+
+Column bindings: the violations table schema is fixed at
+(check_id, conv_id, turn_idx, detail) — for documents both id slots are
+bound to ``doc_id``, so a violation row identifies the offending
+document twice (harmless, and keeps one results/violations store shape
+across suites). No window checks are declared, so the suite compiles to
+a single scan with ZERO shuffles (agg checks ride the Observation, row
+checks explode into violations map-side).
+"""
+
+from __future__ import annotations
+
+from ..suite import CheckSpec, CheckSuite, register_suite
+
+LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+@register_suite("documents_v1")
+def suite() -> CheckSuite:
+    checks = [
+        CheckSpec(
+            "schema_columns", "required_columns", "3.1 schema",
+            "The table MUST have columns (doc_id:bigint, text:string, "
+            "lang:string, source:string, n_chars:bigint).",
+            {
+                "required": {
+                    "doc_id": "bigint", "text": "string", "lang": "string",
+                    "source": "string", "n_chars": "bigint",
+                },
+                "expected_order": ["doc_id", "text", "lang", "source",
+                                   "n_chars"],
+            },
+        ),
+        CheckSpec(
+            "unique_doc_id", "unique_column", "3.2 keys",
+            "doc_id MUST be unique and non-null.",
+            {"column": "doc_id"},
+        ),
+        CheckSpec(
+            "text_null_rate", "null_rate", "4.1 nulls",
+            "text MUST be non-null in at least 99.9% of documents; doc_id "
+            "MUST never be null.",
+            {"columns": {"text": 0.001, "doc_id": 0.0}},
+        ),
+        CheckSpec(
+            "lang_domain", "domain", "4.2 domains",
+            "lang MUST be one of en|de|fr|es|zh (compared lower/trimmed; "
+            "non-canonical spelling is a WARNING).",
+            {"column": "lang", "allowed": LANGS, "nullable": False},
+        ),
+        CheckSpec(
+            "n_chars_consistency", "sql_predicate", "4.3 consistency",
+            "n_chars MUST equal length(text) on every row.",
+            {"violation_when": "n_chars IS DISTINCT FROM length(text)",
+             "detail": "concat('n_chars=', n_chars, ' != length(text)=', "
+                       "length(text))"},
+        ),
+        CheckSpec(
+            "n_chars_bounds", "numeric_bounds", "4.4 payload stats",
+            "document length SHOULD lie within sane bounds.",
+            {"expr": "n_chars", "lo": 0, "hi": 10_000_000,
+             "warn_hi": 1_000_000},
+        ),
+        CheckSpec(
+            "doc_cardinality", "cardinality", "4.5 cardinality",
+            "The corpus MUST contain at least 2 distinct documents "
+            "(HyperLogLog estimate).",
+            {"column": "doc_id", "min_distinct": 2},
+        ),
+        CheckSpec(
+            "min_rows", "min_rows", "4.6 size",
+            "The batch MUST contain at least 1 row.",
+            {"min_rows": 1},
+        ),
+        CheckSpec(
+            "dup_rate", "dup_rate", "4.7 dedup",
+            "The exact-duplicate content rate SHOULD be below 5% and MUST "
+            "be below 20% (md5 distinct sketch over the fused scan).",
+            {"column": "text", "warn_frac": 0.05, "max_frac": 0.2},
+        ),
+        CheckSpec(
+            "license", "license", "5.1 licensing",
+            "The table MUST declare a 'license' property; it SHOULD be a "
+            "valid SPDX expression from the recommended list; NC/ND "
+            "licenses trigger a WARNING.",
+            {"require_spdx": True, "warn_on_restricted": True,
+             "recommended": ["CC0-1.0", "CC-BY-4.0", "CC-BY-SA-4.0",
+                             "MIT", "Apache-2.0"]},
+        ),
+        CheckSpec(
+            "roundtrip", "roundtrip", "5.2 interop",
+            "A sample of the batch MUST survive a parquet write/read "
+            "roundtrip exactly.",
+            {"sample_rows": 100},
+        ),
+        CheckSpec(
+            "text_decode", "sampled_decode", "5.3 interop",
+            "Sampled text values MUST survive a utf-8 encode/decode "
+            "roundtrip.",
+            {"column": "text", "fraction": 0.02},
+        ),
+        CheckSpec(
+            "storage_codec", "storage_codec", "6.1 compression",
+            "Files MUST be compressed; zstd is RECOMMENDED.",
+            {"require_compression": True, "recommended": "zstd"},
+        ),
+    ]
+    return CheckSuite(suite_id="documents_v1", checks=checks,
+                      conv_col="doc_id", turn_col="doc_id", ts_col="doc_id")

@@ -141,6 +141,7 @@ class RunContext:
 # --- suite registry (analog of specs/cli.py module discovery) ---------------
 
 _REGISTRY: dict[str, Callable[[], CheckSuite]] = {}
+_DISCOVERED = False
 
 
 def register_suite(name: str):
@@ -150,13 +151,31 @@ def register_suite(name: str):
     return deco
 
 
+def discover_suites() -> None:
+    """pkgutil-walk the ``plans`` package and import every module so its
+    ``@register_suite`` decorators run — the reference's dynamic spec
+    discovery (specs/cli.py:18-44 walks ``specs/<stage>/<product>``).
+    Adding a new table type = dropping a module into ``plans/``; no
+    registry edit."""
+    global _DISCOVERED
+    if _DISCOVERED:
+        return
+    import importlib
+    import pkgutil
+
+    from . import plans
+
+    for m in pkgutil.iter_modules(plans.__path__):
+        if not m.name.startswith("_"):
+            importlib.import_module(f"{plans.__name__}.{m.name}")
+    _DISCOVERED = True
+
+
 def get_suite(name: str) -> CheckSuite:
-    if name not in _REGISTRY:
-        # import built-in plans lazily so registration happens on demand
-        from .plans import transcripts_v1  # noqa: F401
+    discover_suites()
     return _REGISTRY[name]()
 
 
 def list_suites() -> list[str]:
-    from .plans import transcripts_v1  # noqa: F401
+    discover_suites()
     return sorted(_REGISTRY)

@@ -1,0 +1,126 @@
+"""documents_v1 suite + dynamic discovery + the new generic check kinds
+(unique_column, dup_rate, sql_predicate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.compiler import run_suite
+from mlcast_sourcedata_validator_spark.report import FAIL, PASS, WARNING
+from mlcast_sourcedata_validator_spark.suite import (
+    CheckSpec,
+    CheckSuite,
+    RunContext,
+    get_suite,
+    list_suites,
+)
+
+
+def test_discovery_finds_both_builtin_suites():
+    names = list_suites()
+    assert {"transcripts_v1", "documents_v1"} <= set(names)
+    s = get_suite("documents_v1")
+    assert s.suite_id == "documents_v1" and len(s.checks) >= 10
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
+
+
+def test_documents_suite_clean_corpus_passes(spark, docs, sf_dir):
+    res = run_suite(RunContext(spark=spark, df=docs,
+                               suite=get_suite("documents_v1"), run_id="d"))
+    by_cid = {}
+    for r in res.report.results:
+        by_cid.setdefault(r.section, []).append(r.status)
+    # data checks all pass on the driver's clean corpus
+    assert not any(
+        r.status == FAIL for r in res.report.results
+        if not r.section.startswith("5.1")  # license needs a table_path
+    ), [(r.section, r.detail) for r in res.report.results if r.status == FAIL]
+    assert res.n_violations == 0
+
+
+def test_documents_suite_zero_shuffle_plan(spark, docs):
+    """No window/refint checks declared -> the fused plan must contain no
+    Exchange at all: agg rides the Observation on the scan, violations
+    explode map-side."""
+    from mlcast_sourcedata_validator_spark.compiler import (
+        build_suite_plan,
+        compile_suite,
+    )
+
+    suite = get_suite("documents_v1")
+    cs = compile_suite(suite)
+    ctx = RunContext(spark=spark, df=docs, suite=suite, run_id="p")
+    plan = build_suite_plan(ctx, cs)
+    s = plan.violations._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in s, s
+
+
+def test_documents_suite_flags_planted_violations(spark, docs):
+    dirty = docs.unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "dup me", "xx", "web", 6),      # bad lang
+                (9_000_001, "dup me", "en", "web", 999),    # dup id + bad n_chars
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    res = run_suite(RunContext(spark=spark, df=dirty,
+                               suite=get_suite("documents_v1"), run_id="d2",
+                               exact=True))
+    fails = {r.detail for r in res.report.results if r.status == FAIL}
+    assert any("duplicate values" in d for d in fails)          # unique_column
+    assert any("lang outside domain" in d for d in fails)       # domain
+    assert any("n_chars IS DISTINCT FROM" in d for d in fails)  # sql_predicate
+    viol = {(r.check_id, r.conv_id) for r in res.violations.collect()}
+    assert ("lang_domain", "9000001") in viol
+    assert ("n_chars_consistency", "9000001") in viol
+
+
+def test_dup_rate_check_tristate(spark):
+    def run(texts, **params):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        suite = CheckSuite("d", [CheckSpec(
+            "dup", "dup_rate", "4.7", "dup rate",
+            {"column": "text", **params})],
+            conv_col="doc_id", turn_col="doc_id", ts_col="doc_id")
+        res = run_suite(RunContext(spark=spark, df=df, suite=suite,
+                                   run_id="t", exact=True))
+        assert len(res.report.results) == 1
+        return res.report.results[0]
+
+    uniq = [f"text {i}" for i in range(100)]
+    assert run(uniq).status == PASS
+    r = run(uniq + ["text 0"] * 10, warn_frac=0.05, max_frac=0.5)
+    assert r.status == WARNING and "duplicate rate" in r.detail
+    assert run(["same"] * 50 + uniq, max_frac=0.2).status == FAIL
+
+
+def test_cli_lists_and_runs_documents_suite(spark, sf_dir, tmp_path, capsys):
+    from mlcast_sourcedata_validator_spark import cli
+    from mlcast_sourcedata_validator_spark.sources.properties import (
+        write_table_properties,
+    )
+
+    assert cli.main(["--list"]) == 0
+    assert {"documents_v1", "transcripts_v1"} <= set(
+        capsys.readouterr().out.split()
+    )
+    # a real table dir: parquet + properties sidecar -> fully green run
+    tbl = str(tmp_path / "docs_tbl")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1) \
+        .write.mode("overwrite").parquet(tbl)
+    write_table_properties(tbl, {"license": "CC-BY-4.0"})
+    rc = cli.main(["--suite", "documents_v1", "--table", tbl])
+    assert rc == 0
+    # without the sidecar the license check MUST fail -> exit 1
+    rc2 = cli.main(["--suite", "documents_v1",
+                    "--table", f"{sf_dir}/documents.parquet"])
+    assert rc2 == 1
