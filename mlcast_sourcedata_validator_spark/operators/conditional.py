@@ -73,7 +73,7 @@ def compile_conditional_property(spec: CheckSpec, suite: CheckSuite) -> PostAggC
                        f"not required")
             return stamp(report, _MOD, "compile_conditional_property")
         props, fs_warn = read_properties_or_warning(
-            ctx.table_path, ctx.storage_options)
+            ctx.table_path, ctx.storage_options, ctx.spark)
         if fs_warn:
             report.add(spec.section, spec.requirement, WARNING,
                        f"conditional check skipped: {fs_warn}")

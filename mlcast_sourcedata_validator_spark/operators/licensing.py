@@ -151,7 +151,7 @@ def compile_license(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
                        "table properties unavailable — license check skipped")
             return stamp(report, _MOD, "compile_license")
         props, fs_warn = read_properties_or_warning(
-            ctx.table_path, ctx.storage_options)
+            ctx.table_path, ctx.storage_options, ctx.spark)
         if fs_warn:
             report.add(spec.section, spec.requirement, WARNING,
                        f"license check skipped: {fs_warn}")
@@ -212,7 +212,7 @@ def compile_required_property(spec: CheckSpec, suite: CheckSuite) -> DriverCheck
                        "table properties unavailable — property check skipped")
             return stamp(report, _MOD, "compile_required_property")
         props, fs_warn = read_properties_or_warning(
-            ctx.table_path, ctx.storage_options)
+            ctx.table_path, ctx.storage_options, ctx.spark)
         if fs_warn:
             report.add(spec.section, spec.requirement, WARNING,
                        f"property check skipped: {fs_warn}")

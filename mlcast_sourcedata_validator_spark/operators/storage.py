@@ -36,19 +36,14 @@ _MOD = __name__
 _MAX_FOOTER_SAMPLE = 8
 
 
-def _footer_info(
-    path: str, storage_options=None
+def _footer_info_from_files(
+    files: list[str], storage_options=None
 ) -> tuple[set[str], set[str]]:
-    """(codecs, format_versions) from a bounded sample of parquet footers.
-
-    The listing stops at ``_MAX_FOOTER_SAMPLE`` files (fs.list_parquet_files
-    is an early-exit walk); footers are KBs, read through the fs layer so
-    remote tables sample identically.
-    """
+    """(codecs, format_versions) from a list of parquet file paths —
+    footers are KBs, read through the fs layer so remote tables sample
+    identically."""
     import pyarrow.parquet as pq
 
-    files = fs.list_parquet_files(path, limit=_MAX_FOOTER_SAMPLE,
-                                  storage_options=storage_options)
     codecs: set[str] = set()
     versions: set[str] = set()
     for f in files:
@@ -62,11 +57,33 @@ def _footer_info(
     return codecs, versions
 
 
+def _sample_footer_info(ctx: RunContext) -> tuple[set[str], set[str]]:
+    """Bounded footer sample for a table reference: catalog identifiers
+    sample file paths via Iceberg's ``.files`` metadata table (or
+    ``inputFiles()`` fallback); filesystem paths use the early-exit
+    parquet walk — never a full listing either way."""
+    from ..sources import catalog
+
+    if catalog.is_table_identifier(ctx.table_path):
+        files = catalog.sample_file_paths(ctx.spark, ctx.table_path,
+                                          _MAX_FOOTER_SAMPLE)
+    else:
+        files = fs.list_parquet_files(ctx.table_path,
+                                      limit=_MAX_FOOTER_SAMPLE,
+                                      storage_options=ctx.storage_options)
+    return _footer_info_from_files(files, ctx.storage_options)
+
+
 def _table_dir_state(ctx: RunContext) -> tuple[bool, str | None]:
-    """(usable, warning_detail): False when the path is unset, absent, or
-    on an unreachable remote backend."""
+    """(usable, warning_detail): False when the reference is unset,
+    absent, or on an unreachable remote backend. Catalog identifiers are
+    always usable (their existence fails loudly at read time)."""
+    from ..sources.catalog import is_table_identifier
+
     if not ctx.table_path:
         return False, "table path unavailable"
+    if is_table_identifier(ctx.table_path):
+        return True, None
     try:
         if not fs.isdir(ctx.table_path, ctx.storage_options):
             return False, f"table path {ctx.table_path} is not a directory"
@@ -88,7 +105,7 @@ def compile_codec(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
                        f"{why} — codec check skipped")
             return stamp(report, _MOD, "compile_codec")
         try:
-            codecs, _ = _footer_info(ctx.table_path, ctx.storage_options)
+            codecs, _ = _sample_footer_info(ctx)
         except Exception as exc:  # footer unreadable -> degrade, never abort
             report.add(spec.section, spec.requirement, WARNING,
                        f"could not read parquet footers: {exc}")
@@ -122,6 +139,27 @@ def compile_partitioning(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
             report.add(spec.section, spec.requirement, WARNING,
                        f"{why} — partitioning check skipped")
             return stamp(report, _MOD, "compile_partitioning")
+        from ..sources.catalog import is_table_identifier, partition_columns
+
+        if is_table_identifier(ctx.table_path):
+            # catalog path: the partition SPEC comes from the catalog
+            # (Iceberg partition spec / hive partition columns) — no
+            # directory listing at all
+            try:
+                pcols = partition_columns(ctx.spark, ctx.table_path)
+            except Exception as exc:
+                report.add(spec.section, spec.requirement, WARNING,
+                           f"could not read partition spec: {exc}")
+                return stamp(report, _MOD, "compile_partitioning")
+            if key in pcols:
+                report.add(spec.section, spec.requirement, PASS,
+                           f"catalog table partitioned by '{key}' "
+                           f"(spec: {pcols})")
+            else:
+                report.add(spec.section, spec.requirement, FAIL,
+                           f"catalog table partition spec {pcols} does not "
+                           f"include '{key}'")
+            return stamp(report, _MOD, "compile_partitioning")
         parts = [
             d for d in fs.listdir(ctx.table_path, ctx.storage_options)
             if d.startswith(f"{key}=")
@@ -153,7 +191,7 @@ def compile_format(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
                        f"{why} — format check skipped")
             return stamp(report, _MOD, "compile_format")
         try:
-            _, versions = _footer_info(ctx.table_path, ctx.storage_options)
+            _, versions = _sample_footer_info(ctx)
         except Exception as exc:
             report.add(spec.section, spec.requirement, WARNING,
                        f"could not read parquet footers: {exc}")
