@@ -656,6 +656,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["embedding_lsh_near_dup_pairs"] = embedding_lsh_near_dup_pairs_q
 
+    def dedup_clusters_documents(spark, sf):
+        """Near-dup clustering: LSH-verified pairs -> connected components
+        (iterative hash-min label propagation, converges in diameter
+        rounds) -> cluster id/size/representative. Oracle: the same pairs
+        via SQL + a WITH RECURSIVE transitive closure taking min reachable
+        id."""
+        return dd.dedup_clusters(
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+        )
+    q["dedup_clusters_documents"] = dedup_clusters_documents
+
     # --- similarity search --------------------------------------------------
     def embedding_cosine_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1285,6 +1296,37 @@ def _all_oracles() -> dict[str, str]:
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"""
 
+    # connected components over the LSH-verified pairs: transitive
+    # closure via WITH RECURSIVE, cluster id = min reachable node
+    o["dedup_clusters_documents"] = ("WITH RECURSIVE " + minhash_cte.replace(
+        "\n        WITH ", "", 1
+    ) + f""",
+        bands2 AS ({band_selects}),
+        cand2 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands2 a JOIN bands2 b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id),
+        shl2 AS (
+          SELECT doc_id, list_distinct({wsh3}) AS sh FROM
+            (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand2 JOIN shl2 a ON id_a = a.doc_id JOIN shl2 b ON id_b = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        tc(node, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT tc.node, e.b FROM tc JOIN edges e ON tc.r = e.a),
+        lab AS (SELECT node, min(r) AS cluster_id FROM tc GROUP BY node)
+        SELECT node AS doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               (node = cluster_id) AS is_representative
+        FROM lab""")
+
     wsh = word_shingles_sql("t", 3)
     o["ngram_jaccard_pairs_documents"] = f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1585,6 +1627,9 @@ _EXTRA_ORDER = [
     "lineitem_top_line_per_order",    # window row_number ~ running_revenue
     "intersect_clickers_and_buyers",  # INTERSECT ~ setop EXCEPT
     "quantile_sketch_events",         # sketch bound ~ cardinality_sketch
+    # iterative (non-SQL-expressible in Spark terms, but DuckDB's
+    # WITH RECURSIVE closure serves as an exact oracle in pytest)
+    "dedup_clusters_documents",
 ]
 
 

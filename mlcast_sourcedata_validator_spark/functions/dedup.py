@@ -25,7 +25,7 @@ hashing.py) — no Python in the row path. Each operator is designed for the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .hashing import (
     BAND_SIZE,
@@ -409,6 +409,88 @@ def simhash_banded_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected (id_a, id_b) pair table:
+    (node, cluster_id) where cluster_id = min node id in the component.
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each round, a node's label becomes the min of its own and its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    component diameter — near-dup clusters are dense (diameter ≤ a few),
+    so this terminates in 2-4 rounds in practice; ``max_iter`` bounds
+    pathological chains. Each round is one equi-join + one groupBy (both
+    shuffle on node id — at scale, same-key partitioning is reused), and
+    lineage is cut per round with localCheckpoint so the plan does not
+    grow exponentially. Raises if not converged within ``max_iter``.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup clustering: LSH-verified pairs -> connected
+    components -> (doc_id, cluster_id, cluster_size, is_representative).
+
+    The representative is the min-id member (stable under retries). Docs
+    in no near-dup pair are singleton clusters of themselves and are NOT
+    returned (at corpus scale almost every doc is a singleton — emitting
+    them would dwarf the interesting rows; left-anti against this result
+    recovers them when needed).
+    """
+    pairs = lsh_verified_near_dups(df, id_col, text_col, n, threshold)
+    cc = connected_components(pairs)
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return (
+        cc.select(F.col("node").alias(id_col), "cluster_id")
+        .withColumn("cluster_size", w_size.cast("long"))
+        .withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
     )
 
 

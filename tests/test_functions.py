@@ -103,6 +103,43 @@ def test_lsh_candidates_feed_jaccard_verify(spark, docs):
     assert {(5, 100), (6, 101), (7, 102), (10, 103), (11, 104)} <= pairs
 
 
+def test_connected_components_chain_and_clusters(spark, docs):
+    """Hash-min label propagation: a 6-node chain (diameter 5, forces
+    multiple rounds) plus a triangle and an isolated pair — every node
+    labeled with its component's min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1-6
+         (10, 11), (11, 12), (10, 12),             # triangle
+         (20, 21)],                                # pair
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster_id
+           for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    with pytest.raises(RuntimeError, match="converge"):
+        dd.connected_components(pairs, max_iter=1)
+
+
+def test_dedup_clusters_on_planted_dups(spark, docs):
+    out = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_representative)
+           for r in dd.dedup_clusters(docs, "doc_id", "text",
+                                      threshold=0.8).collect()}
+    # each planted dup pair lands in one cluster (the fixture's modular
+    # construction adds further >=0.8 pairs, so clusters may be larger
+    # than 2); exactly the min-id member is the representative
+    for a, b in [(5, 100), (6, 101), (7, 102), (10, 103), (11, 104)]:
+        assert out[a][0] == out[b][0]
+        assert not out[b][2]  # the copy is never the representative
+    clusters: dict[int, list[int]] = {}
+    for doc, (cid, size, rep) in out.items():
+        clusters.setdefault(cid, []).append(doc)
+        assert rep == (doc == cid)
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        assert all(out[m][1] == len(members) for m in members)
+
+
 def test_simhash_near_dups_have_small_hamming(spark, docs):
     sh = {r.doc_id: r.simhash for r in dd.simhash(docs, "doc_id", "text").collect()}
     assert sh[5] == sh[100]  # identical text -> identical simhash
