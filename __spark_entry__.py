@@ -820,6 +820,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q5_local_supplier_volume"] = q5_local_supplier_volume
 
+    def q14_promo_revenue(spark, sf):
+        """TPC-H Q14 shape: lineitem x part equi-join (part is the
+        broadcast dim), conditional aggregation ratio — covers the PART
+        table and the broadcast-dim + CASE-agg pattern."""
+        li = _t(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp")))
+        p = _t(spark, sf, "part")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+                 .alias("promo_revenue_pct"))
+        )
+    q["q14_promo_revenue"] = q14_promo_revenue
+
     def running_revenue_customers(spark, sf):
         """Cumulative window: per-customer running order revenue in
         (o_orderdate, o_orderkey) order — deterministic summation order,
@@ -1500,6 +1517,16 @@ def _all_oracles() -> dict[str, str]:
           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         GROUP BY n_name"""
 
+    o["q14_promo_revenue"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"""
+
     o["running_revenue_customers"] = """
         SELECT o_custkey, o_orderkey,
                row_number() OVER w AS order_seq,
@@ -1630,6 +1657,8 @@ _EXTRA_ORDER = [
     # iterative (non-SQL-expressible in Spark terms, but DuckDB's
     # WITH RECURSIVE closure serves as an exact oracle in pytest)
     "dedup_clusters_documents",
+    # PART-table coverage; join+conditional-agg twin of in-window q3/q5
+    "q14_promo_revenue",
 ]
 
 

@@ -153,6 +153,11 @@ def main() -> int:
     # headline set spans the driver window AND the demoted oracle twins
     qs = dict(entry_mod.queries())
     qs.update(entry_mod.extra_queries())
+    # warm the JVM + parquet reader once so the first row measures the
+    # query, not session init (rounds 1-2 charged ~4s of warmup to q1)
+    from pyspark.sql import functions as F
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        .agg(F.count(F.lit(1))).collect()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

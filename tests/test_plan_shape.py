@@ -113,3 +113,24 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_ngram_default_plan_has_no_shingle_selfjoin(spark, sf_dir):
+    """The candidates-first default must never execute the quadratic
+    shingle self-join: the global path's plan joins on the exploded
+    shingle column, the bounded default verifies candidate pairs via
+    array_intersect and joins only on doc ids."""
+    import re
+
+    from mlcast_sourcedata_validator_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    auto = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    glob = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.5, method="global")
+    shingle_join = re.compile(r"Join \[s#\d+[L]?\], \[s#\d+[L]?\]")
+    pa = auto._jdf.queryExecution().executedPlan().toString()
+    pg = glob._jdf.queryExecution().executedPlan().toString()
+    assert shingle_join.search(pg), "oracle twin should self-join on shingles"
+    assert not shingle_join.search(pa), pa
+    assert "array_intersect" in pa

@@ -120,3 +120,152 @@ def test_stateful_conversation_stream(spark, tmp_path):
     b_updates = [r for r in rows if r.conv_id == "B" and not r.complete]
     assert b_updates and max(r.n_turns for r in b_updates) == 4
     assert all(r.n_dup_or_gap == 0 for r in b_updates)
+
+
+def test_stateful_conversation_stream_v2(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): same
+    operator as v1 on typed ValueState + explicit timers; requires the
+    RocksDB state store provider AND the python protobuf package (the
+    TWS driver worker imports google.protobuf — absent in this sandbox,
+    so this skips here and runs on a full cluster image)."""
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+
+    from mlcast_sourcedata_validator_spark.streaming.conversation_state_v2 import (
+        conversation_state_stream_v2,
+    )
+
+    src = str(tmp_path / "feed2")
+    os.makedirs(src)
+    t0 = "2024-01-01 00:00:"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(tmp_path / name)
+                if f.endswith(".parquet")][0]
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(str(tmp_path / name / part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    write_file("g1", [("A", 0, f"{t0}00"), ("A", 1, f"{t0}01"),
+                      ("A", 1, f"{t0}02"), ("B", 0, f"{t0}00")], now - 30)
+    write_file("g2", [("B", 1, "2024-01-01 00:05:00")], now - 20)
+    write_file("g3", [("B", 2, "2024-01-01 00:10:00")], now - 10)
+    write_file("g4", [("B", 3, "2024-01-01 00:15:00")], now - 5)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (spark.readStream
+                  .schema("conv_id string, turn_idx int, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = conversation_state_stream_v2(stream, inactivity_ms=1000,
+                                           watermark="0 seconds")
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("conv_state_v2").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM conv_state_v2").collect()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+
+    done = {r.conv_id: r for r in rows if r.complete}
+    assert "A" in done
+    assert done["A"].n_turns == 3
+    assert done["A"].n_dup_or_gap == 1
+    b_updates = [r for r in rows if r.conv_id == "B" and not r.complete]
+    assert b_updates and max(r.n_turns for r in b_updates) >= 2
+
+
+def test_conversation_processor_v2_fold_logic():
+    """The StatefulProcessor's fold logic, driven directly with fake
+    state/handle/timer objects — covers v2 in this sandbox where the
+    protobuf-dependent streaming harness cannot run."""
+    import pandas as pd
+
+    from mlcast_sourcedata_validator_spark.streaming.conversation_state_v2 import (
+        ConversationProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeTimerValues:
+        def getCurrentWatermarkInMs(self):
+            return 0
+
+    proc = ConversationProcessor(inactivity_ms=1000)
+    handle = FakeHandle()
+    proc.init(handle)
+    tv = FakeTimerValues()
+
+    def batch(rows):
+        return iter([pd.DataFrame(rows, columns=["turn_idx", "ts"])])
+
+    out1 = list(proc.handleInputRows(
+        ("A",), batch([(0, "2024-01-01 00:00:00"),
+                       (1, "2024-01-01 00:00:01"),
+                       (1, "2024-01-01 00:00:02")]), tv))
+    assert out1[0].iloc[0]["n_turns"] == 3
+    assert out1[0].iloc[0]["n_dup_or_gap"] == 1   # duplicate turn 1
+    assert len(handle.timers) == 1
+
+    # second batch: a gap (turn 5) and a ts regression
+    out2 = list(proc.handleInputRows(
+        ("A",), batch([(5, "2024-01-01 00:00:00")]), tv))
+    r = out2[0].iloc[0]
+    assert r["n_turns"] == 4 and r["n_dup_or_gap"] == 2
+    assert r["n_ts_regressions"] == 1
+    assert len(handle.timers) == 1  # re-armed, not accumulated
+
+    done = list(proc.handleExpiredTimer(("A",), tv, None))
+    assert done[0].iloc[0]["complete"] and done[0].iloc[0]["n_turns"] == 4
+    assert not handle.state.exists()
+    assert list(proc.handleExpiredTimer(("A",), tv, None)) == []
