@@ -111,11 +111,13 @@ def run_partitioned(
     run_id: Optional[str] = None,
     max_partitions: Optional[int] = None,
     fail_injector=None,  # test hook: fn(partition_id) called pre-commit
+    storage_options: Optional[dict] = None,
 ) -> PartitionedRunSummary:
     """Validate every uncommitted date-partition of ``table_path``."""
     run_id = run_id or uuid.uuid4().hex[:12]
     summary = PartitionedRunSummary(run_id=run_id)
-    partitions = list_date_partitions(table_path, key=partition_key)
+    partitions = list_date_partitions(table_path, key=partition_key,
+                                      storage_options=storage_options)
     if not partitions:
         raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
     done = committed_partitions(spark, results_path, suite.suite_id) if resume else set()
@@ -132,7 +134,7 @@ def run_partitioned(
         ctx = RunContext(
             spark=spark, df=batch, suite=suite, run_id=run_id,
             partition_id=p, registry_df=registry_df, baseline_df=baseline_df,
-            table_path=table_path,
+            table_path=table_path, storage_options=storage_options,
         )
         res = run_suite(ctx)
 

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                                      "checkpointed runs)")
     p.add_argument("--no-resume", action="store_true",
                    help="reprocess already-committed partitions")
+    p.add_argument("--max-partitions", type=int, default=None,
+                   help="stop after N uncommitted partitions (bounded "
+                        "incremental runs; resume picks up the rest)")
     p.add_argument("--whole-table", action="store_true",
                    help="single unpartitioned run (no checkpointing)")
     p.add_argument("--s3-endpoint-url", default=None,
@@ -108,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, suite, args.table, args.results,
             registry_df=registry, baseline_df=baseline,
             resume=not args.no_resume,
+            max_partitions=args.max_partitions,
+            storage_options=storage_options,
         )
         print(
             f"run {summary.run_id}: processed {len(summary.processed)} "
