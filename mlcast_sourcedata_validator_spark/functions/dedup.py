@@ -39,6 +39,23 @@ from .hashing import (
 )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a low-partition input across the cluster before an
+    explode-heavy per-row pipeline.
+
+    A small or freshly-compacted table can arrive as a handful of file
+    splits (locally: ONE), serializing the shingle/hash map work on one
+    task — measured 2x wall on the LSH pipeline at sf0.1. At real scale
+    inputs have thousands of splits and this is a no-op; the guard only
+    fires when the scan has fewer splits than half the cluster's cores.
+    The repartition round-trip does not change any aggregate result.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _sorted_pairs(arr):
     """All forward pairs struct(a, b) from a sorted array Column — the
     intra-bucket pair expansion for banded LSH searches. Element order in
@@ -103,7 +120,8 @@ def minhash_signatures(
     """
     sh = word_shingles(F.col(text_col), n)
     exploded = (
-        df.select(F.col(id_col), F.explode(sh).alias("_s"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(sh).alias("_s"))
         .select(F.col(id_col), encw(F.col("_s")).alias("_x"))
     )
     aggs = [
@@ -189,7 +207,7 @@ def _verify_pairs_jaccard(
     Jaccard via per-pair ``size(array_intersect)`` — O(|candidates| x
     shingle count), independent of shingle popularity."""
     mk = word_shingles if use_words else char_shingles
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(mk(F.col(text_col), n)).alias("sh"),
     )
@@ -243,7 +261,7 @@ def ngram_jaccard_pairs(
             df, id_col, text_col, candidates, n, threshold, use_words
         )
     mk = word_shingles if use_words else char_shingles
-    shingled = df.select(
+    shingled = _ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(mk(F.col(text_col), n))).alias("s")
     )
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -300,7 +318,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the vote sum is positive. explode + groupBy(id) — one shuffle, partial
     aggregation map-side.
     """
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)

@@ -79,7 +79,13 @@ def extract_media_meta(df: DataFrame, id_col: str, media_col: str = "media") -> 
                 }
             )
 
-    return df.select(id_col, media_col).mapInPandas(_extract, schema=out_schema)
+    from .dedup import _ensure_parallelism
+
+    # a compacted single-file input would otherwise run the whole Arrow
+    # pipeline on one task (see _ensure_parallelism)
+    return _ensure_parallelism(df.select(id_col, media_col)).mapInPandas(
+        _extract, schema=out_schema
+    )
 
 
 def frame_sample(df: DataFrame, id_col: str, media_col: str = "media",
@@ -88,10 +94,13 @@ def frame_sample(df: DataFrame, id_col: str, media_col: str = "media",
     (video-frame-extraction plumbing: explode an index range, slice bytes).
     Pure Column expressions — the slicing pattern scales because offsets
     are computed JVM-side and bytes stay columnar."""
+    from .dedup import _ensure_parallelism
+
     n = F.length(F.col(media_col))
     offsets = F.sequence(F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("int"))
     return (
-        df.select(F.col(id_col), F.col(media_col), F.explode(offsets).alias("frame_no"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.col(media_col), F.explode(offsets).alias("frame_no"))
         .select(
             id_col,
             "frame_no",
