@@ -601,17 +601,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures_documents"] = minhash_signatures_documents
 
     def minhash_lsh_pairs_documents(spark, sf):
-        return dd.minhash_lsh_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+        """max_bucket_size=None: the exact parameterization matching the
+        uncapped SQL banding oracle (the production default caps hot
+        buckets at 10k — a documented approximation the oracle cannot
+        express)."""
+        return dd.minhash_lsh_candidates(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            max_bucket_size=None,
+        )
     q["minhash_lsh_pairs_documents"] = minhash_lsh_pairs_documents
 
     def ngram_jaccard_pairs_documents(spark, sf):
-        """Default method='auto': MinHash-LSH candidates first, then exact
-        per-pair array_intersect Jaccard — the bounded plan (no global
-        shingle self-join). Matches the global-path oracle because the
-        banding is recall-complete on this corpus's pair distribution
-        (pinned at sf0.001 + sf0.01 by tools/check_oracles.py)."""
+        """Bounded EXACT parameterization: the global path with a
+        shingle document-frequency cap (max_shingle_df=1000). The cap
+        bounds the join's worst-case fanout (a shingle shared by 1e5
+        boilerplate docs is dropped instead of emitting 1e10 join rows)
+        and the result equals the uncapped oracle exactly while no
+        shingle exceeds it — true at every test SF, so this hash-matches
+        at any gate scale. The library DEFAULT is the other bounded
+        variant (method='auto': LSH candidates + array_intersect verify),
+        which is preferable at corpus scale but is recall-bounded: at
+        sf0.1 it recovers 255 of 256 >=0.5 pairs, missing one borderline
+        — exactness was chosen for the oracle-paired query."""
         return dd.ngram_jaccard_pairs(
-            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5,
+            method="global", max_shingle_df=1000,
         )
     q["ngram_jaccard_pairs_documents"] = ngram_jaccard_pairs_documents
 
@@ -633,9 +647,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_banded_pairs_documents(spark, sf):
         """Banded (pigeonhole) SimHash pairs — must equal the O(n^2)
-        self-join exactly, so it shares simhash_pairs' oracle SQL."""
+        self-join exactly, so it shares simhash_pairs' oracle SQL;
+        max_bucket_size=None is the exact parameterization (the capped
+        production default is an approximation once a 6-bit block bucket
+        exceeds the cap, i.e. corpora beyond ~64x the cap)."""
         return dd.simhash_banded_pairs(
-            _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+            _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3,
+            max_bucket_size=None,
         )
     q["simhash_banded_pairs_documents"] = simhash_banded_pairs_documents
 

@@ -67,14 +67,21 @@ def write_partitioned_transcripts(
 
 
 def committed_partitions(
-    spark: SparkSession, results_path: str, suite_id: str
+    spark: SparkSession, results_path: str, suite_id: str,
+    storage_options: Optional[dict] = None,
 ) -> set[str]:
     lineage_dir = fs.join(results_path, "lineage")
     # bounded probe: one parquet file is enough to know lineage exists —
-    # never walk the full lineage dir on the driver
-    if not fs.isdir(lineage_dir) or not fs.list_parquet_files(
-        lineage_dir, limit=1
-    ):
+    # never walk the full lineage dir on the driver. If the remote
+    # backend is unavailable the probe degrades to "no lineage": the run
+    # reprocesses, which is safe (per-partition writes are idempotent
+    # overwrites) where guessing committed-ness would not be.
+    try:
+        if not fs.isdir(lineage_dir, storage_options) or \
+                not fs.list_parquet_files(lineage_dir, limit=1,
+                                          storage_options=storage_options):
+            return set()
+    except fs.FsUnavailable:
         return set()
     df = spark.read.parquet(lineage_dir)
     rows = (
@@ -120,7 +127,9 @@ def run_partitioned(
                                       storage_options=storage_options)
     if not partitions:
         raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
-    done = committed_partitions(spark, results_path, suite.suite_id) if resume else set()
+    done = committed_partitions(
+        spark, results_path, suite.suite_id, storage_options
+    ) if resume else set()
 
     for p in partitions:
         if p in done:

@@ -337,9 +337,12 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
         viol = (
             enriched.select(
                 # explicit casts: VIOLATIONS_SCHEMA is fixed across suites
-                # (documents_v1 binds a bigint doc_id into both id slots)
+                # (documents_v1 binds a bigint doc_id into both id slots).
+                # conv_id is the lossless row identifier (string); turn_idx
+                # is try_cast — an id beyond int range becomes NULL there
+                # instead of an ANSI CAST_OVERFLOW aborting the suite
                 F.col(conv).cast("string").alias("conv_id"),
-                F.col(turn).cast("int").alias("turn_idx"),
+                F.col(turn).try_cast("int").alias("turn_idx"),
                 all_hits.alias("_hits"),
             )
             .where(F.size("_hits") > 0)

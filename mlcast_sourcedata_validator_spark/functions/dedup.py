@@ -255,6 +255,9 @@ def ngram_jaccard_pairs(
       it are dropped from both intersection and union counts).
     """
     if candidates is None and method == "auto" and use_words:
+        # spread the corpus ONCE; the nested candidate + verify calls
+        # then see enough partitions and their guards no-op
+        df = _ensure_parallelism(df)
         candidates = minhash_lsh_candidates(df, id_col, text_col, n)
     if candidates is not None:
         return _verify_pairs_jaccard(
@@ -303,6 +306,8 @@ def lsh_verified_near_dups(
     exact word-n-gram Jaccard via per-pair array intersection
     (:func:`_verify_pairs_jaccard`) — O(|candidates| x shingle count),
     independent of shingle popularity. (id_a, id_b, jaccard)."""
+    # spread once so the nested signature + verify guards no-op
+    df = _ensure_parallelism(df)
     cand = minhash_lsh_candidates(df, id_col, text_col, n)
     return _verify_pairs_jaccard(df, id_col, text_col, cand, n, threshold)
 
@@ -373,16 +378,24 @@ def simhash_banded_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Scale path for :func:`simhash_pairs` — identical output, no O(n^2)
-    join.
+    """Scale path for :func:`simhash_pairs` — no O(n^2) join; identical
+    output while no block bucket exceeds ``max_bucket_size``.
 
     Pigeonhole: a pair within Hamming distance d must agree EXACTLY on at
     least one of d+1 disjoint bit blocks. So: explode each signature into
     its d+1 (block_idx, block_value) keys, bucket-join on them (shuffle is
-    (d+1) x n small rows; fan-in bounded by block-collision rates), then
-    verify true Hamming distance on the candidate pairs. Recall is exactly
-    1.0 vs the self-join — equality is pinned by tests and by sharing the
-    simhash_pairs oracle SQL.
+    (d+1) x n small rows), then verify true Hamming distance on the
+    candidate pairs. Recall vs the self-join is exactly 1.0 with
+    ``max_bucket_size=None`` (pinned by tests and by sharing the
+    simhash_pairs oracle SQL).
+
+    Scale caveat: 24-bit SimHash with d=3 gives 6-bit blocks — only 64
+    values per block, so average bucket size is ~n/64 and the default cap
+    starts dropping ORDINARY buckets (not just boilerplate clusters)
+    beyond ~64 x cap documents. For corpora past that size use a wider
+    fingerprint (e.g. 64-bit SimHash -> 16-bit blocks) or raise the cap
+    deliberately; at 10^12 docs banding a 24-bit signature is too coarse
+    regardless of capping.
     """
     sig = simhash(df, id_col, text_col)
     n_blocks = max_hamming + 1

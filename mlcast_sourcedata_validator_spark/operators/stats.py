@@ -178,6 +178,14 @@ def compile_unique_column(spec: CheckSpec, suite: CheckSuite, exact: bool = Fals
 
     def fn(ctx) -> ValidationReport:
         report = ValidationReport()
+        # driver checks run BEFORE the schema short-circuit gate — a
+        # missing column must be a FAIL row, not an AnalysisException
+        # (reference pattern: per-check error capture, temporal.py:54-60)
+        if col not in ctx.df.columns:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"column '{col}' is missing — uniqueness not "
+                       f"checkable")
+            return stamp(report, _MOD, "compile_unique_column")
         row = ctx.df.agg(
             F.count(F.col(col)).alias("n"),
             F.count_distinct(F.col(col)).alias("d"),

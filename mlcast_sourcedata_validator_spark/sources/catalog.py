@@ -31,8 +31,14 @@ _IDENT_RE = re.compile(
 
 def is_table_identifier(ref: Optional[str]) -> bool:
     """True when ``ref`` names a catalog table (db.tbl) rather than a
-    filesystem path/URL."""
+    filesystem path/URL. An existing local path wins over the catalog
+    (same precedence as ``tables.read_table``): ``--table events`` run
+    next to an ``events/`` directory means the directory."""
+    import os
+
     if not ref or "://" in ref or "/" in ref or "\\" in ref:
+        return False
+    if os.path.exists(ref):
         return False
     return bool(_IDENT_RE.fullmatch(ref))
 

@@ -148,7 +148,11 @@ def listdir(path: str, storage_options: Optional[dict] = None) -> list[str]:
                  for f in _MEMFS if f.startswith(prefix)}
         return sorted(names)
     fs = _fsspec_fs(scheme, storage_options)
-    return sorted(posixpath.basename(p.rstrip("/")) for p in fs.ls(path))
+    # detail=False explicitly: the AbstractFileSystem default is
+    # detail=True (dicts) on backends that don't override it
+    return sorted(
+        posixpath.basename(p.rstrip("/")) for p in fs.ls(path, detail=False)
+    )
 
 
 def iter_files(

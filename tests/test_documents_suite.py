@@ -82,6 +82,17 @@ def test_documents_suite_flags_planted_violations(spark, docs):
     assert ("n_chars_consistency", "9000001") in viol
 
 
+def test_documents_suite_schema_gate_on_missing_key(spark, docs):
+    """Dropping the key column must yield FAIL report rows (schema gate +
+    unique_column's own missing-column guard), never an
+    AnalysisException out of run_suite."""
+    res = run_suite(RunContext(spark=spark, df=docs.drop("doc_id"),
+                               suite=get_suite("documents_v1"), run_id="g"))
+    assert res.report.has_fails()
+    details = [r.detail for r in res.report.results if r.status == FAIL]
+    assert any("doc_id" in d for d in details)
+
+
 def test_dup_rate_check_tristate(spark):
     def run(texts, **params):
         df = spark.createDataFrame(
