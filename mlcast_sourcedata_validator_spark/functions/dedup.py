@@ -398,27 +398,38 @@ def simhash_banded_pairs(
     regardless of capping.
     """
     sig = simhash(df, id_col, text_col)
+    return _banded_hamming_pairs(sig, id_col, "simhash", SIMHASH_BITS,
+                                 max_hamming, max_bucket_size)
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame, id_col: str, sig_col: str, n_bits: int,
+    max_hamming: int, max_bucket_size: int | None,
+) -> DataFrame:
+    """Pigeonhole banding over any integer signature column: explode each
+    signature into its (max_hamming + 1) disjoint bit blocks, bucket-join
+    on (block_idx, block_value), verify true Hamming on candidates.
+
+    The signature rides INTO the bucket rows: pairs AND their Hamming
+    distance come straight out of the bucket arrays — one signature
+    computation, one bucket shuffle, no candidate-to-signature re-joins.
+    """
     n_blocks = max_hamming + 1
-    base, rem = divmod(SIMHASH_BITS, n_blocks)
+    base, rem = divmod(n_bits, n_blocks)
     blocks, start = [], 0
     for bi in range(n_blocks):
         w = base + (1 if bi < rem else 0)
         blocks.append(
             F.struct(
                 F.lit(bi).alias("blk"),
-                F.shiftright("simhash", start).bitwiseAND(
-                    F.lit((1 << w) - 1)
+                F.shiftright(sig_col, start).bitwiseAND(
+                    F.lit((1 << w) - 1) if w < 63 else F.lit(-1)
                 ).alias("val"),
             )
         )
         start += w
-    # Carry the signature into the bucket rows: pairs AND their Hamming
-    # distance come straight out of the bucket arrays — ONE signature
-    # computation, one bucket shuffle, no candidate-to-signature re-joins
-    # (the previous self-join + two verify joins evaluated the token
-    # explode/vote aggregation four times).
     keyed = sig.select(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("e"),
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sh")).alias("e"),
         F.explode(F.array(*blocks)).alias("b"),
     ).select("e", "b.blk", "b.val")
     buckets = (
@@ -441,6 +452,69 @@ def simhash_banded_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: (id, simhash64).
+
+    The corpus-scale fingerprint: token hash is JVM ``xxhash64`` (full
+    64-bit entropy, whole-stage codegen) — NOT the portable 24-bit
+    arithmetic of :func:`simhash` (which exists for DuckDB-oracle
+    parity). With d=3 banding, 64 bits give 16-bit blocks (65,536
+    values/block), so banded search stays exact up to ~65k x
+    max_bucket_size documents vs the 24-bit variant's ~64 x cap.
+    Correctness is pinned by the banded==self-join equality test instead
+    of a SQL oracle.
+    """
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("simhash64"))
+
+
+def simhash64_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """O(n^2) self-join twin of :func:`simhash64_banded_pairs` — the
+    equality reference for tests; never the scale path."""
+    sig = simhash64(df, id_col, text_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
+    return (
+        a.join(b, ham <= max_hamming)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+def simhash64_banded_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Scale path for 64-bit SimHash near-dup pairs — pigeonhole banding
+    (see :func:`_banded_hamming_pairs`), exact vs the self-join with
+    ``max_bucket_size=None`` (pinned in tests)."""
+    sig = simhash64(df, id_col, text_col)
+    return _banded_hamming_pairs(sig, id_col, "simhash64", 64,
+                                 max_hamming, max_bucket_size)
 
 
 def connected_components(

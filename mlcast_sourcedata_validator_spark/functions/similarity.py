@@ -79,6 +79,9 @@ def cosine_topk_batch(
     search: one scan amortized over |Q| queries, vs |Q| scans for
     one-at-a-time :func:`cosine_topk`.
     """
+    from .dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)  # |Q| x dot products per corpus row
     scored = df.crossJoin(F.broadcast(queries_df)).select(
         F.col(qid_col),
         F.col(id_col),
@@ -136,7 +139,11 @@ def rhp_multitable_buckets(
 ) -> DataFrame:
     """(id, t, bucket): L independent RHP tables of k planes each — the
     standard recall amplifier (a pair of cosine s collides in >=1 table
-    with prob 1-(1-(1-theta/pi)^k)^L). Map-side only."""
+    with prob 1-(1-(1-theta/pi)^k)^L). Map-side only — but L x k dot
+    products per row, so a single-split input must not serialize it."""
+    from .dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     entries = []
     for t in range(n_tables):
         bucket = None
@@ -272,6 +279,72 @@ def ivf_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    n_lists: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Materialize the IVF index: vectors written hive-partitioned by
+    ``list_id``, centroids in a JSON sidecar next to them.
+
+    This is the 100-TB shape of IVF: the index is a TABLE, built once,
+    and a query's ``nprobe`` lists map to PARTITION PRUNING on the read —
+    Spark's file index skips every unprobed ``list_id=`` directory, so a
+    16-list/1-probe search reads ~1/16th of the data with zero custom
+    machinery (cf. the in-memory :func:`ivf_topk`, which filters after a
+    full scan of the input DataFrame).
+    """
+    import json
+
+    from ..sources import fs
+
+    cents = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed, max_iter=max_iter)
+    assign = ivf_assign(df, id_col, vec_col, cents)
+    df.join(assign, id_col).write.mode("overwrite") \
+        .partitionBy("list_id").parquet(index_path)
+    fs.write_text(fs.join(index_path, "_ivf_centroids.json"),
+                  json.dumps(cents))
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index: read ONLY the query's ``nprobe``
+    nearest lists via hive partition pruning on ``list_id``, then exact
+    cosine top-k over the candidates. With ``nprobe == n_lists`` equals
+    brute force (same invariant as :func:`ivf_topk`)."""
+    import json
+
+    from ..sources import fs
+
+    cents = json.loads(fs.read_text(fs.join(index_path,
+                                            "_ivf_centroids.json")))
+    qscores = [
+        sum(a * b for a, b in zip(query_vec, c)) - sum(x * x for x in c) / 2.0
+        for c in cents
+    ]
+    probe = sorted(range(len(cents)), key=lambda j: -qscores[j])[:nprobe]
+    cand = spark.read.parquet(index_path).where(F.col("list_id").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )

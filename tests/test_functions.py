@@ -103,6 +103,27 @@ def test_lsh_candidates_feed_jaccard_verify(spark, docs):
     assert {(5, 100), (6, 101), (7, 102), (10, 103), (11, 104)} <= pairs
 
 
+def test_simhash64_banded_equals_self_join(spark, docs):
+    """64-bit (xxhash64) SimHash: the pigeonhole-banded search must equal
+    the O(n^2) self-join exactly (max_bucket_size=None), and planted
+    dups/near-dups must land within the Hamming radius."""
+    ref = {(r.id_a, r.id_b, r.hamming)
+           for r in dd.simhash64_pairs(docs, "doc_id", "text",
+                                       max_hamming=6).collect()}
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in dd.simhash64_banded_pairs(
+                  docs, "doc_id", "text", max_hamming=6,
+                  max_bucket_size=None).collect()}
+    assert banded == ref
+    pairs = {(a, b) for a, b, _ in ref}
+    assert {(5, 100), (6, 101), (7, 102)} <= pairs  # exact dups: ham 0
+    sig = {r.doc_id: r.simhash64
+           for r in dd.simhash64(docs, "doc_id", "text").collect()}
+    assert sig[5] == sig[100]
+    # one token of 30 changed: few bits flip on a 64-bit fingerprint
+    assert bin((sig[10] ^ sig[103]) & (2**64 - 1)).count("1") <= 16
+
+
 def test_connected_components_chain_and_clusters(spark, docs):
     """Hash-min label propagation: a 6-node chain (diameter 5, forces
     multiple rounds) plus a triangle and an isolated pair — every node
@@ -314,3 +335,40 @@ def test_lsh_hot_bucket_guard(spark):
     s_exact = dd.simhash_banded_pairs(df, "doc_id", "text")
     s_capped = dd.simhash_banded_pairs(df, "doc_id", "text", max_bucket_size=8)
     assert s_capped.count() <= s_exact.count()
+
+
+def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index is a hive table partitioned by list_id:
+    an nprobe search must (a) prune unprobed list directories at the file
+    index (plan shows PartitionFilters and reads a strict subset of
+    files), and (b) with nprobe == n_lists equal brute-force top-k."""
+    from mlcast_sourcedata_validator_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(v) for v in
+          emb.where("vec_id = 0").select("embedding").first()[0]]
+    rest = emb.where("vec_id != 0").localCheckpoint()
+    idx = str(tmp_path / "ivf_index")
+    cents = sim.ivf_build_index(rest, "vec_id", "embedding", idx,
+                                n_lists=8, seed=7)
+    assert len(cents) == 8
+
+    probed = sim.ivf_topk_indexed(spark, idx, "vec_id", "embedding",
+                                  qv, k=10, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # files actually READ under the filter (inputFiles() ignores filters)
+    read_files = lambda q: (  # noqa: E731
+        spark.read.parquet(idx).where(q)
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert 0 < read_files("list_id IN (0,1)") < read_files("true")
+
+    exact = {r.vec_id for r in sim.cosine_topk(rest, "vec_id", "embedding",
+                                               qv, k=10).collect()}
+    full = sim.ivf_topk_indexed(spark, idx, "vec_id", "embedding",
+                                qv, k=10, nprobe=8)
+    assert {r.vec_id for r in full.collect()} == exact
+    # sublinear probe keeps decent recall on this data
+    got = {r.vec_id for r in probed.collect()}
+    assert len(got & exact) >= 5
