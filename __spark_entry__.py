@@ -749,6 +749,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["langid_documents"] = langid_documents
 
+    def text_repetition_documents(spark, sf):
+        """Repetition quality signals (dup-sentence ratio, top-token
+        share) — the degenerate-text filter of an LLM data pipeline."""
+        return tx.text_repetition(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_repetition_documents"] = text_repetition_documents
+
     def pipeline_clean_documents(spark, sf):
         """The composed training-data pipeline: text profiling -> quality +
         language filter -> exact dedup -> per-language summary. All stages
@@ -1491,6 +1497,22 @@ def _all_oracles() -> dict[str, str]:
         SELECT lang, {lang_case} AS lang_guess, count(*)::BIGINT AS n
         FROM documents GROUP BY 1, 2"""
 
+    o["text_repetition_documents"] = """
+        WITH s AS (
+          SELECT doc_id, string_split(text, '. ') AS sents FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tc AS (
+          SELECT doc_id, t, count(*) AS c FROM tok
+          WHERE length(t) > 0 GROUP BY 1, 2),
+        tt AS (
+          SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY doc_id)
+        SELECT s.doc_id, len(sents)::INT AS n_sentences,
+               round(1 - len(list_distinct(sents))::DOUBLE / len(sents), 6)
+                 AS dup_sentence_ratio,
+               round(mx::DOUBLE / tot, 6) AS top_token_ratio
+        FROM s JOIN tt ON s.doc_id = tt.doc_id"""
+
     o["pipeline_clean_documents"] = f"""
         WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
         keep AS (SELECT doc_id FROM prof
@@ -1677,6 +1699,9 @@ _EXTRA_ORDER = [
     "dedup_clusters_documents",
     # PART-table coverage; join+conditional-agg twin of in-window q3/q5
     "q14_promo_revenue",
+    # repetition quality signals; string/agg twin of in-window
+    # text_profile_documents
+    "text_repetition_documents",
 ]
 
 

@@ -121,3 +121,38 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition signals for LLM-data quality filtering:
+    (id, n_sentences, dup_sentence_ratio, top_token_ratio).
+
+    - ``dup_sentence_ratio``: fraction of '. '-separated sentences that
+      are repeats of an earlier one — pure array expressions
+      (``array_distinct``), zero shuffle.
+    - ``top_token_ratio``: most-frequent-token share of all whitespace
+      tokens (a high value flags degenerate/repeated text). Computed as
+      explode -> (id, token) count -> per-id max/sum: two hash
+      aggregations on the id key (map-side partials; the second reuses
+      the first's partitioning), NOT a higher-order array fold — array
+      lambdas evaluate interpreted and quadratically for mode-finding.
+
+    Documents whose text has no non-empty tokens drop out (same as the
+    oracle's inner join).
+    """
+    sents = F.split(F.col(text_col), "\\. ")
+    base = df.select(
+        F.col(id_col),
+        F.size(sents).cast("int").alias("n_sentences"),
+        F.round(
+            1 - F.size(F.array_distinct(sents)).cast("double") / F.size(sents), 6
+        ).alias("dup_sentence_ratio"),
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t"))
+        .where(F.length("_t") > 0)
+        .groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("_c") / F.sum("_c"), 6).alias("top_token_ratio"))
+    )
+    return base.join(toks, id_col)

@@ -88,6 +88,16 @@ def suite() -> CheckSuite:
             {"column": "text", "warn_frac": 0.05, "max_frac": 0.2},
         ),
         CheckSpec(
+            "drift_doc_len", "drift", "4.8 drift",
+            "The document-length distribution SHOULD NOT drift from the "
+            "baseline snapshot (KS<=0.15 WARN, <=0.30 FAIL; PSI<=0.2 "
+            "WARN, <=0.5 FAIL).",
+            {"metric": "doc_len_chars", "expr": "length(text)",
+             "scale": "log", "lo": 1.0, "hi": 100000.0, "n_bins": 32,
+             "warn_ks": 0.15, "max_ks": 0.30, "warn_psi": 0.2,
+             "max_psi": 0.5},
+        ),
+        CheckSpec(
             "license", "license", "5.1 licensing",
             "The table MUST declare a 'license' property; it SHOULD be a "
             "valid SPDX expression from the recommended list; NC/ND "

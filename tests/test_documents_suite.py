@@ -82,6 +82,38 @@ def test_documents_suite_flags_planted_violations(spark, docs):
     assert ("n_chars_consistency", "9000001") in viol
 
 
+def test_documents_suite_drift_check(spark, docs):
+    """documents_v1 drift: no baseline -> WARNING skip; self-baseline ->
+    PASS with KS~0; shifted baseline -> drift flagged."""
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_baseline,
+    )
+
+    no_base = run_suite(RunContext(spark=spark, df=docs,
+                                   suite=get_suite("documents_v1"),
+                                   run_id="nb"))
+    drift_rows = [r for r in no_base.report.results
+                  if r.section == "4.8 drift"]
+    assert [r.status for r in drift_rows] == [WARNING]
+
+    base = build_baseline(docs, expr="length(text)",
+                          metric="doc_len_chars", scale="log",
+                          lo=1.0, hi=100000.0, n_bins=32)
+    same = run_suite(RunContext(spark=spark, df=docs,
+                                suite=get_suite("documents_v1"),
+                                run_id="sb", baseline_df=base))
+    dr = [r for r in same.report.results if r.section == "4.8 drift"]
+    assert [r.status for r in dr] == [PASS], [r.detail for r in dr]
+
+    shifted = docs.withColumn(
+        "text", F.concat(F.col("text"), F.repeat(F.lit("x"), 4000)))
+    moved = run_suite(RunContext(spark=spark, df=shifted,
+                                 suite=get_suite("documents_v1"),
+                                 run_id="mb", baseline_df=base))
+    dr2 = [r for r in moved.report.results if r.section == "4.8 drift"]
+    assert dr2 and dr2[0].status in (WARNING, FAIL) and "ks" in dr2[0].detail.lower()
+
+
 def test_documents_suite_schema_gate_on_missing_key(spark, docs):
     """Dropping the key column must yield FAIL report rows (schema gate +
     unique_column's own missing-column guard), never an
