@@ -233,6 +233,11 @@ def main() -> int:
             "metric": "full_suite_wall_sec",
             "value": round(wall_hi, 3),
             "unit": "sec",
+            # cross-round continuity: the bench table grew 4x in round 2
+            # (9.88M -> 39.5M turns, see BENCH/BASELINE.md) — compare
+            # suite_turns_per_sec_*, not raw wall seconds, across rounds
+            "note": f"wall over {n_rows} turns; per-round comparable "
+                    f"metric is suite_turns_per_sec_hi",
             "queries": per_query,
             "suite_turns": n_rows,
             "suite_turns_per_sec_hi": round(thr_hi, 1),
