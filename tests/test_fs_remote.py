@@ -150,3 +150,81 @@ def _mem_table_with(compression: str, root: str) -> str:
     with fs.open_file(f"{root}/date=2024-01-01/part-0.parquet", "wb") as f:
         f.write(_parquet_bytes(compression))
     return root
+
+
+class _FakeFsspecFS:
+    """Minimal AbstractFileSystem stand-in over a local directory: maps
+    'fake://<rest>' to <root>/<rest>. Mirrors the base-class quirk that
+    ls() defaults to detail=True (dict listings)."""
+
+    def __init__(self, root):
+        self.root = root
+
+    def _p(self, path):
+        rest = path.split("://", 1)[1] if "://" in path else path
+        return os.path.join(self.root, rest)
+
+    def exists(self, path):
+        return os.path.exists(self._p(path))
+
+    def isdir(self, path):
+        return os.path.isdir(self._p(path))
+
+    def open(self, path, mode="rb"):
+        if "w" in mode:
+            os.makedirs(os.path.dirname(self._p(path)), exist_ok=True)
+        return open(self._p(path), mode)
+
+    def ls(self, path, detail=True):
+        entries = sorted(os.listdir(self._p(path)))
+        if detail:  # base-class default: list of dicts
+            return [{"name": e, "type": "other"} for e in entries]
+        return [path.rstrip("/") + "/" + e for e in entries]
+
+    def walk(self, path):
+        for root, dirs, files in os.walk(self._p(path)):
+            rel = os.path.relpath(root, self.root)
+            yield rel.replace(os.sep, "/"), sorted(dirs), sorted(files)
+
+
+@pytest.fixture
+def fake_fsspec(tmp_path, monkeypatch):
+    import sys
+    import types
+
+    inst = _FakeFsspecFS(str(tmp_path))
+    mod = types.ModuleType("fsspec")
+    created = {}
+
+    def filesystem(scheme, **storage_options):
+        created["scheme"] = scheme
+        created["opts"] = storage_options
+        return inst
+
+    mod.filesystem = filesystem
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    return tmp_path, created
+
+
+def test_fsspec_backend_roundtrip(fake_fsspec):
+    """The fsspec code path (scheme dispatch, storage_options plumbing,
+    detail=False listing, walk-based bounded iteration) exercised against
+    a stand-in filesystem — the sandbox has no real fsspec."""
+    root, created = fake_fsspec
+    fs.write_text("fake://tbl/sub/_table_properties.json", '{"license": "MIT"}',
+                  storage_options={"anon": True})
+    assert created["scheme"] == "fake" and created["opts"] == {"anon": True}
+    assert fs.exists("fake://tbl/sub/_table_properties.json")
+    assert fs.isdir("fake://tbl")
+    assert fs.read_text("fake://tbl/sub/_table_properties.json") == \
+        '{"license": "MIT"}'
+    # detail=True default of the base class must not leak dicts
+    assert fs.listdir("fake://tbl") == ["sub"]
+    (root / "tbl" / "a.parquet").write_bytes(b"x")
+    (root / "tbl" / "sub" / "b.parquet").write_bytes(b"x")
+    got = fs.list_parquet_files("fake://tbl", limit=1)
+    assert len(got) == 1 and got[0].startswith("fake://")
+    assert len(fs.list_parquet_files("fake://tbl")) == 2
+
+    props = read_table_properties("fake://tbl/sub")
+    assert props == {"license": "MIT"}
