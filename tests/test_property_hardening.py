@@ -1,0 +1,117 @@
+"""Property tests: the SPDX fallback parser against generated expression
+trees, and connected components against a pure-python union-find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mlcast_sourcedata_validator_spark.functions.dedup import (
+    connected_components,
+)
+from mlcast_sourcedata_validator_spark.operators.licensing import (
+    KNOWN_EXCEPTIONS,
+    KNOWN_SPDX,
+    _normalize_fallback,
+)
+
+
+# --- SPDX expression generator ----------------------------------------------
+
+def _expr_tree(rng: random.Random, depth: int) -> tuple[str, str]:
+    """(scrambled_rendering, canonical_rendering) of a random valid SPDX
+    expression."""
+    if depth == 0 or rng.random() < 0.4:
+        lic = rng.choice(KNOWN_SPDX)
+        plus = "+" if rng.random() < 0.2 else ""
+        out = lic + plus
+        if rng.random() < 0.2:
+            exc = rng.choice(KNOWN_EXCEPTIONS)
+            scrambled = f"{_scramble(rng, lic)}{plus} " \
+                        f"{_rand_case(rng, 'WITH')} {_scramble(rng, exc)}"
+            return scrambled, f"{out} WITH {exc}"
+        return _scramble(rng, lic) + plus, out
+    op = rng.choice(["AND", "OR"])
+    ls, lc = _expr_tree(rng, depth - 1)
+    rs, rc = _expr_tree(rng, depth - 1)
+    if rng.random() < 0.5:
+        return (f"({ls} {_rand_case(rng, op)} {rs})",
+                f"({lc} {op} {rc})")
+    return f"{ls} {_rand_case(rng, op)} {rs}", f"{lc} {op} {rc}"
+
+
+def _scramble(rng: random.Random, ident: str) -> str:
+    return "".join(
+        c.upper() if rng.random() < 0.5 else c.lower() for c in ident
+    )
+
+
+def _rand_case(rng: random.Random, word: str) -> str:
+    return word.upper() if rng.random() < 0.5 else word.lower()
+
+
+@given(st.integers(min_value=0, max_value=2 ** 32 - 1),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=200, deadline=None)
+def test_spdx_fallback_normalizes_generated_expressions(seed, depth):
+    rng = random.Random(seed)
+    scrambled, canonical = _expr_tree(rng, depth)
+    assert _normalize_fallback(scrambled) == canonical
+    # canonical input is a fixed point
+    assert _normalize_fallback(canonical) == canonical
+
+
+@given(st.integers(min_value=0, max_value=2 ** 32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_spdx_fallback_rejects_mutations(seed):
+    rng = random.Random(seed)
+    _, canonical = _expr_tree(rng, 2)
+    toks = canonical.replace("(", " ( ").replace(")", " ) ").split()
+    mutation = rng.choice(["junk_id", "drop_tail", "unbalance"])
+    if mutation == "junk_id":
+        idx = [i for i, t in enumerate(toks)
+               if t not in ("(", ")", "AND", "OR", "WITH")]
+        toks[rng.choice(idx)] = "Not-A-License-9.9"
+        bad = " ".join(toks)
+    elif mutation == "drop_tail":
+        bad = " ".join(toks) + " OR"
+    else:
+        bad = "(" + " ".join(toks)
+    assert _normalize_fallback(bad) is None
+
+
+# --- connected components vs union-find -------------------------------------
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_connected_components_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2)))
+        for _ in range(rng.randint(5, 60))
+    })
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id
+           for r in connected_components(pairs, max_iter=50).collect()}
+    assert got == _uf_components(edges)
