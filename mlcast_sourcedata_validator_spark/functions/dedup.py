@@ -350,6 +350,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def _hamming_self_join(
+    sig: DataFrame, id_col: str, sig_col: str, max_hamming: int,
+    cast_int: bool = False,
+) -> DataFrame:
+    """O(n^2) Hamming self-join over a signature table — the equality
+    reference / oracle twin for the banded searches; never the scale
+    path. Shared by both SimHash widths so twin semantics cannot
+    diverge."""
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
+    out = ham.cast("int") if cast_int else ham
+    return (
+        a.join(b, ham <= max_hamming)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            out.alias("hamming"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -361,17 +383,7 @@ def simhash_pairs(
     within distance d shares at least one of d+1 blocks exactly).
     """
     sig = simhash(df, id_col, text_col)
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, ham <= max_hamming)
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
-    )
+    return _hamming_self_join(sig, id_col, "simhash", max_hamming)
 
 
 def simhash_banded_pairs(
@@ -492,17 +504,8 @@ def simhash64_pairs(
     """O(n^2) self-join twin of :func:`simhash64_banded_pairs` — the
     equality reference for tests; never the scale path."""
     sig = simhash64(df, id_col, text_col)
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
-    return (
-        a.join(b, ham <= max_hamming)
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-    )
+    return _hamming_self_join(sig, id_col, "simhash64", max_hamming,
+                              cast_int=True)
 
 
 def simhash64_banded_pairs(

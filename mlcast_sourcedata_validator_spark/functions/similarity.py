@@ -234,22 +234,50 @@ def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
     return scores
 
 
-def ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
-) -> DataFrame:
-    """Assign each vector to its nearest centroid: (id, list_id).
-
-    Pure map-side Column expressions (no Python, no shuffle): an array of
-    (score, j) structs reduced with array_max — struct comparison is
-    lexicographic, so ties break deterministically toward the larger j.
-    At scale this is the partition column of the IVF index table.
-    """
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Map-side nearest-centroid Column expression (no Python, no
+    shuffle): an array of (score, j) structs reduced with array_max —
+    struct comparison is lexicographic, so ties break deterministically
+    toward the larger j. At scale this is the partition column of the
+    IVF index table."""
     scored = F.array(*[
         F.struct(s.alias("s"), F.lit(j).alias("j"))
         for j, s in enumerate(_centroid_scores(F.col(vec_col), centroids))
     ])
+    return F.array_max(scored)["j"]
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: (id, list_id)."""
     return df.select(
-        F.col(id_col), F.array_max(scored)["j"].alias("list_id")
+        F.col(id_col), ivf_assign_expr(vec_col, centroids).alias("list_id")
+    )
+
+
+def _probe_lists(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The query's ``nprobe`` nearest lists (same euclidean decomposition
+    as :func:`_centroid_scores`) — shared by the in-memory and persisted
+    search paths so probe selection cannot diverge."""
+    qscores = [
+        sum(a * b for a, b in zip(query_vec, c)) - sum(x * x for x in c) / 2.0
+        for c in centroids
+    ]
+    return sorted(range(len(centroids)), key=lambda j: -qscores[j])[:nprobe]
+
+
+def _cosine_topk_over(
+    cand: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -267,21 +295,14 @@ def ivf_topk(
 
     With ``nprobe == len(centroids)`` this probes every list and equals
     brute-force :func:`cosine_topk` exactly (the correctness invariant the
-    tests pin).
+    tests pin). Assignment is a map-side expression on the scan — no
+    self-join, no extra pass.
     """
-    qscores = [
-        sum(a * b for a, b in zip(query_vec, c)) - sum(x * x for x in c) / 2.0
-        for c in centroids
-    ]
-    probe = sorted(range(len(centroids)), key=lambda j: -qscores[j])[:nprobe]
-    assign = ivf_assign(df, id_col, vec_col, centroids)
-    cand = df.join(assign, id_col).where(F.col("list_id").isin(probe))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
+    probe = _probe_lists(query_vec, centroids, nprobe)
+    cand = df.where(
+        ivf_assign_expr(vec_col, centroids).isin(probe)
     )
+    return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)
 
 
 def ivf_build_index(
@@ -308,9 +329,10 @@ def ivf_build_index(
     from ..sources import fs
 
     cents = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed, max_iter=max_iter)
-    assign = ivf_assign(df, id_col, vec_col, cents)
-    df.join(assign, id_col).write.mode("overwrite") \
-        .partitionBy("list_id").parquet(index_path)
+    # list_id is a map-side expression on the same scan — a join back to
+    # ivf_assign() would scan df twice and shuffle the whole corpus
+    df.withColumn("list_id", ivf_assign_expr(vec_col, cents)) \
+        .write.mode("overwrite").partitionBy("list_id").parquet(index_path)
     fs.write_text(fs.join(index_path, "_ivf_centroids.json"),
                   json.dumps(cents))
     return cents
@@ -335,19 +357,9 @@ def ivf_topk_indexed(
 
     cents = json.loads(fs.read_text(fs.join(index_path,
                                             "_ivf_centroids.json")))
-    qscores = [
-        sum(a * b for a, b in zip(query_vec, c)) - sum(x * x for x in c) / 2.0
-        for c in cents
-    ]
-    probe = sorted(range(len(cents)), key=lambda j: -qscores[j])[:nprobe]
+    probe = _probe_lists(query_vec, cents, nprobe)
     cand = spark.read.parquet(index_path).where(F.col("list_id").isin(probe))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        cand.select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
-    )
+    return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)
 
 
 def ann_lsh_topk(

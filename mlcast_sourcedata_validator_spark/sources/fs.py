@@ -158,10 +158,16 @@ def listdir(path: str, storage_options: Optional[dict] = None) -> list[str]:
 def iter_files(
     path: str, storage_options: Optional[dict] = None
 ) -> Iterator[str]:
-    """Recursively yield file paths under ``path`` in deterministic
-    (sorted) order. A GENERATOR so callers can stop early — at 100 TB a
-    table has ~1e6 files and a full listing is minutes of driver time;
-    bounded consumers (footer sampling) must not pay for it."""
+    """Recursively yield file paths under ``path``. A GENERATOR so
+    callers can stop early — at 100 TB a table has ~1e6 files and a full
+    listing is minutes of driver time; bounded consumers (footer
+    sampling) must not pay for it.
+
+    Ordering: deterministic (fully sorted) for the local and memory
+    backends; for fsspec backends files are sorted WITHIN each directory
+    but directory visit order is backend-defined (AbstractFileSystem.walk
+    does not honor in-place dirs mutation the way os.walk does) — bounded
+    samplers don't care, and full listings are order-insensitive."""
     scheme, rest = split_scheme(path)
     if scheme in (None, "file"):
         for root, dirs, files in os.walk(rest):
@@ -176,8 +182,7 @@ def iter_files(
                 yield f"memory://{k.lstrip('/')}"
         return
     fs = _fsspec_fs(scheme, storage_options)
-    for root, dirs, files in fs.walk(path):
-        dirs.sort()
+    for root, _dirs, files in fs.walk(path):
         for f in sorted(files):
             yield f"{scheme}://{posixpath.join(root, f)}".replace(
                 f"{scheme}://{scheme}://", f"{scheme}://"

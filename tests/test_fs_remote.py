@@ -177,14 +177,24 @@ class _FakeFsspecFS:
 
     def ls(self, path, detail=True):
         entries = sorted(os.listdir(self._p(path)))
-        if detail:  # base-class default: list of dicts
-            return [{"name": e, "type": "other"} for e in entries]
-        return [path.rstrip("/") + "/" + e for e in entries]
+        full = [path.rstrip("/") + "/" + e for e in entries]
+        if detail:  # base-class default: dicts with FULL paths as names
+            return [
+                {"name": f,
+                 "type": "directory" if os.path.isdir(self._p(f)) else "file"}
+                for f in full
+            ]
+        return full
 
     def walk(self, path):
-        for root, dirs, files in os.walk(self._p(path)):
+        # real AbstractFileSystem.walk ignores in-place dirs mutation and
+        # visits directories in backend-defined order — emulate that by
+        # yielding copies in REVERSED order so any caller relying on
+        # os.walk-style control would be caught
+        levels = list(os.walk(self._p(path)))
+        for root, dirs, files in reversed(levels):
             rel = os.path.relpath(root, self.root)
-            yield rel.replace(os.sep, "/"), sorted(dirs), sorted(files)
+            yield rel.replace(os.sep, "/"), list(dirs), list(files)
 
 
 @pytest.fixture

@@ -355,8 +355,13 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
 
     probed = sim.ivf_topk_indexed(spark, idx, "vec_id", "embedding",
                                   qv, k=10, nprobe=2)
+    import re
+
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "list_id" in plan
+    # the list_id predicate must be INSIDE the PartitionFilters bracket —
+    # 'PartitionFilters: []' with list_id elsewhere would mean pruning
+    # was lost (e.g. a cast wrapped the partition column)
+    assert re.search(r"PartitionFilters: \[[^\]]*list_id", plan), plan
     # files actually READ under the filter (inputFiles() ignores filters)
     read_files = lambda q: (  # noqa: E731
         spark.read.parquet(idx).where(q)

@@ -1,11 +1,13 @@
 """Build the --py-files archive for cluster submission.
 
-Usage::
+Usage (spark-submit takes a script, not a -m module — use a 3-line
+runner that calls cli.main, as tests/test_packaging.py does)::
 
     python tools/make_pyfiles_zip.py [out.zip]
+    printf 'import sys\\nfrom mlcast_sourcedata_validator_spark.cli '\\
+        'import main\\nsys.exit(main(sys.argv[1:]))\\n' > run_cli.py
     spark-submit --master ... \
-        --py-files mlcast_sourcedata_validator_spark.zip \
-        -m mlcast_sourcedata_validator_spark.cli \
+        --py-files mlcast_sourcedata_validator_spark.zip run_cli.py \
         --suite transcripts_v1 --table s3://bucket/transcripts \
         --registry s3://bucket/registry --results s3://bucket/results
 
