@@ -622,16 +622,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         variant (method='auto': LSH candidates + array_intersect verify),
         which is preferable at corpus scale but is recall-bounded: at
         sf0.1 it recovers 255 of 256 >=0.5 pairs, missing one borderline
-        — exactness was chosen for the oracle-paired query."""
+        — exactness was chosen for the oracle-paired query.
+        hot_shingle_action='fail' turns the exactness precondition into a
+        runtime assertion: if a shingle's document frequency ever exceeds
+        the cap at gate scale, the query fails loudly instead of silently
+        dropping pairs the uncapped oracle includes."""
         return dd.ngram_jaccard_pairs(
             _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5,
-            method="global", max_shingle_df=1000,
+            method="global", max_shingle_df=1000, hot_shingle_action="fail",
         )
     q["ngram_jaccard_pairs_documents"] = ngram_jaccard_pairs_documents
 
     def lsh_verified_near_dups_documents(spark, sf):
+        """max_bucket_size=None: exact parameterization matching the
+        uncapped SQL oracle (same pinning as minhash_lsh_pairs_documents
+        and simhash_banded_pairs_documents — the production default caps
+        hot buckets at 10k, which the oracle cannot express)."""
         return dd.lsh_verified_near_dups(
-            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5,
+            max_bucket_size=None,
         )
     q["lsh_verified_near_dups_documents"] = lsh_verified_near_dups_documents
 
@@ -671,6 +680,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.embedding_lsh_near_dup_pairs(
             _t(spark, sf, "embeddings"), "vec_id", "embedding",
             threshold=0.4, n_tables=16, n_planes=2,
+            dim=64,  # testdata embedding dim; explicit => no first-row probe job
         )
     q["embedding_lsh_near_dup_pairs"] = embedding_lsh_near_dup_pairs_q
 
@@ -679,9 +689,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (iterative hash-min label propagation, converges in diameter
         rounds) -> cluster id/size/representative. Oracle: the same pairs
         via SQL + a WITH RECURSIVE transitive closure taking min reachable
-        id."""
+        id. max_bucket_size=None: the recursive-CTE oracle is uncapped, so
+        the Spark side must run the exact (uncapped) LSH candidate stage
+        too."""
         return dd.dedup_clusters(
-            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5,
+            max_bucket_size=None,
         )
     q["dedup_clusters_documents"] = dedup_clusters_documents
 
@@ -939,18 +952,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def streaming_dedup_events(spark, sf):
         """Stateful streaming dedup: the event stream unioned with itself
-        (every row arrives twice), dropDuplicates('event_id') keyed state
-        removes the copies, then a per-type aggregate. Result must equal
-        the batch DISTINCT the oracle runs."""
+        (every row arrives twice), dropDuplicatesWithinWatermark on
+        event_id removes the copies, then a per-type aggregate. Result
+        must equal the batch DISTINCT the oracle runs.
+
+        dropDuplicatesWithinWatermark — NOT plain dropDuplicates — so the
+        keyed dedup state is BOUNDED: a key's state is evicted once the
+        event-time watermark passes its timestamp + delay, instead of
+        growing with total distinct keys forever (the 100-TB hazard). The
+        24h delay comfortably covers the duplicate-arrival skew here
+        (both copies of a row carry the SAME event time and arrive in the
+        same availableNow batch), so the drained result still equals
+        batch DISTINCT exactly."""
         _stream_seq[0] += 1
         qname = f"stream_dedup_{_stream_seq[0]}"
         sch = _t(spark, sf, "events").schema
         src = os.path.join(sf, "events*.parquet")
 
         def _read():
-            return spark.readStream.schema(sch).parquet(src)
+            return (
+                spark.readStream.schema(sch).parquet(src)
+                # watermark needs TIMESTAMP; NTZ->TZ lossless under UTC
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
 
-        dedup = _read().unionByName(_read()).dropDuplicates(["event_id"])
+        dedup = (
+            _read().unionByName(_read())
+            .withWatermark("ts", "24 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
         agg = dedup.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),

@@ -218,15 +218,31 @@ def main() -> int:
 
     # per-round pairing: a round's four sessions run back-to-back, so its
     # suite/ideal-job walls saw comparable ambient load — normalizing
-    # within a round and taking the best (least-contaminated) round is
-    # more faithful than pairing minima that may come from different
-    # contention regimes. All rounds are reported for scrutiny.
-    per_round_raw, per_round_norm = [], []
+    # within a round is more faithful than pairing minima that may come
+    # from different contention regimes. All rounds are reported for
+    # scrutiny; a round whose calibration walls diverge >2x from the
+    # best round's is CONTAMINATED (ambient load moved between its
+    # calibration and suite measurements) and is excluded from the
+    # headline, which is the MEDIAN of the clean rounds — never the max
+    # (round 2 headlined a max() of 5.237 from exactly such a round).
+    per_round_raw, per_round_norm, clean_rounds = [], [], []
     for r in range(len(suite_walls[CPUS])):
         rr = suite_walls[LOW_CPUS][r] / (factor * suite_walls[CPUS][r])
         rc = calib_walls[LOW_CPUS][r] / (factor * calib_walls[CPUS][r])
         per_round_raw.append(round(rr, 3))
         per_round_norm.append(round(rr / rc, 3) if rc > 0 else float("nan"))
+        contaminated = (
+            calib_walls[CPUS][r] > 2.0 * cal_hi
+            or calib_walls[LOW_CPUS][r] > 2.0 * cal_lo
+            or suite_walls[CPUS][r] > 2.0 * wall_hi
+            or suite_walls[LOW_CPUS][r] > 2.0 * wall_lo
+        )
+        if not contaminated:
+            clean_rounds.append(per_round_norm[-1])
+    if not clean_rounds:  # all rounds contended: fall back to everything
+        clean_rounds = per_round_norm
+    import statistics
+    headline_norm = statistics.median(clean_rounds)
 
     result.update(
         {
@@ -246,10 +262,14 @@ def main() -> int:
             "cores_lo": LOW_CPUS,
             "scaling_efficiency_raw": round(raw_eff, 3),
             "hardware_ceiling_efficiency": round(ceiling_eff, 3),
-            "scaling_efficiency_normalized": round(max(per_round_norm), 3),
+            # headline = MEDIAN of non-contaminated rounds (calibration
+            # wall within 2x of the best round's); min-paired kept as the
+            # conservative floor, per-round list as the full evidence
+            "scaling_efficiency_normalized": round(headline_norm, 3),
             "scaling_efficiency_normalized_minpaired": round(norm_eff, 3),
             "scaling_per_round_raw": per_round_raw,
             "scaling_per_round_normalized": per_round_norm,
+            "scaling_rounds_used": len(clean_rounds),
             # raw calibration walls (ideal scan+agg over the same table):
             # lets a reader judge how contended the shared sandbox was
             # during THIS run — compare across runs

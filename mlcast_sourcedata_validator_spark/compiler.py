@@ -50,6 +50,7 @@ from .operators import (
     schema_check,
     stats,
     storage,
+    text_quality,
 )
 from .report import VIOLATIONS_SCHEMA, ValidationReport
 from .suite import (
@@ -77,6 +78,9 @@ _COMPILERS = {
     "min_rows": stats.compile_min_rows,
     "unique_column": stats.compile_unique_column,
     "dup_rate": stats.compile_dup_rate,
+    # text quality (fused agg band + map-side violation rows)
+    "text_quality": text_quality.compile_text_quality,
+    "text_repetition": text_quality.compile_text_repetition,
     # row predicates
     "domain": domains.compile_domain,
     "conditional_column": domains.compile_conditional_column,

@@ -233,6 +233,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     method: str = "auto",
     max_shingle_df: int | None = None,
+    hot_shingle_action: str = "drop",
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs >= threshold: (id_a, id_b, jaccard).
 
@@ -251,9 +252,17 @@ def ngram_jaccard_pairs(
     - ``method='global'``: the exact all-pairs shingle self-join — the
       oracle twin for small-scale verification. ``max_shingle_df`` caps a
       shingle's document frequency before the join (a safety valve:
-      results are exact while no shingle exceeds the cap; shingles above
-      it are dropped from both intersection and union counts).
+      results are exact while no shingle exceeds the cap).
+      ``hot_shingle_action`` decides what happens when one does:
+      ``'drop'`` removes it from both intersection and union counts (a
+      documented approximation); ``'fail'`` rides an ``assert_true`` on
+      the join input so the query fails LOUDLY instead of silently
+      diverging from the uncapped semantics — the right setting whenever
+      the result is compared against an uncapped oracle.
     """
+    if hot_shingle_action not in ("drop", "fail"):
+        raise ValueError(f"hot_shingle_action must be 'drop' or 'fail', "
+                         f"got {hot_shingle_action!r}")
     if candidates is None and method == "auto" and use_words:
         # spread the corpus ONCE; the nested candidate + verify calls
         # then see enough partitions and their guards no-op
@@ -273,7 +282,26 @@ def ngram_jaccard_pairs(
             shingled.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_shingle_df).select("s")
         )
-        shingled = shingled.join(hot, "s", "left_anti")
+        if hot_shingle_action == "fail":
+            # assert in the row path: a shingle over the cap trips the
+            # assertion on its first joined row — same shuffle as the
+            # anti-join, but exactness is enforced instead of assumed
+            marked = hot.withColumn("_hot", F.lit(True))
+            shingled = (
+                shingled.join(marked, "s", "left")
+                .where(F.coalesce(
+                    F.assert_true(
+                        F.col("_hot").isNull(),
+                        F.concat(F.lit("shingle document frequency exceeds "
+                                       f"max_shingle_df={max_shingle_df}: "),
+                                 F.col("s")),
+                    ).cast("boolean"),
+                    F.lit(True),
+                ))
+                .drop("_hot")
+            )
+        else:
+            shingled = shingled.join(hot, "s", "left_anti")
         sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -301,14 +329,22 @@ def lsh_verified_near_dups(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates verified by
     exact word-n-gram Jaccard via per-pair array intersection
     (:func:`_verify_pairs_jaccard`) — O(|candidates| x shingle count),
-    independent of shingle popularity. (id_a, id_b, jaccard)."""
+    independent of shingle popularity. (id_a, id_b, jaccard).
+
+    ``max_bucket_size`` passes through to the candidate stage: the
+    production default caps degenerate LSH buckets (an approximation once
+    a band bucket exceeds it); ``None`` is the exact parameterization for
+    oracle comparison — same contract as
+    :func:`minhash_lsh_candidates`."""
     # spread once so the nested signature + verify guards no-op
     df = _ensure_parallelism(df)
-    cand = minhash_lsh_candidates(df, id_col, text_col, n)
+    cand = minhash_lsh_candidates(df, id_col, text_col, n,
+                                  max_bucket_size=max_bucket_size)
     return _verify_pairs_jaccard(df, id_col, text_col, cand, n, threshold)
 
 
@@ -582,6 +618,7 @@ def dedup_clusters(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full near-dup clustering: LSH-verified pairs -> connected
     components -> (doc_id, cluster_id, cluster_size, is_representative).
@@ -590,9 +627,11 @@ def dedup_clusters(
     in no near-dup pair are singleton clusters of themselves and are NOT
     returned (at corpus scale almost every doc is a singleton — emitting
     them would dwarf the interesting rows; left-anti against this result
-    recovers them when needed).
+    recovers them when needed). ``max_bucket_size`` passes through to the
+    LSH candidate stage (``None`` = exact, for oracle comparison).
     """
-    pairs = lsh_verified_near_dups(df, id_col, text_col, n, threshold)
+    pairs = lsh_verified_near_dups(df, id_col, text_col, n, threshold,
+                                   max_bucket_size=max_bucket_size)
     cc = connected_components(pairs)
     w_size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return (

@@ -111,6 +111,21 @@ def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     return comps
 
 
+def rhp_bucket_expr(
+    vec_col: str, n_planes: int = 8, dim: int = 64, seed: int = 7
+) -> Column:
+    """The RHP sign-bucket as a pure Column expression — inline it on the
+    corpus scan (filter or partition column); never join a signature
+    table back to the corpus to recover what a map-side expression
+    computes for free (same principle as :func:`ivf_assign_expr`)."""
+    bucket = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def rhp_signatures(
     df: DataFrame,
     id_col: str,
@@ -120,12 +135,10 @@ def rhp_signatures(
     seed: int = 7,
 ) -> DataFrame:
     """Random-hyperplane sign signature (id, bucket int) — map-side only."""
-    bucket = None
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return df.select(
+        F.col(id_col),
+        rhp_bucket_expr(vec_col, n_planes, dim, seed).alias("bucket"),
+    )
 
 
 def rhp_multitable_buckets(
@@ -170,6 +183,7 @@ def embedding_lsh_near_dup_pairs(
     n_tables: int = 8,
     n_planes: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for ``dedup.embedding_near_dup_pairs`` (which is an
     O(n^2) crossJoin verify): candidates are pairs sharing a bucket in any
@@ -177,8 +191,14 @@ def embedding_lsh_near_dup_pairs(
     (every emitted pair is exact-verified); recall is the multi-table LSH
     collision probability — tested against brute force on clustered
     fixtures. Shuffle volume: L x n small (id, t, bucket) rows.
+
+    Pass ``dim`` (the embedding dimensionality) explicitly — array
+    columns do not carry a length in the Spark schema, and the
+    ``None`` fallback probes it with a ``.first()`` row, an avoidable
+    extra driver job on a 10^12-row table.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     keyed = rhp_multitable_buckets(df, id_col, vec_col, n_tables, n_planes,
                                    dim, seed)
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -205,16 +225,33 @@ def ivf_fit(
     n_lists: int = 16,
     seed: int = 7,
     max_iter: int = 20,
+    max_fit_rows: int | None = None,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer (KMeans) and return its centroids.
 
     Distributed fit (Spark ML KMeans); only the k x dim centroid matrix
-    comes back to the driver. At 10^12 rows you fit on a sample
-    (``df.sample``) — centroids converge long before full passes matter.
+    comes back to the driver. ``max_fit_rows`` / ``sample_fraction`` cap
+    the fit input with a deterministic (seeded) ``df.sample`` — at 10^12
+    rows the quantizer converges on a few-million-row sample long before
+    full KMeans passes matter, and every later pass (assignment, search)
+    stays exact regardless of which centroids the fit produced.
+    ``sample_fraction`` is the zero-extra-jobs form; ``max_fit_rows``
+    spends one count() job to derive the fraction. Default fits on the
+    full input (fine at test scale).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    elif max_fit_rows is not None:
+        n = df.count()
+        if n > max_fit_rows:
+            # slight over-sample then exact cap: sample() is fraction-
+            # based and Bernoulli, so pad the fraction and limit()
+            frac = min(1.0, 1.1 * max_fit_rows / n)
+            df = df.sample(fraction=frac, seed=seed).limit(max_fit_rows)
     feat = df.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
     )
@@ -313,6 +350,8 @@ def ivf_build_index(
     n_lists: int = 16,
     seed: int = 7,
     max_iter: int = 20,
+    max_fit_rows: int | None = None,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Materialize the IVF index: vectors written hive-partitioned by
     ``list_id``, centroids in a JSON sidecar next to them.
@@ -328,7 +367,9 @@ def ivf_build_index(
 
     from ..sources import fs
 
-    cents = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed, max_iter=max_iter)
+    cents = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed,
+                    max_iter=max_iter, max_fit_rows=max_fit_rows,
+                    sample_fraction=sample_fraction)
     # list_id is a map-side expression on the same scan — a join back to
     # ivf_assign() would scan df twice and shuffle the whole corpus
     df.withColumn("list_id", ivf_assign_expr(vec_col, cents)) \
@@ -381,6 +422,12 @@ def ann_lsh_topk(
     result equals brute-force :func:`cosine_topk` exactly (the
     correctness invariant the driver oracle pins; same trick as
     ``ivf_topk(nprobe=n_lists)``).
+
+    The bucket is computed as an inline :func:`rhp_bucket_expr` Column on
+    the corpus scan and filtered map-side — ONE scan, ZERO shuffles
+    before the final TakeOrdered (a join back to an (id, bucket)
+    signature table would scan the corpus twice and hash-exchange it on
+    id just to recover a value the scan can compute in place).
     """
     dim = len(query_vec)
     qbits = 0
@@ -398,11 +445,7 @@ def ann_lsh_topk(
             if multiprobe >= 1 else []
         )
 
-    sigs = rhp_signatures(df, id_col, vec_col, n_planes, dim, seed)
-    cand = df.join(sigs, id_col).where(F.col("bucket").isin(probe_buckets))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
+    cand = df.where(
+        rhp_bucket_expr(vec_col, n_planes, dim, seed).isin(probe_buckets)
     )
+    return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)

@@ -160,11 +160,19 @@ def compile_partitioning(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
                            f"catalog table partition spec {pcols} does not "
                            f"include '{key}'")
             return stamp(report, _MOD, "compile_partitioning")
-        parts = [
-            d for d in fs.listdir(ctx.table_path, ctx.storage_options)
-            if d.startswith(f"{key}=")
-            and fs.isdir(fs.join(ctx.table_path, d), ctx.storage_options)
-        ]
+        try:
+            parts = [
+                d for d in fs.listdir(ctx.table_path, ctx.storage_options)
+                if d.startswith(f"{key}=")
+                and fs.isdir(fs.join(ctx.table_path, d), ctx.storage_options)
+            ]
+        except Exception as exc:
+            # remote backends raise arbitrary (non-OSError) exceptions on
+            # auth/transient failures; a flaky listing must degrade to
+            # WARNING like the footer-sampling checks, never abort the suite
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"could not list table directory: {exc}")
+            return stamp(report, _MOD, "compile_partitioning")
         if parts:
             report.add(spec.section, spec.requirement, PASS,
                        f"table partitioned by '{key}' ({len(parts)} partitions)")

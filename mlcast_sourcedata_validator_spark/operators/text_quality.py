@@ -1,0 +1,155 @@
+"""Text-quality check kinds for document corpora: quality-score band and
+sentence-repetition rate, riding the fused single scan.
+
+These fold the §2C text-analysis operators (functions/text.py
+``quality_score`` and the dup-sentence part of ``text_repetition``) into
+the declarative validation engine — the reference folds its per-variable
+heuristics into check functions the same way
+(/root/reference/mlcast_dataset_validator/checks/data_vars/structure.py:24-58
+derives verdicts from per-variable derived quantities). Both kinds
+compile to pure JVM Column expressions over the text column:
+
+- the aggregate band rides the shared Observation (zero extra jobs),
+- the per-row floor explodes violations MAP-SIDE,
+
+so ``documents_v1``'s plan stays zero-shuffle. The shuffle-bearing
+repetition signal (``top_token_ratio``: token explode + two id-keyed
+aggs) deliberately stays a standalone operator in functions/text.py —
+folding it in would cost the suite its single-scan/zero-exchange shape
+for a signal that is only needed on corpora that already failed the
+cheap screens.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+
+from ..functions.text import quality_score
+from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
+from ..suite import AggCheck, CheckSpec, CheckSuite, RowCheck
+
+_MOD = __name__
+
+
+def dup_sentence_ratio(text: Column) -> Column:
+    """Fraction of '. '-separated sentences that repeat an earlier one —
+    pure array expressions (split/array_distinct), zero shuffle. Single
+    source of truth shared with functions/text.text_repetition's
+    formula."""
+    sents = F.split(text, "\\. ")
+    return F.round(
+        1 - F.size(F.array_distinct(sents)).cast("double") / F.size(sents), 6
+    )
+
+
+def compile_text_quality(
+    spec: CheckSpec, suite: CheckSuite
+) -> list[AggCheck | RowCheck]:
+    """params: column ('text'), floor (per-row FAIL threshold, default
+    0.3), max_low_frac (fraction of sub-floor docs tolerated, default
+    0.01 FAIL / warn_low_frac 0.001 WARNING), min_avg (corpus mean
+    quality WARNING floor, default 0.5)."""
+    col = spec.params.get("column", "text")
+    floor = spec.params.get("floor", 0.3)
+    max_low_frac = spec.params.get("max_low_frac", 0.01)
+    warn_low_frac = spec.params.get("warn_low_frac", 0.001)
+    min_avg = spec.params.get("min_avg", 0.5)
+    cid = spec.check_id
+    q = quality_score(F.col(col))
+    exprs = {
+        f"{cid}__avg_q": F.avg(q),
+        f"{cid}__n_low": F.sum(F.when(q < floor, 1).otherwise(0)),
+        f"{cid}__n": F.count(F.lit(1)),
+    }
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        avg_q, n_low, n = m[f"{cid}__avg_q"], m[f"{cid}__n_low"], m[f"{cid}__n"]
+        if not n:
+            report.add(spec.section, spec.requirement, WARNING,
+                       "no rows — quality check skipped")
+            return stamp(report, _MOD, "compile_text_quality")
+        frac = (n_low or 0) / n
+        detail = (f"avg quality={avg_q:.4f}, {n_low} of {n} docs "
+                  f"({frac:.4%}) below floor {floor}")
+        if frac > max_low_frac:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} — exceeds {max_low_frac:.2%}")
+        elif frac > warn_low_frac or (avg_q is not None and avg_q < min_avg):
+            report.add(spec.section, spec.requirement, WARNING, detail)
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_text_quality")
+
+    def row_verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        # the band verdict above carries the PASS/WARN/FAIL decision; the
+        # row check exists to EMIT the offending documents as violation
+        # rows (always PASS — informational rows, like domain's WARNING
+        # spelling rows)
+        report = ValidationReport()
+        report.add(spec.section, spec.requirement, PASS,
+                   f"{n_viol} sub-floor documents listed in violations")
+        return stamp(report, _MOD, "compile_text_quality")
+
+    row = RowCheck(
+        cid, q < floor,
+        F.concat(F.lit(f"quality "), F.round(q, 4).cast("string"),
+                 F.lit(f" < floor {floor}")),
+        row_verdict, severity=WARNING,
+    )
+    return [AggCheck(cid, exprs, verdict), row]
+
+
+def compile_text_repetition(
+    spec: CheckSpec, suite: CheckSuite
+) -> list[AggCheck | RowCheck]:
+    """params: column ('text'), max_dup_sentence_ratio (per-row violation
+    threshold, default 0.5), max_frac (fraction of repetitive docs
+    tolerated: default 0.02 FAIL / warn_frac 0.005 WARNING)."""
+    col = spec.params.get("column", "text")
+    max_ratio = spec.params.get("max_dup_sentence_ratio", 0.5)
+    max_frac = spec.params.get("max_frac", 0.02)
+    warn_frac = spec.params.get("warn_frac", 0.005)
+    cid = spec.check_id
+    ratio = dup_sentence_ratio(F.col(col))
+    pred = F.coalesce(ratio > max_ratio, F.lit(False))
+    exprs = {
+        f"{cid}__n_rep": F.sum(F.when(pred, 1).otherwise(0)),
+        f"{cid}__avg_ratio": F.avg(ratio),
+        f"{cid}__n": F.count(F.lit(1)),
+    }
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        n_rep, avg_r, n = m[f"{cid}__n_rep"], m[f"{cid}__avg_ratio"], m[f"{cid}__n"]
+        if not n:
+            report.add(spec.section, spec.requirement, WARNING,
+                       "no rows — repetition check skipped")
+            return stamp(report, _MOD, "compile_text_repetition")
+        frac = (n_rep or 0) / n
+        detail = (f"{n_rep} of {n} docs ({frac:.4%}) have dup-sentence "
+                  f"ratio > {max_ratio}; corpus avg={avg_r:.4f}")
+        if frac > max_frac:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} — exceeds {max_frac:.2%}")
+        elif frac > warn_frac:
+            report.add(spec.section, spec.requirement, WARNING, detail)
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_text_repetition")
+
+    def row_verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        report.add(spec.section, spec.requirement, PASS,
+                   f"{n_viol} repetitive documents listed in violations")
+        return stamp(report, _MOD, "compile_text_repetition")
+
+    row = RowCheck(
+        cid, pred,
+        F.concat(F.lit("dup_sentence_ratio "),
+                 ratio.cast("string"), F.lit(f" > {max_ratio}")),
+        row_verdict, severity=WARNING,
+    )
+    return [AggCheck(cid, exprs, verdict), row]

@@ -88,7 +88,23 @@ def suite() -> CheckSuite:
             {"column": "text", "warn_frac": 0.05, "max_frac": 0.2},
         ),
         CheckSpec(
-            "drift_doc_len", "drift", "4.8 drift",
+            "text_quality_band", "text_quality", "4.8 quality",
+            "Documents SHOULD score above the composite quality floor "
+            "(length band + punctuation + mean token length); more than "
+            "1% sub-floor documents is a FAIL.",
+            {"column": "text", "floor": 0.3, "max_low_frac": 0.01,
+             "warn_low_frac": 0.001, "min_avg": 0.5},
+        ),
+        CheckSpec(
+            "text_repetition", "text_repetition", "4.9 repetition",
+            "Documents SHOULD NOT be dominated by repeated sentences "
+            "(dup-sentence ratio <= 0.5); more than 2% repetitive "
+            "documents is a FAIL.",
+            {"column": "text", "max_dup_sentence_ratio": 0.5,
+             "max_frac": 0.02, "warn_frac": 0.005},
+        ),
+        CheckSpec(
+            "drift_doc_len", "drift", "4.10 drift",
             "The document-length distribution SHOULD NOT drift from the "
             "baseline snapshot (KS<=0.15 WARN, <=0.30 FAIL; PSI<=0.2 "
             "WARN, <=0.5 FAIL).",

@@ -93,7 +93,7 @@ def test_documents_suite_drift_check(spark, docs):
                                    suite=get_suite("documents_v1"),
                                    run_id="nb"))
     drift_rows = [r for r in no_base.report.results
-                  if r.section == "4.8 drift"]
+                  if r.section == "4.10 drift"]
     assert [r.status for r in drift_rows] == [WARNING]
 
     base = build_baseline(docs, expr="length(text)",
@@ -102,7 +102,7 @@ def test_documents_suite_drift_check(spark, docs):
     same = run_suite(RunContext(spark=spark, df=docs,
                                 suite=get_suite("documents_v1"),
                                 run_id="sb", baseline_df=base))
-    dr = [r for r in same.report.results if r.section == "4.8 drift"]
+    dr = [r for r in same.report.results if r.section == "4.10 drift"]
     assert [r.status for r in dr] == [PASS], [r.detail for r in dr]
 
     shifted = docs.withColumn(
@@ -110,7 +110,7 @@ def test_documents_suite_drift_check(spark, docs):
     moved = run_suite(RunContext(spark=spark, df=shifted,
                                  suite=get_suite("documents_v1"),
                                  run_id="mb", baseline_df=base))
-    dr2 = [r for r in moved.report.results if r.section == "4.8 drift"]
+    dr2 = [r for r in moved.report.results if r.section == "4.10 drift"]
     assert dr2 and dr2[0].status in (WARNING, FAIL) and "ks" in dr2[0].detail.lower()
 
 
@@ -167,3 +167,41 @@ def test_cli_lists_and_runs_documents_suite(spark, sf_dir, tmp_path, capsys):
     rc2 = cli.main(["--suite", "documents_v1",
                     "--table", f"{sf_dir}/documents.parquet"])
     assert rc2 == 1
+
+
+def test_text_quality_and_repetition_checks(spark, docs):
+    """The new quality-band and repetition checks ride the fused scan:
+    clean corpus passes; a corpus salted with degenerate docs flags both
+    (band FAIL + violation rows identifying the offenders)."""
+    suite = get_suite("documents_v1")
+    res = run_suite(RunContext(spark=spark, df=docs, suite=suite, run_id="q"))
+    qual = [r for r in res.report.results if r.section == "4.8 quality"]
+    rep = [r for r in res.report.results if r.section == "4.9 repetition"]
+    assert qual and all(r.status in (PASS, WARNING) for r in qual)
+    assert rep and all(r.status in (PASS, WARNING) for r in rep)
+
+    # salt: 5% repetitive docs + 5% garbage docs
+    n = docs.count()
+    bad = spark.range(1_000_000, 1_000_000 + max(2, n // 20)).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same sentence. same sentence. same sentence. same sentence. "
+              "same sentence. x").alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    garbage = spark.range(2_000_000, 2_000_000 + max(2, n // 20)).select(
+        # fails all 3 quality components: len<20, punct-heavy, mean token
+        # length 2.4 < 2.5 -> quality 0.0
+        F.col("id").alias("doc_id"), F.lit("!? ,. ;; ! !").alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    salted = docs.unionByName(bad).unionByName(garbage)
+    res2 = run_suite(RunContext(spark=spark, df=salted, suite=suite,
+                                run_id="q2"))
+    qual2 = [r for r in res2.report.results if r.section == "4.8 quality"]
+    rep2 = [r for r in res2.report.results if r.section == "4.9 repetition"]
+    assert any(r.status == FAIL for r in qual2), [r.detail for r in qual2]
+    assert any(r.status == FAIL for r in rep2), [r.detail for r in rep2]
+    # violation rows name the planted offenders
+    v = {r.conv_id for r in res2.violations.collect()
+         if r.check_id in ("text_quality_band", "text_repetition")}
+    assert any(str(i) in v or i in v for i in (1_000_000, 2_000_000)), v

@@ -238,3 +238,22 @@ def test_fsspec_backend_roundtrip(fake_fsspec):
 
     props = read_table_properties("fake://tbl/sub")
     assert props == {"license": "MIT"}
+
+
+def test_partitioning_listdir_backend_error_degrades_to_warning(monkeypatch):
+    """A backend exception that is NOT FsUnavailable (fsspec auth/
+    transient errors surface as arbitrary exception types) must degrade
+    the partitioning check to WARNING, not abort the suite — run_suite
+    does not wrap driver checks."""
+    root = _mem_table("zstd")
+
+    def _flaky_listdir(path, storage_options=None):
+        raise PermissionError("403: access denied by backend")
+
+    monkeypatch.setattr(fs, "listdir", _flaky_listdir)
+    rep = compile_partitioning(
+        CheckSpec("p", "storage", "6.1", "partitioned",
+                  {"partition_key": "date"}), None
+    ).fn(_ctx(root))
+    assert [r.status for r in rep.results] == ["WARNING"]
+    assert "access denied" in rep.results[0].detail

@@ -377,3 +377,96 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     # sublinear probe keeps decent recall on this data
     got = {r.vec_id for r in probed.collect()}
     assert len(got & exact) >= 5
+
+
+def _cluster_vecs():
+    import math
+
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 5) % 16] = 0.3 * math.sin(i * 0.7)
+        v[(axis + 9) % 16] = 0.2 * math.cos(i * 1.3)
+        rows.append((i, v))
+    return rows
+
+
+def test_ivf_fit_sampled_still_exact_at_full_probe(spark):
+    """A capped fit (max_fit_rows / sample_fraction) changes WHICH
+    centroids come out, but probing every list must still equal brute
+    force — search exactness never depends on fit quality."""
+    rows = _cluster_vecs()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rest = emb.where("vec_id != 0")
+    query = rows[0][1]
+    brute = [(r.vec_id, r.cosine) for r in
+             sim.cosine_topk(rest, "vec_id", "embedding", query, k=10).collect()]
+    capped = sim.ivf_fit(rest, "embedding", n_lists=4, seed=7, max_fit_rows=40)
+    assert len(capped) == 4
+    got = [(r.vec_id, r.cosine) for r in
+           sim.ivf_topk(rest, "vec_id", "embedding", query, capped,
+                        k=10, nprobe=4).collect()]
+    assert got == brute
+    frac = sim.ivf_fit(rest, "embedding", n_lists=4, seed=7,
+                       sample_fraction=0.5)
+    got2 = [(r.vec_id, r.cosine) for r in
+            sim.ivf_topk(rest, "vec_id", "embedding", query, frac,
+                         k=10, nprobe=4).collect()]
+    assert got2 == brute
+    # the capped fit really is capped: deterministic sample stays <= cap
+    n_sampled = rest.sample(fraction=min(1.0, 1.1 * 40 / 89), seed=7) \
+                    .limit(40).count()
+    assert n_sampled <= 40
+
+
+def test_ngram_hot_shingle_fail_action(spark):
+    """hot_shingle_action='fail' trips loudly when a shingle's document
+    frequency exceeds max_shingle_df, and is byte-identical to the
+    uncapped result when none does."""
+    base = [(i, f"unique{i} words here alpha beta gamma{i}") for i in range(6)]
+    hot = [(100 + i, "common shingle text tail" + "x" * i) for i in range(4)]
+    docs = spark.createDataFrame(base + hot, "doc_id long, text string")
+    # 'common shingle text' appears in 4 docs > cap of 3 -> must raise
+    with pytest.raises(Exception, match="max_shingle_df"):
+        dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.1, method="global",
+            max_shingle_df=3, hot_shingle_action="fail",
+        ).collect()
+    # cap above every df: fail-mode == uncapped exactly
+    uncapped = sorted(map(tuple, dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, method="global",
+    ).collect()))
+    guarded = sorted(map(tuple, dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, method="global",
+        max_shingle_df=100, hot_shingle_action="fail",
+    ).collect()))
+    assert guarded == uncapped and len(uncapped) > 0
+    with pytest.raises(ValueError, match="hot_shingle_action"):
+        dd.ngram_jaccard_pairs(docs, "doc_id", "text", method="global",
+                               max_shingle_df=3, hot_shingle_action="explode")
+
+
+def test_lsh_verified_and_clusters_bucket_cap_passthrough(spark):
+    """max_bucket_size reaches the candidate stage from both
+    lsh_verified_near_dups and dedup_clusters: a tiny cap suppresses the
+    one big near-dup bucket; None recovers every pair (the oracle-paired
+    parameterization)."""
+    docs = spark.createDataFrame(
+        [(i, "the same exact duplicated sentence repeated for all docs")
+         for i in range(5)] + [(10, "a totally different unrelated text")],
+        "doc_id long, text string",
+    )
+    full = dd.lsh_verified_near_dups(docs, "doc_id", "text", n=3,
+                                     threshold=0.5, max_bucket_size=None)
+    assert full.count() == 10  # C(5,2) identical-doc pairs
+    capped = dd.lsh_verified_near_dups(docs, "doc_id", "text", n=3,
+                                       threshold=0.5, max_bucket_size=4)
+    assert capped.count() == 0
+    cl_full = dd.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5,
+                                max_bucket_size=None)
+    assert cl_full.count() == 5
+    cl_capped = dd.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5,
+                                  max_bucket_size=4)
+    assert cl_capped.count() == 0

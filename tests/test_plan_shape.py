@@ -134,3 +134,35 @@ def test_ngram_default_plan_has_no_shingle_selfjoin(spark, sf_dir):
     assert shingle_join.search(pg), "oracle twin should self-join on shingles"
     assert not shingle_join.search(pa), pa
     assert "array_intersect" in pa
+
+
+def test_ann_lsh_topk_plan_is_map_side(spark, sf_dir):
+    """The RHP bucket must be an inline expression filtered on the corpus
+    scan: exactly ONE parquet scan and NO hash exchange on the id column
+    (the round-2 plan joined an (id, bucket) signature table back to the
+    corpus — two scans + an id shuffle for a value the scan computes in
+    place)."""
+    from mlcast_sourcedata_validator_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    df = sim.ann_lsh_topk(emb, "vec_id", "embedding", q, k=10, n_planes=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan
+
+
+def test_embedding_lsh_explicit_dim_has_no_probe_job(spark, sf_dir):
+    """With dim passed explicitly the pair pipeline is built without any
+    driver-side .first() probe — constructing the DataFrame triggers zero
+    Spark jobs."""
+    from mlcast_sourcedata_validator_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sim.embedding_lsh_near_dup_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.4, n_tables=4, n_planes=2,
+                                     dim=64)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before

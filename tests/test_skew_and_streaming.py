@@ -269,3 +269,28 @@ def test_conversation_processor_v2_fold_logic():
     assert done[0].iloc[0]["complete"] and done[0].iloc[0]["n_turns"] == 4
     assert not handle.state.exists()
     assert list(proc.handleExpiredTimer(("A",), tv, None)) == []
+
+
+def test_streaming_dedup_bounded_state_matches_batch_distinct(spark, sf_dir):
+    """The dedup stream must (a) key its state through
+    dropDuplicatesWithinWatermark — bounded by watermark eviction, not
+    growing with total distinct keys — and (b) still drain to exactly the
+    batch DISTINCT aggregate within the watermark horizon."""
+    import inspect
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    src = inspect.getsource(entry.queries()["streaming_dedup_events"])
+    assert "dropDuplicatesWithinWatermark" in src
+    assert "withWatermark" in src
+
+    got = {r.event_type: (r.n_events, r.sum_value)
+           for r in entry.queries()["streaming_dedup_events"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = {r.event_type: (r.n_events, r.sum_value)
+           for r in ev.dropDuplicates(["event_id"]).groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n_events"),
+                           F.round(F.sum("value"), 4).alias("sum_value"))
+                      .collect()}
+    assert got == exp
