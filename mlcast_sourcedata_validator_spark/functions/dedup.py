@@ -39,21 +39,52 @@ from .hashing import (
 )
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer size estimate (driver-side, no job, no RDD
+    translation) — file-size-sum for scans, propagated through
+    projections/filters. None when the probe fails (unusual plan)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return None
+
+
+def _ensure_parallelism(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Spread a low-partition input across the cluster before an
     explode-heavy per-row pipeline.
 
     A small or freshly-compacted table can arrive as a handful of file
     splits (locally: ONE), serializing the shingle/hash map work on one
-    task — measured 2x wall on the LSH pipeline at sf0.1. At real scale
-    inputs have thousands of splits and this is a no-op; the guard only
-    fires when the scan has fewer splits than half the cluster's cores.
-    The repartition round-trip does not change any aggregate result.
+    task — measured 2x wall on the LSH pipeline at sf0.1 and 4x at a
+    16x single-file corpus (13.4s -> 3.3s). At real scale inputs have
+    thousands of splits and this is a no-op; the guard only fires when
+    the scan has fewer splits than half the cluster's cores. The
+    repartition round-trip does not change any aggregate result.
+
+    ``min_bytes``: skip the guard entirely (including the
+    plan-to-RDD partition probe, which itself costs ~100ms) when the
+    Catalyst size estimate is below this. Interleaved A/B at sf0.1
+    (round 3): the explode+hash-agg shingle/LSH and |Q|-amplified
+    embedding paths win from the repartition at EVERY tested input size
+    (min_bytes=0 stays right for them), while cheap-per-row pipelines
+    (simhash's token fold, multimodal's binary pass-through) lose
+    0.5-1.2s on small inputs — those call sites pass a 16 MiB floor.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if min_bytes > 0:
+        est = _estimated_bytes(df)
+        if est is not None and est < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+#: size floor for pipelines whose per-row work is too cheap to repay a
+#: small-input repartition (measured: simhash 1.5x slower WITH the
+#: repartition at a 5 MB corpus, multimodal 3.6x at sf0.1)
+CHEAP_PATH_MIN_BYTES = 16 << 20
 
 
 def _sorted_pairs(arr):
@@ -139,15 +170,39 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET = 10_000
 
 
+def bands_for_threshold(
+    threshold: float, n_hashes: int = len(MINHASH_COEFFS),
+    min_recall: float = 0.98,
+) -> tuple[int, int]:
+    """(n_bands, band_size) for a Jaccard threshold: the LARGEST band
+    size r (most selective buckets -> fewest candidates) whose banded
+    collision probability for a pair AT the threshold,
+    ``1 - (1 - t^r)^(n_hashes // r)``, still reaches ``min_recall``.
+
+    The default 4x4 banding has its S-curve midpoint at J ~ 0.71 — a
+    pair at J = 0.5 collides with only ~23% probability, so a 0.5
+    threshold run needs wider banding (this is how the round-2 default
+    missed 1 of 256 >=0.5 pairs at sf0.1). For t = 0.5 this picks
+    r = 1 (16 single-hash bands, pair recall 1 - 0.5^16 ~ 0.99998);
+    for t >= ~0.72 it keeps r = 4.
+    """
+    for r in range(n_hashes, 0, -1):
+        b = n_hashes // r
+        if 1 - (1 - threshold ** r) ** b >= min_recall:
+            return b, r
+    return n_hashes, 1
+
+
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_bands: int = N_BANDS, band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 full band signature.
 
-    Scale path: explode each doc into N_BANDS (band, signature) rows,
-    groupBy bucket, emit intra-bucket pairs. Shuffle volume is
-    N_BANDS x n rows of small signatures; no O(n^2) join.
+    Scale path: explode each doc into ``n_bands`` (band, signature)
+    rows, groupBy bucket, emit intra-bucket pairs. Shuffle volume is
+    n_bands x n rows of small signatures; no O(n^2) join.
 
     ``max_bucket_size`` (default ``DEFAULT_MAX_BUCKET``): drop buckets
     larger than this instead of expanding them. A degenerate band
@@ -156,7 +211,15 @@ def minhash_lsh_candidates(
     bucket is collected to one array before pair expansion); such bands
     carry no discriminative signal — standard LSH hot-bucket practice.
     ``None`` expands every bucket exactly (the oracle-twin setting).
+
+    ``n_bands`` x ``band_size`` must fit in the signature width; derive
+    them from the target Jaccard threshold with
+    :func:`bands_for_threshold` (the 4x4 default is tuned for J >~ 0.7).
     """
+    if n_bands * band_size > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"n_bands*band_size = {n_bands * band_size} exceeds the "
+            f"{len(MINHASH_COEFFS)}-hash signature")
     sig = minhash_signatures(df, id_col, text_col, n)
     bands = sig.select(
         F.col(id_col),
@@ -166,11 +229,11 @@ def minhash_lsh_candidates(
                     F.lit(b).alias("band"),
                     F.concat_ws(
                         "-",
-                        *[F.col(f"h{b * BAND_SIZE + r}").cast("string")
-                          for r in range(BAND_SIZE)],
+                        *[F.col(f"h{b * band_size + r}").cast("string")
+                          for r in range(band_size)],
                     ).alias("sig"),
                 )
-                for b in range(N_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
@@ -247,8 +310,11 @@ def ngram_jaccard_pairs(
       bounded default — the global self-join's fanout is quadratic in
       shingle document-frequency (one boilerplate shingle shared by 1e5
       docs emits 1e10 join rows), so it must never be the default at
-      scale. LSH band parameters are recall-complete well below the 0.5
-      threshold regime (pinned vs the global oracle at test SFs).
+      scale. Band parameters come from
+      :func:`bands_for_threshold(threshold)`, so the S-curve is tuned to
+      THIS threshold rather than the 4x4 default's ~0.7 midpoint
+      (round 2's fixed banding missed a borderline 0.5-Jaccard pair;
+      auto == global is pinned at every fixture SF).
     - ``method='global'``: the exact all-pairs shingle self-join — the
       oracle twin for small-scale verification. ``max_shingle_df`` caps a
       shingle's document frequency before the join (a safety valve:
@@ -267,7 +333,9 @@ def ngram_jaccard_pairs(
         # spread the corpus ONCE; the nested candidate + verify calls
         # then see enough partitions and their guards no-op
         df = _ensure_parallelism(df)
-        candidates = minhash_lsh_candidates(df, id_col, text_col, n)
+        n_bands, band_size = bands_for_threshold(threshold)
+        candidates = minhash_lsh_candidates(
+            df, id_col, text_col, n, n_bands=n_bands, band_size=band_size)
     if candidates is not None:
         return _verify_pairs_jaccard(
             df, id_col, text_col, candidates, n, threshold, use_words
@@ -359,7 +427,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the vote sum is positive. explode + groupBy(id) — one shuffle, partial
     aggregation map-side.
     """
-    toks = _ensure_parallelism(df).select(
+    toks = _ensure_parallelism(df, min_bytes=CHEAP_PATH_MIN_BYTES).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
@@ -514,7 +582,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Correctness is pinned by the banded==self-join equality test instead
     of a SQL oracle.
     """
-    toks = _ensure_parallelism(df).select(
+    toks = _ensure_parallelism(df, min_bytes=CHEAP_PATH_MIN_BYTES).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)

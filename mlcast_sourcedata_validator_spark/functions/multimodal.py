@@ -82,8 +82,13 @@ def extract_media_meta(df: DataFrame, id_col: str, media_col: str = "media") -> 
     from .dedup import _ensure_parallelism
 
     # a compacted single-file input would otherwise run the whole Arrow
-    # pipeline on one task (see _ensure_parallelism)
-    return _ensure_parallelism(df.select(id_col, media_col)).mapInPandas(
+    # pipeline on one task; but repartitioning BINARY payloads round-trips
+    # every media byte through the exchange, so only do it past the size
+    # floor where per-byte decode work dominates (measured 3.6x slower
+    # WITH the repartition at sf0.1's 350 KB corpus)
+    from .dedup import CHEAP_PATH_MIN_BYTES
+    return _ensure_parallelism(df.select(id_col, media_col),
+                               min_bytes=CHEAP_PATH_MIN_BYTES).mapInPandas(
         _extract, schema=out_schema
     )
 
@@ -96,10 +101,11 @@ def frame_sample(df: DataFrame, id_col: str, media_col: str = "media",
     are computed JVM-side and bytes stay columnar."""
     from .dedup import _ensure_parallelism
 
+    from .dedup import CHEAP_PATH_MIN_BYTES
     n = F.length(F.col(media_col))
     offsets = F.sequence(F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("int"))
     return (
-        _ensure_parallelism(df)
+        _ensure_parallelism(df, min_bytes=CHEAP_PATH_MIN_BYTES)
         .select(F.col(id_col), F.col(media_col), F.explode(offsets).alias("frame_no"))
         .select(
             id_col,

@@ -104,3 +104,50 @@ def test_documents_suite_on_catalog_table(spark, cat_table):
     # license PASS came from the catalog, codec PASS from sampled footers
     assert any("license 'CC-BY-4.0'" in r.detail for r in res.report.results)
     assert any("recommended 'zstd'" in r.detail for r in res.report.results)
+
+
+def test_files_metadata_table_contract(spark, tmp_path):
+    """Contract test for the Iceberg `.files` branch (no Iceberg runtime
+    in this sandbox): a database named like the identifier holding a
+    `files` table with Iceberg's metadata-table schema makes
+    `SELECT file_path FROM <ident>.files LIMIT k` resolve for real, so
+    the PRIMARY branch of sample_file_paths executes — including the
+    LIMIT pushdown — and the sampled paths feed the footer checks
+    end-to-end. The inputFiles() fallback must NOT be what serves this
+    test (the fake db has no table named like the ident itself, so the
+    fallback would throw)."""
+    import os
+
+    tbl = str(tmp_path / "ice_tbl")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .repartition(4).write.mode("overwrite").parquet(tbl)
+    data_files = sorted(
+        os.path.join(tbl, f) for f in os.listdir(tbl) if f.endswith(".parquet")
+    )
+    assert len(data_files) >= 4
+
+    ident = "fake_ice_docs"
+    spark.sql(f"DROP DATABASE IF EXISTS {ident} CASCADE")
+    spark.sql(f"CREATE DATABASE {ident}")
+    try:
+        # Iceberg files-metadata-table shape (content/file_path/file_format/
+        # record_count/file_size_in_bytes are the documented columns)
+        spark.createDataFrame(
+            [(0, p, "PARQUET", 125, os.path.getsize(p)) for p in data_files],
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long",
+        ).write.mode("overwrite").saveAsTable(f"{ident}.files")
+
+        got = sample_file_paths(spark, ident, 3)
+        assert len(got) == 3 and set(got) <= set(data_files)
+
+        # end-to-end: the codec check samples footers via these paths
+        rep = compile_codec(
+            CheckSpec("c", "storage", "6.2", "compressed",
+                      {"recommended": "zstd"}), None,
+        ).fn(RunContext(spark=spark, df=None, suite=None, run_id="t",
+                        table_path=ident))
+        assert [r.status for r in rep.results] == ["PASS"], \
+            [r.detail for r in rep.results]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {ident} CASCADE")

@@ -470,3 +470,25 @@ def test_lsh_verified_and_clusters_bucket_cap_passthrough(spark):
     cl_capped = dd.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5,
                                   max_bucket_size=4)
     assert cl_capped.count() == 0
+
+
+def test_threshold_tuned_auto_bands_recall_complete(spark, sf_dir):
+    """bands_for_threshold tunes the LSH S-curve to the query threshold:
+    at 0.5 it widens to 16x1 banding (pair recall ~1-0.5^16), and the
+    auto method equals the exact global self-join on the fixture corpus
+    (round 2's fixed 4x4 banding missed a borderline pair at sf0.1)."""
+    assert dd.bands_for_threshold(0.5) == (16, 1)
+    assert dd.bands_for_threshold(0.7) == (8, 2)
+    b, r = dd.bands_for_threshold(0.9)
+    assert b * r <= 16 and r >= 2
+    with pytest.raises(ValueError, match="exceeds"):
+        dd.minhash_lsh_candidates(
+            spark.range(1).selectExpr("id as doc_id", "'x' as text"),
+            "doc_id", "text", n_bands=9, band_size=2)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    auto = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    glob = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, method="global").collect()}
+    assert auto == glob and len(glob) > 0

@@ -166,3 +166,25 @@ def test_embedding_lsh_explicit_dim_has_no_probe_job(spark, sf_dir):
                                      dim=64)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_parallelism_guard_gated_by_input_size(spark, sf_dir):
+    """_ensure_parallelism's size floor: cheap-per-row pipelines (simhash,
+    multimodal) must NOT repartition a small input (measured net loss),
+    while the explode-heavy minhash path keeps its round-robin spread
+    (measured 2-4x win at every size)."""
+    from mlcast_sourcedata_validator_spark.functions import dedup as dd
+    from mlcast_sourcedata_validator_spark.functions import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert 0 < dd._estimated_bytes(docs) < dd.CHEAP_PATH_MIN_BYTES
+
+    def rr(df):
+        return "RoundRobinPartitioning" in (
+            df._jdf.queryExecution().executedPlan().toString())
+
+    assert not rr(dd.simhash(docs, "doc_id", "text"))
+    assert not rr(dd.simhash64(docs, "doc_id", "text"))
+    media = mm.attach_fake_media(docs, "text")
+    assert not rr(mm.extract_media_meta(media, "doc_id", "media"))
+    assert rr(dd.minhash_signatures(docs, "doc_id", "text"))
