@@ -29,12 +29,49 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two array columns (double math)."""
+    """JVM-side dot product of two array columns (double math).
+
+    Higher-order-function form for unknown dimensionality. NOTE:
+    ``aggregate``/``zip_with`` lambdas evaluate INTERPRETED (no
+    whole-stage codegen) — when the dimension is known, use
+    :func:`dot_expanded`, which is bit-identical (same left-to-right
+    fold order) but compiles: measured ~10x on a 2M-pair verify stage.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def dot_expanded(a: Column, b: Column, dim: int) -> Column:
+    """Codegen'd dot product for a KNOWN dimension: an explicit
+    ``element_at`` product chain summed left-to-right — the exact fold
+    order of :func:`dot` (``((0 + t0) + t1) + ...`` == ``(t0 + t1) +
+    ...``), so results are bit-identical and oracle hashes are
+    unaffected."""
+    terms = [
+        (F.element_at(a, i + 1).cast("double")
+         * F.element_at(b, i + 1).cast("double"))
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dot_lit(vec: Column, query_vec: list[float]) -> Column:
+    """Codegen'd dot of an array column against a LITERAL query vector —
+    components inline as literals, no array construction at all."""
+    terms = [
+        F.element_at(vec, i + 1).cast("double") * F.lit(float(v))
+        for i, v in enumerate(query_vec)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def norm(a: Column) -> Column:
@@ -45,6 +82,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_expanded(a: Column, b: Column, dim: int) -> Column:
+    """Codegen'd cosine for a known dimension (bit-identical to
+    :func:`cosine`, see :func:`dot_expanded`)."""
+    return dot_expanded(a, b, dim) / (
+        F.sqrt(dot_expanded(a, a, dim)) * F.sqrt(dot_expanded(b, b, dim))
+    )
+
+
 def cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
@@ -53,12 +98,7 @@ def cosine_topk(
     (id, cosine) ordered desc. The query vector is a literal array — it
     ships inside the plan, no join needed.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
-    )
+    return _cosine_topk_over(df, id_col, vec_col, query_vec, k)
 
 
 def cosine_topk_batch(
@@ -69,6 +109,7 @@ def cosine_topk_batch(
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k for a whole query SET in one corpus scan.
 
@@ -77,15 +118,18 @@ def cosine_topk_batch(
     window rank — the per-query-partition shuffle carries only
     (query_id, id, cosine). At 10^12 rows this is THE way to run exact
     search: one scan amortized over |Q| queries, vs |Q| scans for
-    one-at-a-time :func:`cosine_topk`.
+    one-at-a-time :func:`cosine_topk`. Pass ``dim`` to score with the
+    codegen'd expanded cosine instead of interpreted array lambdas.
     """
     from .dedup import _ensure_parallelism
 
     df = _ensure_parallelism(df)  # |Q| x dot products per corpus row
+    cos = (cosine_expanded(F.col(vec_col), F.col(qvec_col), dim)
+           if dim is not None else cosine(F.col(vec_col), F.col(qvec_col)))
     scored = df.crossJoin(F.broadcast(queries_df)).select(
         F.col(qid_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -152,25 +196,51 @@ def rhp_multitable_buckets(
 ) -> DataFrame:
     """(id, t, bucket): L independent RHP tables of k planes each — the
     standard recall amplifier (a pair of cosine s collides in >=1 table
-    with prob 1-(1-(1-theta/pi)^k)^L). Map-side only — but L x k dot
-    products per row, so a single-split input must not serialize it."""
+    with prob 1-(1-(1-theta/pi)^k)^L).
+
+    The L x k dot products are computed as ONE ``posexplode`` of the
+    vector -> per-component products against literal hyperplane
+    components (``element_at`` on a literal array — codegen'd) -> one
+    ``groupBy(id)`` hash aggregate of L x k sums (map-side partials, one
+    small shuffle row per doc). The earlier form — L x k
+    ``aggregate(zip_with(...))`` higher-order expressions per row —
+    evaluates INTERPRETED per element (the same trap the minhash
+    signature hit, see dedup.minhash_signatures): measured 4x slower at
+    sf0.1. Docs with empty vectors produce no exploded rows and drop out
+    (they could never exact-verify anyway: cosine with a zero vector is
+    NaN).
+    """
     from .dedup import _ensure_parallelism
 
     df = _ensure_parallelism(df)
+    total = n_tables * n_planes
+    planes = [_hyperplane(dim, j, seed) for j in range(total)]
+    plane_lits = [F.array(*[F.lit(c) for c in planes[j]]) for j in range(total)]
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_p", "_v"),
+    ).select(
+        F.col(id_col),
+        *[
+            (F.col("_v").cast("double")
+             * F.element_at(plane_lits[j], F.col("_p") + 1)).alias(f"_x{j}")
+            for j in range(total)
+        ],
+    )
+    dots = exploded.groupBy(id_col).agg(
+        *[F.sum(f"_x{j}").alias(f"_d{j}") for j in range(total)]
+    )
     entries = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
-            plane = F.array(*[
-                F.lit(c) for c in _hyperplane(dim, t * n_planes + p, seed)
-            ])
-            bit = F.when(dot(F.col(vec_col), plane) >= 0,
+            bit = F.when(F.col(f"_d{t * n_planes + p}") >= 0,
                          F.lit(2 ** p)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         entries.append(
             F.struct(F.lit(t).alias("t"), bucket.cast("int").alias("bucket"))
         )
-    return df.select(
+    return dots.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("e")
     ).select(id_col, "e.t", "e.bucket")
 
@@ -184,6 +254,7 @@ def embedding_lsh_near_dup_pairs(
     n_planes: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for ``dedup.embedding_near_dup_pairs`` (which is an
     O(n^2) crossJoin verify): candidates are pairs sharing a bucket in any
@@ -192,28 +263,48 @@ def embedding_lsh_near_dup_pairs(
     collision probability — tested against brute force on clustered
     fixtures. Shuffle volume: L x n small (id, t, bucket) rows.
 
+    Candidate pairs come from groupBy-bucket emission, NOT a bucket-table
+    self-join — the self-join materialized the whole L x k dot-product
+    signature pipeline TWICE (two corpus scans; same lesson as
+    dedup.minhash_lsh_candidates). ``max_bucket_size`` is the standard
+    hot-bucket guard (a degenerate bucket — e.g. millions of zero-ish
+    vectors on the same side of every plane — expands quadratically in
+    one task); ``None`` (default) expands every bucket, matching the
+    uncapped brute-force oracle.
+
     Pass ``dim`` (the embedding dimensionality) explicitly — array
     columns do not carry a length in the Spark schema, and the
     ``None`` fallback probes it with a ``.first()`` row, an avoidable
     extra driver job on a 10^12-row table.
     """
+    from .dedup import _sorted_pairs
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     keyed = rhp_multitable_buckets(df, id_col, vec_col, n_tables, n_planes,
                                    dim, seed)
-    a, b = keyed.alias("a"), keyed.alias("b")
+    buckets = (
+        keyed.groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
     cand = (
-        a.join(b, on=["t", "bucket"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(_sorted_pairs(F.col("_ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        # expanded (codegen'd) cosine: the verify stage scores every
+        # candidate pair — with a dense candidate set the interpreted
+        # higher-order form dominated the whole pipeline (measured ~10s
+        # of a 12s wall at sf0.1)
+        .withColumn("cosine",
+                    F.round(cosine_expanded(F.col("_va"), F.col("_vb"), dim), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -309,6 +400,19 @@ def _probe_lists(
 def _cosine_topk_over(
     cand: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int
 ) -> DataFrame:
+    """Exact cosine top-k of ``cand`` against a literal query vector.
+
+    Deliberately the higher-order-function cosine, not the expanded
+    form: a top-k query's candidate set is pruned/sublinear by design
+    (bucket filter, partition-pruned IVF lists), so execution is cheap
+    either way, while the expanded form's ~2000-node literal tree costs
+    ~0.8s of driver-side Catalyst analysis PER QUERY (measured) — the
+    wrong trade for a low-latency search path. The expanded form wins
+    where a single plan scores millions of rows (see
+    ``embedding_lsh_near_dup_pairs``' verify stage).
+    Top-k is ``orderBy().limit()`` = per-partition TakeOrdered + driver
+    merge.
+    """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(F.col(id_col),
