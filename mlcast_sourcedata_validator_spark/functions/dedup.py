@@ -398,6 +398,8 @@ def lsh_verified_near_dups(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_bands: int = N_BANDS,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates verified by
     exact word-n-gram Jaccard via per-pair array intersection
@@ -407,12 +409,15 @@ def lsh_verified_near_dups(
     ``max_bucket_size`` passes through to the candidate stage: the
     production default caps degenerate LSH buckets (an approximation once
     a band bucket exceeds it); ``None`` is the exact parameterization for
-    oracle comparison — same contract as
-    :func:`minhash_lsh_candidates`."""
+    oracle comparison — same contract as :func:`minhash_lsh_candidates`.
+    ``n_bands``/``band_size`` pass through too (default 4x4 — the
+    banding the oracle SQL mirrors); recall-vs-candidate-volume tuning
+    for a given threshold is :func:`bands_for_threshold`'s job."""
     # spread once so the nested signature + verify guards no-op
     df = _ensure_parallelism(df)
     cand = minhash_lsh_candidates(df, id_col, text_col, n,
-                                  max_bucket_size=max_bucket_size)
+                                  max_bucket_size=max_bucket_size,
+                                  n_bands=n_bands, band_size=band_size)
     return _verify_pairs_jaccard(df, id_col, text_col, cand, n, threshold)
 
 
@@ -687,6 +692,8 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_bands: int = N_BANDS,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Full near-dup clustering: LSH-verified pairs -> connected
     components -> (doc_id, cluster_id, cluster_size, is_representative).
@@ -699,7 +706,8 @@ def dedup_clusters(
     LSH candidate stage (``None`` = exact, for oracle comparison).
     """
     pairs = lsh_verified_near_dups(df, id_col, text_col, n, threshold,
-                                   max_bucket_size=max_bucket_size)
+                                   max_bucket_size=max_bucket_size,
+                                   n_bands=n_bands, band_size=band_size)
     cc = connected_components(pairs)
     w_size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return (

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # JVM unified logging defaults to STDOUT and the embedded JVM
+        # inherits Python's fd 1 — under allocation pressure, [gc,alloc]
+        # warnings would interleave with bench.py's single-JSON-line
+        # stdout contract; route all JVM log output to stderr
+        .config("spark.driver.extraJavaOptions",
+                "-Xlog:disable -Xlog:all=warning:stderr")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

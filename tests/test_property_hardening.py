@@ -115,3 +115,27 @@ def test_connected_components_random_graphs(spark, seed):
     got = {r.node: r.cluster_id
            for r in connected_components(pairs, max_iter=50).collect()}
     assert got == _uf_components(edges)
+
+
+@given(st.floats(min_value=0.05, max_value=0.99))
+@settings(max_examples=200, deadline=None)
+def test_bands_for_threshold_invariants(t):
+    """For any threshold: the banding fits the signature, achieves the
+    promised pair recall AT the threshold, and is the MOST selective
+    (largest band) that does so."""
+    from mlcast_sourcedata_validator_spark.functions.dedup import (
+        bands_for_threshold,
+    )
+    from mlcast_sourcedata_validator_spark.functions.hashing import (
+        MINHASH_COEFFS,
+    )
+
+    n_hashes = len(MINHASH_COEFFS)
+    b, r = bands_for_threshold(t)
+    assert 1 <= r <= n_hashes and 1 <= b and b * r <= n_hashes
+    recall = 1 - (1 - t ** r) ** b
+    assert recall >= 0.98 or r == 1  # r=1 is the fallback floor
+    # maximality: no larger band size also meets the bar
+    for r2 in range(r + 1, n_hashes + 1):
+        b2 = n_hashes // r2
+        assert 1 - (1 - t ** r2) ** b2 < 0.98
