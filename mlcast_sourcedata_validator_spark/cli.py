@@ -32,6 +32,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--suite", default="transcripts_v1")
     p.add_argument("--table", help="transcripts table path (hive date= partitions)")
+    p.add_argument("--format", default=None,
+                   choices=("parquet", "orc", "json", "csv"),
+                   help="input format override (default: from the path "
+                        "extension; directories default to parquet). "
+                        "json/csv infer their schema from the FIRST data "
+                        "file only — never a full-corpus inference pass")
+    p.add_argument("--schema", default=None,
+                   help="explicit DDL schema for json/csv inputs, e.g. "
+                        "'doc_id bigint, text string' — the scale path "
+                        "(zero inference) and the only way a JSON source "
+                        "can satisfy a column-ORDER check (JSON objects "
+                        "are unordered; Spark sorts inferred fields)")
     p.add_argument("--registry", help="conversations registry parquet path")
     p.add_argument("--baseline", help="drift baseline histogram parquet path")
     p.add_argument("--results", help="results store path (enables per-partition "
@@ -123,7 +135,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.table:
         from .sources.tables import read_table
 
-        df = read_table(spark, args.table)
+        schema = None
+        if args.schema:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(args.schema)
+        df = read_table(spark, args.table, fmt=args.format, schema=schema)
     else:
         print("error: provide --table, --demo, or --list", file=sys.stderr)
         return 2
