@@ -768,6 +768,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.text_repetition(_t(spark, sf, "documents"), "doc_id", "text")
     q["text_repetition_documents"] = text_repetition_documents
 
+    def pii_profile_documents(spark, sf):
+        """Per-doc PII screen (email/ipv4/ssn/phone regexp counts) plus a
+        redaction-idempotence bit: redacted == original iff no PII —
+        both the detector and the redaction chain execute under the
+        oracle compare (the synthetic corpus is PII-free, so the value
+        content is the all-clear; crafted-fixture tests carry the
+        positive cases)."""
+        d = _t(spark, sf, "documents")
+        prof = tx.pii_profile(d, "doc_id", "text")
+        red = tx.redact_pii(d, "text", "red").select(
+            "doc_id", (F.md5("red") == F.md5("text")).alias("redact_noop"))
+        return prof.join(red, "doc_id")
+    q["pii_profile_documents"] = pii_profile_documents
+
+    def decontaminate_documents(spark, sf):
+        """Benchmark decontamination: every 50th doc plays the EVAL set,
+        the rest are training docs; flags = exact md5 hit OR >= 3 shared
+        word-3-gram codes (n=3 because the synthetic docs are short; the
+        production default window is 13)."""
+        d = _t(spark, sf, "documents")
+        ev = d.where(F.col("doc_id") % 50 == 0)
+        tr = d.where(F.col("doc_id") % 50 != 0)
+        return dd.decontaminate_flags(tr, "doc_id", "text", ev, "text",
+                                      n=3, min_hits=3)
+    q["decontaminate_documents"] = decontaminate_documents
+
     def pipeline_clean_documents(spark, sf):
         """The composed training-data pipeline: text profiling -> quality +
         language filter -> exact dedup -> per-language summary. All stages
@@ -1543,6 +1569,51 @@ def _all_oracles() -> dict[str, str]:
                round(mx::DOUBLE / tot, 6) AS top_token_ratio
         FROM s JOIN tt ON s.doc_id = tt.doc_id"""
 
+    # PII patterns are restricted to syntax valid in BOTH java.util.regex
+    # and RE2 (no lookaround), so the oracle runs them verbatim
+    from mlcast_sourcedata_validator_spark.functions.text import PII_PATTERNS
+
+    pii_counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}'))::INT AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    pii_any = " OR ".join(f"n_{name} > 0" for name in PII_PATTERNS)
+    pii_red = "text"
+    for name, p in PII_PATTERNS.items():
+        pii_red = f"regexp_replace({pii_red}, '{p}', '[{name.upper()}]', 'g')"
+    o["pii_profile_documents"] = f"""
+        WITH prof AS (
+          SELECT doc_id, {pii_counts}, md5({pii_red}) = md5(text)
+                 AS redact_noop
+          FROM documents)
+        SELECT doc_id, {', '.join('n_' + n for n in PII_PATTERNS)},
+               ({pii_any}) AS has_pii, redact_noop
+        FROM prof"""
+
+    wsh_dc = word_shingles_sql("t", 3)
+    x_dc = encw_sql("s")
+    o["decontaminate_documents"] = f"""
+        WITH ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        tr AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+        evh AS (SELECT DISTINCT md5(text) AS h FROM ev),
+        evx AS (SELECT DISTINCT {x_dc} AS x FROM (
+          SELECT unnest(list_distinct({wsh_dc})) AS s FROM
+            (SELECT string_split(text, ' ') AS t FROM ev))),
+        trx AS (SELECT DISTINCT doc_id, {x_dc} AS x FROM (
+          SELECT doc_id, unnest(list_distinct({wsh_dc})) AS s FROM
+            (SELECT doc_id, string_split(text, ' ') AS t FROM tr))),
+        hits AS (
+          SELECT doc_id, count(*)::INT AS ngram_hits
+          FROM trx JOIN evx USING (x) GROUP BY doc_id),
+        ex AS (
+          SELECT doc_id, TRUE AS exact_hit FROM tr
+          WHERE md5(text) IN (SELECT h FROM evh))
+        SELECT coalesce(hits.doc_id, ex.doc_id) AS doc_id,
+               coalesce(exact_hit, FALSE) AS exact_hit,
+               coalesce(ngram_hits, 0) AS ngram_hits
+        FROM hits FULL JOIN ex ON hits.doc_id = ex.doc_id
+        WHERE coalesce(exact_hit, FALSE) OR coalesce(ngram_hits, 0) >= 3"""
+
     o["pipeline_clean_documents"] = f"""
         WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
         keep AS (SELECT doc_id FROM prof
@@ -1732,6 +1803,12 @@ _EXTRA_ORDER = [
     # repetition quality signals; string/agg twin of in-window
     # text_profile_documents
     "text_repetition_documents",
+    # PII screen + redaction idempotence (regexp_count/replace chain;
+    # patterns valid in both java.util.regex and RE2)
+    "pii_profile_documents",
+    # benchmark decontamination (exact md5 + shared-shingle broadcast
+    # probes against an eval split)
+    "decontaminate_documents",
 ]
 
 

@@ -717,6 +717,83 @@ def dedup_clusters(
     )
 
 
+def decontaminate_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination flags: training docs that overlap an
+    evaluation set, per the standard two-signal recipe — exact content
+    match (md5) and shared word-``n``-gram (n=13 is the common
+    eval-decontamination window; lower it for short documents).
+
+    Returns (id, exact_hit boolean, ngram_hits int) for CONTAMINATED
+    docs only (``ngram_hits >= min_hits`` or exact). Scale shape: the
+    eval set is small by construction, so its distinct md5s and distinct
+    shingle codes BROADCAST; the training corpus is scanned twice
+    (hash probe + shingle explode), each probe a broadcast hash join —
+    no all-pairs, no big-side shuffle except the per-doc hit count.
+    Shingle codes are the portable ``encw`` arithmetic — a code
+    collision can only ADD a hit (conservative: flags at worst a clean
+    doc, never clears a contaminated one).
+    """
+    ev_hash = eval_df.select(
+        F.md5(F.col(eval_text_col)).alias("_h")).distinct()
+    ev_sh = (
+        eval_df.select(F.explode(
+            F.array_distinct(word_shingles(F.col(eval_text_col), n))
+        ).alias("_s"))
+        .select(encw(F.col("_s")).alias("_x")).distinct()
+    )
+    tr = _ensure_parallelism(df)
+    tr_sh = (
+        tr.select(F.col(id_col), F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("_s"))
+        .select(id_col, encw(F.col("_s")).alias("_x")).distinct()
+    )
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "_x")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("ngram_hits"))
+    )
+    exact = (
+        tr.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .join(F.broadcast(ev_hash), "_h")
+        .select(F.col(id_col), F.lit(True).alias("exact_hit"))
+        .distinct()
+    )
+    return (
+        hits.join(exact, id_col, "full")
+        .select(
+            id_col,
+            F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+            F.coalesce(F.col("ngram_hits"), F.lit(0)).alias("ngram_hits"),
+        )
+        .where(F.col("exact_hit") | (F.col("ngram_hits") >= min_hits))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop contaminated training docs (see :func:`decontaminate_flags`);
+    returns the clean subset of ``df`` via a left-anti join on id."""
+    flagged = decontaminate_flags(df, id_col, text_col, eval_df,
+                                  eval_text_col, n, min_hits)
+    return df.join(flagged.select(id_col), id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

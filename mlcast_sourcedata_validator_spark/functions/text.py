@@ -123,6 +123,54 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: PII detection patterns — deliberately restricted to syntax valid in
+#: BOTH java.util.regex (Spark) and RE2 (DuckDB oracle): no lookaround.
+#: Keys double as redaction-token names. Ordered: email first (an email
+#: contains dot-runs an ipv4 pattern could nibble at), then the numeric
+#: shapes (ssn's 3-2-4 grouping cannot match phone's 3-3-4 and vice
+#: versa).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts: (id, n_email, n_ipv4, n_ssn,
+    n_phone, has_pii). Pure ``regexp_count`` Column expressions
+    (JVM-side, codegen'd) — the detection face of :func:`redact_pii`,
+    and the screen a training pipeline runs BEFORE deciding what to
+    redact or drop."""
+    t = F.col(text_col)
+    counts = [
+        F.coalesce(F.regexp_count(t, F.lit(p)), F.lit(0)).cast("int")
+        .alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    any_hit = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return out.withColumn("has_pii", any_hit)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Replace every PII match with a typed token (``[EMAIL]``,
+    ``[IPV4]``, ...): a chain of ``regexp_replace`` expressions fused
+    into one projection — map-side only, no Python. Pattern order is
+    PII_PATTERNS' (email before the numeric shapes)."""
+    out_col = out_col or text_col
+    expr = F.col(text_col)
+    for name, p in PII_PATTERNS.items():
+        expr = F.regexp_replace(expr, p, f"[{name.upper()}]")
+    return df.withColumn(out_col, expr)
+
+
 def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Repetition signals for LLM-data quality filtering:
     (id, n_sentences, dup_sentence_ratio, top_token_ratio).

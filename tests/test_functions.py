@@ -492,3 +492,65 @@ def test_threshold_tuned_auto_bands_recall_complete(spark, sf_dir):
     glob = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, method="global").collect()}
     assert auto == glob and len(glob) > 0
+
+
+def test_pii_profile_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.org or 555-123-4567"),
+            (2, "server at 192.168.1.10 and ssn 123-45-6789"),
+            (3, "perfectly clean text with numbers 12345 and a date 2024-01-02"),
+            (4, "two mails: a@b.io c@d.co and ip 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in tx.pii_profile(docs, "doc_id", "text").collect()}
+    assert prof[1].n_email == 1 and prof[1].n_phone == 1 and prof[1].has_pii
+    assert prof[2].n_ipv4 == 1 and prof[2].n_ssn == 1 and prof[2].has_pii
+    assert not prof[3].has_pii and prof[3].n_phone == 0 and prof[3].n_ssn == 0
+    assert prof[4].n_email == 2 and prof[4].n_ipv4 == 1
+
+    red = tx.redact_pii(docs, "text")
+    # redaction is complete: re-profiling the redacted text finds nothing
+    reprof = tx.pii_profile(red, "doc_id", "text").collect()
+    assert all(not r.has_pii for r in reprof), reprof
+    texts = {r.doc_id: r.text for r in red.collect()}
+    assert "[EMAIL]" in texts[1] and "[PHONE]" in texts[1]
+    assert "[IPV4]" in texts[2] and "[SSN]" in texts[2]
+    assert texts[3] == "perfectly clean text with numbers 12345 and a date 2024-01-02"
+    # typed-token redaction preserves surrounding text
+    assert texts[1].startswith("contact me at [EMAIL] or ")
+
+
+def test_decontaminate_flags_and_filter(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # exact copy of the eval doc
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # long shared n-gram run (contaminated by overlap)
+            (2, "prefix words then the quick brown fox jumps over something"),
+            # shares no 5-gram with the eval doc
+            (3, "completely unrelated text about spark query planning"),
+            # shares a few tokens but no full 5-gram
+            (4, "the dog sat quietly while the fox slept all day"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in dd.decontaminate_flags(
+        train, "doc_id", "text", eval_df, "text", n=5, min_hits=1).collect()}
+    assert flags[1].exact_hit and flags[1].ngram_hits > 0
+    assert 2 in flags and not flags[2].exact_hit and flags[2].ngram_hits >= 1
+    assert 3 not in flags and 4 not in flags
+
+    clean = dd.decontaminate(train, "doc_id", "text", eval_df, "text",
+                             n=5, min_hits=1)
+    assert {r.doc_id for r in clean.collect()} == {3, 4}
+    # min_hits raises the bar: doc 2 shares fewer 5-grams than the exact copy
+    strict = dd.decontaminate_flags(train, "doc_id", "text", eval_df, "text",
+                                    n=5, min_hits=4)
+    ids = {r.doc_id for r in strict.collect()}
+    assert 1 in ids and 2 not in ids
