@@ -794,6 +794,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       n=3, min_hits=3)
     q["decontaminate_documents"] = decontaminate_documents
 
+    def sample_mixture_documents(spark, sf):
+        """Deterministic training-mix reweighting: per-language keep
+        rates applied via an id-derived portable uniform (md5 -> encw ->
+        uhash / P) — retry-stable, partitioning-independent, and
+        reproduced bit-for-bit by the DuckDB oracle. Map-side filter,
+        zero shuffle."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.sample_by_mixture(
+            d, "doc_id", "lang",
+            {"en": 1.0, "de": 0.4, "fr": 0.1}, default=0.02, seed=7,
+        ).select("doc_id", "lang")
+    q["sample_mixture_documents"] = sample_mixture_documents
+
+    def stratified_cap_documents(spark, sf):
+        """At most 20 docs per source, deterministically ranked by the
+        portable uniform (one window shuffle on the stratum key)."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.stratified_cap(d, "source", "doc_id", k=20, seed=7) \
+                 .select("doc_id", "source")
+    q["stratified_cap_documents"] = stratified_cap_documents
+
     def pipeline_clean_documents(spark, sf):
         """The composed training-data pipeline: text profiling -> quality +
         language filter -> exact dedup -> per-language summary. All stages
@@ -962,11 +987,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the UTC session timezone
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
+        # sum over DECIMAL, not DOUBLE: decimal addition is exact and
+        # order-independent, so the streaming state-store merge order
+        # (which varies under load) can never diverge from the batch
+        # oracle at a round() boundary; a binary double never ties at a
+        # decimal midpoint, so the per-value cast agrees across engines
         agg = (
             s.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(24,6)"))
+                         .cast("double"), 4).alias("sum_value"))
         )
         q_ = (agg.writeStream.outputMode("complete").format("memory")
               .queryName(qname).trigger(availableNow=True).start())
@@ -1007,9 +1038,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withWatermark("ts", "24 hours")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
+        # decimal-accumulated sum: exact + order-independent (see
+        # streaming_hourly) — retry-stable at the correctness gate
         agg = dedup.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(24,6)"))
+                    .cast("double"), 4).alias("sum_value"),
         )
         q_ = (agg.writeStream.outputMode("complete").format("memory")
               .queryName(qname).trigger(availableNow=True).start())
@@ -1614,6 +1648,24 @@ def _all_oracles() -> dict[str, str]:
         FROM hits FULL JOIN ex ON hits.doc_id = ex.doc_id
         WHERE coalesce(exact_hit, FALSE) OR coalesce(ngram_hits, 0) >= 3"""
 
+    from mlcast_sourcedata_validator_spark.functions.sampling import (
+        hash_uniform_sql,
+    )
+
+    u_doc = hash_uniform_sql("doc_id", seed=7)
+    o["sample_mixture_documents"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {u_doc} < (CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.4
+                         WHEN 'fr' THEN 0.1 ELSE 0.02 END)"""
+
+    o["stratified_cap_documents"] = f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {u_doc} ASC, doc_id ASC) AS rk
+          FROM documents)
+        WHERE rk <= 20"""
+
     o["pipeline_clean_documents"] = f"""
         WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
         keep AS (SELECT doc_id FROM prof
@@ -1693,13 +1745,15 @@ def _all_oracles() -> dict[str, str]:
 
     o["streaming_dedup_events"] = """
         SELECT event_type, count(*)::BIGINT AS n_events,
-               round(sum(value), 4) AS sum_value
+               round(sum(CAST(value AS DECIMAL(24,6)))::DOUBLE, 4)
+                 AS sum_value
         FROM events GROUP BY event_type"""
 
     o["streaming_hourly_counts_events"] = """
         SELECT date_trunc('hour', ts) AS hour_start,
                count(*)::BIGINT AS n_events,
-               round(sum(value), 4) AS sum_value
+               round(sum(CAST(value AS DECIMAL(24,6)))::DOUBLE, 4)
+                 AS sum_value
         FROM events GROUP BY 1"""
 
     o["frame_sample_documents"] = """
@@ -1809,6 +1863,10 @@ _EXTRA_ORDER = [
     # benchmark decontamination (exact md5 + shared-shingle broadcast
     # probes against an eval split)
     "decontaminate_documents",
+    # deterministic portable sampling (training-mix reweighting + per-
+    # stratum cap; id-derived uniform reproduced exactly by the oracle)
+    "sample_mixture_documents",
+    "stratified_cap_documents",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Deterministic, engine-portable sampling for training-data mixes.
+
+``df.sample()`` is reproducible only per-partitioning: a retry, a
+different split plan, or AQE re-coalescing changes which rows land where
+and therefore which rows survive. At 10^12 rows a training mix must be
+a PURE FUNCTION of the row — so these operators derive a uniform in
+[0, 1) from the row's id alone:
+
+    u(id) = uhash(encw(substr(md5(id), 1, 12)), seed) / P
+
+md5 whitens the id (sequential ids stay uncorrelated), the portable
+``encw``/``uhash`` arithmetic (hashing.py) reduces it identically in
+Spark and DuckDB, so every sample here is oracle-checkable and stable
+across retries, partitionings, and engines. All filters are map-side
+Column expressions (codegen'd, pushed into the scan where possible);
+only :func:`stratified_cap` shuffles (one window on the stratum key).
+
+Reference scope note: the reference validator samples too —
+``_prepare_sample_slice`` bounds its interop checks
+(/root/reference/mlcast_dataset_validator/checks/tool_compatibility/cartopy.py:21-38);
+these operators are the corpus-scale generalization of that idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .hashing import MINHASH_COEFFS, P, encw, encw_sql, uhash, uhash_sql
+
+
+def hash_uniform(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from an id column (any type —
+    cast to its canonical string form first)."""
+    j = seed % len(MINHASH_COEFFS)
+    code = encw(F.substring(F.md5(id_col.cast("string")), 1, 12))
+    return uhash(code, j) / F.lit(float(P))
+
+
+def hash_uniform_sql(id_expr: str, seed: int = 0) -> str:
+    """DuckDB mirror of :func:`hash_uniform` (same integer arithmetic,
+    same final double division)."""
+    j = seed % len(MINHASH_COEFFS)
+    code = encw_sql(f"substr(md5(({id_expr})::VARCHAR), 1, 12)")
+    return f"({uhash_sql(code, j)}::DOUBLE / {P})"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep each row iff u(id) < fraction — retry-stable, partitioning-
+    independent, and identical on any engine that reproduces the
+    arithmetic. A map-side filter: no shuffle, no RNG state."""
+    return df.where(hash_uniform(F.col(id_col), seed) < fraction)
+
+
+def sample_by_mixture(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-key sampling rates — the training-mix reweighting primitive
+    ("keep 100% of books, 10% of web, 1% of logs"). One map-side CASE
+    over the key; unlisted keys get ``default``."""
+    rate = None
+    for k, f_ in fractions.items():
+        cond = F.col(key_col) == k
+        rate = (F.when(cond, F.lit(float(f_))) if rate is None
+                else rate.when(cond, F.lit(float(f_))))
+    rate = rate.otherwise(F.lit(float(default))) if rate is not None \
+        else F.lit(float(default))
+    return df.where(hash_uniform(F.col(id_col), seed) < rate)
+
+
+def stratified_cap(
+    df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """At most ``k`` rows per stratum, chosen deterministically: rank by
+    (u(id), id) within each key and keep rank <= k. One shuffle on the
+    stratum key; a heavily skewed stratum concentrates its sort in one
+    task — for strata beyond ~10^7 rows prefer a two-step
+    (:func:`deterministic_sample` down to ~2k then cap), which keeps the
+    windowed volume bounded at identical determinism."""
+    u = hash_uniform(F.col(id_col), seed)
+    w = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -554,3 +554,44 @@ def test_decontaminate_flags_and_filter(spark):
                                     n=5, min_hits=4)
     ids = {r.doc_id for r in strict.collect()}
     assert 1 in ids and 2 not in ids
+
+
+def test_deterministic_sampling_family(spark):
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, ["web", "books", "logs"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    # retry/partitioning independence: same rows regardless of layout
+    s1 = {r.doc_id for r in
+          sp.deterministic_sample(df, "doc_id", 0.3, seed=5).collect()}
+    s2 = {r.doc_id for r in
+          sp.deterministic_sample(df.repartition(17), "doc_id", 0.3,
+                                  seed=5).collect()}
+    assert s1 == s2 and 0.25 < len(s1) / 3000 < 0.35
+    # monotone in fraction: a smaller sample is a subset of a larger one
+    s_small = {r.doc_id for r in
+               sp.deterministic_sample(df, "doc_id", 0.1, seed=5).collect()}
+    assert s_small <= s1
+    # different seeds decorrelate
+    s3 = {r.doc_id for r in
+          sp.deterministic_sample(df, "doc_id", 0.3, seed=6).collect()}
+    overlap = len(s1 & s3) / len(s1)
+    assert 0.15 < overlap < 0.45  # ~0.3 expected under independence
+
+    mix = sp.sample_by_mixture(df, "doc_id", "source",
+                               {"web": 1.0, "books": 0.2}, default=0.0)
+    by_src = {r.source: r.n for r in
+              mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["web"] == 1000 and "logs" not in by_src
+    assert 120 < by_src["books"] < 280
+
+    cap = sp.stratified_cap(df, "source", "doc_id", k=7, seed=1)
+    per = [r.n for r in cap.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert per == [7, 7, 7]
+    # cap is deterministic too
+    again = sp.stratified_cap(df.repartition(13), "source", "doc_id",
+                              k=7, seed=1)
+    assert {r.doc_id for r in cap.collect()} == {r.doc_id for r in again.collect()}

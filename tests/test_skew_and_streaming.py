@@ -291,6 +291,10 @@ def test_streaming_dedup_bounded_state_matches_batch_distinct(spark, sf_dir):
     exp = {r.event_type: (r.n_events, r.sum_value)
            for r in ev.dropDuplicates(["event_id"]).groupBy("event_type")
                       .agg(F.count(F.lit(1)).alias("n_events"),
-                           F.round(F.sum("value"), 4).alias("sum_value"))
+                           # decimal accumulation mirrors the query: exact
+                           # and order-independent, so batch-vs-streaming
+                           # merge order can never flip a round() boundary
+                           F.round(F.sum(F.col("value").cast("decimal(24,6)"))
+                                   .cast("double"), 4).alias("sum_value"))
                       .collect()}
     assert got == exp
