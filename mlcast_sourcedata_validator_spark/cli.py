@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference parity: specs/cli.py:140-160)")
     p.add_argument("--s3-anon", action="store_true",
                    help="anonymous S3 access for remote table paths")
+    p.add_argument("--quarantine", default=None,
+                   help="also write the FULL-WIDTH offending rows (row/"
+                        "window verdicts) to this parquet path — the "
+                        "pipeline-stage form: clean rows flow on, flagged "
+                        "rows are parked for inspection")
     p.add_argument("--list", action="store_true", help="list available suites")
     p.add_argument("--demo", action="store_true",
                    help="run the suite on synthetic dirty data")
@@ -157,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
     # per-check counts were collected during the run — re-counting the
     # violations DataFrame would be a second pass over the data
     print(f"{res.n_violations} violation rows; input rows: {res.n_input_rows}")
+    if args.quarantine:
+        from .compiler import quarantine
+
+        _clean, flagged = quarantine(ctx)
+        flagged.write.mode("overwrite").parquet(args.quarantine)
+        print(f"quarantined rows written to {args.quarantine}")
     return res.exit_code()
 
 

@@ -363,6 +363,43 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
     return SuitePlan(agg_exprs, post_exprs, obs, post_obs, enriched, viol)
 
 
+def quarantine(
+    ctx: RunContext, broadcast_keys: bool = True
+):
+    """Split the input into (clean_df, flagged_df) by the suite's ROW and
+    WINDOW verdicts — the pipeline-stage form of the validator: feed
+    ``clean_df`` downstream, route ``flagged_df`` to a quarantine sink.
+
+    Both outputs are LAZY full-width plans: the fused violations plan's
+    distinct offending (conv, turn) keys are anti-/semi-joined back to
+    the input. Violations are the exception by construction at 10^12
+    rows, so the key set is tiny and broadcasts (``broadcast_keys=False``
+    drops the hint for pathological all-rows-dirty batches, letting AQE
+    pick a shuffle join). Driver/aggregate checks don't identify
+    individual rows and therefore don't quarantine — run
+    :func:`run_suite` for the full report and exit code.
+    """
+    cs = compile_suite(ctx.suite, exact=ctx.exact)
+    plan = build_suite_plan(ctx, cs)
+    if plan.violations is None:  # no row/window checks in the suite
+        return ctx.df, ctx.df.limit(0)
+    conv, turn = ctx.suite.conv_col, ctx.suite.turn_col
+    keys = plan.violations.select(
+        F.col("conv_id").alias("__q_conv"),
+        F.col("turn_idx").alias("__q_turn"),
+    ).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    # same casts the violations plan applied, so the join key roundtrips
+    cond = (
+        F.col(conv).cast("string").eqNullSafe(F.col("__q_conv"))
+        & F.col(turn).try_cast("int").eqNullSafe(F.col("__q_turn"))
+    )
+    flagged = ctx.df.join(keys, cond, "left_semi")
+    clean = ctx.df.join(keys, cond, "left_anti")
+    return clean, flagged
+
+
 def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRunResult:
     """Compile + execute the suite on ctx.df; optionally persist violations."""
     t0 = time.time()

@@ -139,3 +139,69 @@ def test_missing_baseline_degrades_to_warning(spark, clean):
     assert res.report.summarize()[FAIL] == 0
     drift_rows = [r for r in res.report.results if "drift skipped" in r.detail]
     assert len(drift_rows) == 2 and all(r.status == WARNING for r in drift_rows)
+
+
+def test_quarantine_splits_clean_and_flagged(spark, clean, baseline):
+    """quarantine(): flagged carries every row the violations plan names,
+    clean carries none of them, and the two partitions the input exactly.
+    On an all-clean batch the flagged side is empty."""
+    from mlcast_sourcedata_validator_spark.compiler import quarantine
+
+    dirty, expected = inject_violations(clean, k=K, seed=42)
+    reg = generate_conversations_registry(
+        dirty, drop_convs=dangling_conv_ids(expected))
+    ctx = RunContext(spark=spark, df=dirty, suite=get_suite("transcripts_v1"),
+                     run_id="q", registry_df=reg, baseline_df=baseline)
+    clean_df, flagged_df = quarantine(ctx)
+
+    res = run_suite(ctx)
+    viol_keys = {(r.conv_id, r.turn_idx) for r in res.violations.collect()}
+    flagged_keys = {(r.conv_id, r.turn_idx) for r in flagged_df.collect()}
+    assert viol_keys == flagged_keys and len(flagged_keys) > 0
+
+    n_all, n_clean, n_flagged = dirty.count(), clean_df.count(), flagged_df.count()
+    assert n_clean + n_flagged == n_all
+    clean_keys = {(r.conv_id, r.turn_idx) for r in
+                  clean_df.select("conv_id", "turn_idx").collect()}
+    assert not (clean_keys & viol_keys)
+    # full-width output: original schema preserved on both sides
+    assert clean_df.schema == dirty.schema == flagged_df.schema
+
+    # all-clean batch -> empty flagged side
+    ctx2 = RunContext(spark=spark, df=clean, suite=get_suite("transcripts_v1"),
+                      run_id="q2",
+                      registry_df=generate_conversations_registry(clean),
+                      baseline_df=baseline)
+    c2, f2 = quarantine(ctx2)
+    assert f2.count() == 0 and c2.count() == clean.count()
+
+    # the key join broadcasts (violations are the exception at scale)
+    plan = flagged_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cli_quarantine_flag(spark, sf_dir, tmp_path, capsys):
+    """--quarantine writes full-width offending rows; a corpus salted
+    with one bad-lang doc quarantines exactly that doc."""
+    from mlcast_sourcedata_validator_spark import cli
+    from mlcast_sourcedata_validator_spark.sources.properties import (
+        write_table_properties,
+    )
+
+    tbl = str(tmp_path / "docs_tbl")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = spark.createDataFrame(
+        [(9_900_001, "some text", "xx", "web", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.unionByName(bad).coalesce(1).write.mode("overwrite").parquet(tbl)
+    write_table_properties(tbl, {"license": "CC-BY-4.0"})
+    qdir = str(tmp_path / "quarantined")
+    rc = cli.main(["--suite", "documents_v1", "--table", tbl,
+                   "--quarantine", qdir])
+    assert rc == 1  # the bad-lang row is a FAIL
+    out = capsys.readouterr().out
+    assert f"quarantined rows written to {qdir}" in out
+    q = spark.read.parquet(qdir)
+    assert q.schema == docs.schema
+    assert [r.doc_id for r in q.collect()] == [9_900_001]
