@@ -66,6 +66,7 @@ from .suite import (
 _COMPILERS = {
     # driver-side (zero scan)
     "required_columns": schema_check.compile_required_columns,
+    "schema_drift": schema_check.compile_schema_drift,
     "column_rules": column_rules.compile_column_rules,
     "storage_codec": storage.compile_codec,
     "storage_partitioning": storage.compile_partitioning,

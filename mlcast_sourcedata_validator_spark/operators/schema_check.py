@@ -79,6 +79,88 @@ def compile_required_columns(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
     return DriverCheck(spec.check_id, fn)
 
 
+def schema_signature(df) -> str:
+    """Canonical ``name:type`` list of a DataFrame's schema — the stored
+    form of the schema-drift baseline (a readable spec, not a hash, so
+    the drift verdict can NAME what changed). ``;``-separated because
+    simpleString types may themselves contain commas
+    (``decimal(10,2)``, ``struct<a:int,b:string>``)."""
+    return ";".join(f"{f.name}:{f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+
+
+def record_schema(df, table_ref: str, spark=None,
+                  property_key: str = "schema_signature") -> str:
+    """Persist the current schema signature into the table's properties
+    (sidecar or catalog) — run once at table creation / after an
+    intentional migration; `schema_drift` then compares every batch
+    against it."""
+    from ..sources.properties import write_table_properties
+
+    sig = schema_signature(df)
+    write_table_properties(table_ref, {property_key: sig}, spark=spark)
+    return sig
+
+
+def compile_schema_drift(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
+    """Schema EVOLUTION check: the live schema must match the signature
+    recorded in table properties — the temporal analog of the fixed
+    required-columns check (drift over versions rather than rows;
+    complements the distributional drift checks in drift.py). Zero
+    scans. params: property_key='schema_signature',
+    severity_on_missing='WARNING' (a table without a recorded baseline
+    warns rather than fails — same posture as the drift-baseline
+    checks).
+
+    Verdicts name the change: added / removed / retyped columns and
+    order-only changes are reported separately.
+    """
+    key = spec.params.get("property_key", "schema_signature")
+
+    def fn(ctx: RunContext) -> ValidationReport:
+        from ..sources.properties import read_properties_or_warning
+
+        report = ValidationReport()
+        props, warn = read_properties_or_warning(
+            ctx.table_path, spark=ctx.spark,
+            storage_options=ctx.storage_options)
+        if warn is not None or key not in props:
+            detail = warn or f"no '{key}' recorded — schema-drift check skipped"
+            report.add(spec.section, spec.requirement, WARNING, detail)
+            return stamp(report, _MOD, "compile_schema_drift")
+        recorded = props[key]
+        live = schema_signature(ctx.df)
+        if live == recorded:
+            report.add(spec.section, spec.requirement, PASS,
+                       "schema matches the recorded signature")
+            return stamp(report, _MOD, "compile_schema_drift")
+        rec = dict(p.split(":", 1) for p in recorded.split(";") if p)
+        cur = dict(p.split(":", 1) for p in live.split(";") if p)
+        added = sorted(set(cur) - set(rec))
+        removed = sorted(set(rec) - set(cur))
+        retyped = sorted(c for c in set(cur) & set(rec) if cur[c] != rec[c])
+        if not (added or removed or retyped):
+            report.add(spec.section, spec.requirement, WARNING,
+                       "schema drift: column ORDER changed "
+                       f"(recorded {list(rec)}, live {list(cur)})")
+        else:
+            parts = []
+            if added:
+                parts.append(f"added {added}")
+            if removed:
+                parts.append(f"removed {removed}")
+            if retyped:
+                parts.append(
+                    "retyped "
+                    + str([f"{c}: {rec[c]} -> {cur[c]}" for c in retyped]))
+            report.add(spec.section, spec.requirement, FAIL,
+                       "schema drift vs recorded signature: "
+                       + "; ".join(parts))
+        return stamp(report, _MOD, "compile_schema_drift")
+
+    return DriverCheck(spec.check_id, fn)
+
+
 TRANSCRIPTS_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),

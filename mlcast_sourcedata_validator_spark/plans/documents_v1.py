@@ -41,6 +41,13 @@ def suite() -> CheckSuite:
             },
         ),
         CheckSpec(
+            "schema_drift", "schema_drift", "3.1 schema",
+            "The live schema SHOULD match the signature recorded at table "
+            "creation (schema-evolution drift: added/removed/retyped "
+            "columns FAIL; no recorded baseline is a WARNING).",
+            {"property_key": "schema_signature"},
+        ),
+        CheckSpec(
             "unique_doc_id", "unique_column", "3.2 keys",
             "doc_id MUST be unique and non-null.",
             {"column": "doc_id"},

@@ -35,6 +35,13 @@ def suite() -> CheckSuite:
             },
         ),
         CheckSpec(
+            "schema_drift", "schema_drift", "3.1 schema",
+            "The live schema SHOULD match the signature recorded at table "
+            "creation (schema-evolution drift: added/removed/retyped "
+            "columns FAIL; no recorded baseline is a WARNING).",
+            {"property_key": "schema_signature"},
+        ),
+        CheckSpec(
             "column_roles", "column_rules", "3.1 schema",
             "The table MUST expose key, ordering and time column roles "
             "(rule-matched by name/type/metadata).",

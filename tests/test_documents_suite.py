@@ -205,3 +205,46 @@ def test_text_quality_and_repetition_checks(spark, docs):
     v = {r.conv_id for r in res2.violations.collect()
          if r.check_id in ("text_quality_band", "text_repetition")}
     assert any(str(i) in v or i in v for i in (1_000_000, 2_000_000)), v
+
+
+def test_schema_drift_check(spark, docs, tmp_path):
+    """schema_drift: no recorded baseline -> WARNING skip; recorded and
+    matching -> PASS; added/retyped columns -> FAIL naming the change;
+    order-only change -> WARNING."""
+    from mlcast_sourcedata_validator_spark.operators.schema_check import (
+        record_schema,
+        schema_signature,
+    )
+
+    tbl = str(tmp_path / "sd_tbl")
+    docs.coalesce(1).write.mode("overwrite").parquet(tbl)
+    suite = get_suite("documents_v1")
+
+    def drift_rows(df, table_path):
+        res = run_suite(RunContext(spark=spark, df=df, suite=suite,
+                                   run_id="sd", table_path=table_path))
+        return [r for r in res.report.results
+                if "signature" in r.detail or "drift vs recorded" in r.detail
+                or "schema-drift" in r.detail or "ORDER changed" in r.detail]
+
+    # no baseline recorded -> WARNING
+    rows = drift_rows(docs, tbl)
+    assert any(r.status == WARNING and "skipped" in r.detail for r in rows)
+
+    sig = record_schema(docs, tbl)
+    assert sig == schema_signature(docs)
+    rows = drift_rows(docs, tbl)
+    assert any(r.status == PASS and "matches" in r.detail for r in rows)
+
+    # evolve the schema: add a column and retype another
+    evolved = docs.withColumn("extra", F.lit(1)) \
+                  .withColumn("n_chars", F.col("n_chars").cast("int"))
+    rows = drift_rows(evolved, tbl)
+    bad = [r for r in rows if r.status == FAIL]
+    assert bad and "added ['extra']" in bad[0].detail
+    assert "n_chars: bigint -> int" in bad[0].detail
+
+    # order-only change -> WARNING, not FAIL
+    reordered = docs.select("text", "doc_id", "lang", "source", "n_chars")
+    rows = drift_rows(reordered, tbl)
+    assert any(r.status == WARNING and "ORDER changed" in r.detail for r in rows)

@@ -48,9 +48,10 @@ def test_clean_run_is_all_pass(spark, clean, baseline):
     res = run_suite(ctx)
     s = res.report.summarize()
     assert s[FAIL] == 0
-    # without a table path, the 3 storage checks plus the license and
-    # conditional-property checks degrade to WARNING; nothing else warns
-    assert s[WARNING] == 5
+    # without a table path, the 3 storage checks plus the license,
+    # conditional-property and schema-drift checks degrade to WARNING;
+    # nothing else warns
+    assert s[WARNING] == 6
     assert res.violations.count() == 0
     assert res.exit_code() == 0
     assert res.n_input_rows == clean.count()
