@@ -95,10 +95,18 @@ def record_schema(df, table_ref: str, spark=None,
     (sidecar or catalog) — run once at table creation / after an
     intentional migration; `schema_drift` then compares every batch
     against it."""
-    from ..sources.properties import write_table_properties
+    from ..sources.properties import (
+        read_table_properties,
+        write_table_properties,
+    )
 
     sig = schema_signature(df)
-    write_table_properties(table_ref, {property_key: sig}, spark=spark)
+    # merge: the filesystem sidecar is a whole-file write — clobbering
+    # the license/conditional properties while recording the schema
+    # would silently un-declare them
+    props = dict(read_table_properties(table_ref, spark=spark))
+    props[property_key] = sig
+    write_table_properties(table_ref, props, spark=spark)
     return sig
 
 

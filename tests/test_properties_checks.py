@@ -216,6 +216,13 @@ def test_full_suite_all_green_with_properties(spark, clean, tmp_path):
     write_table_properties(path, {"license": "CC-BY-4.0",
                                   "consistent_timestep_start": "true"})
     df = spark.read.parquet(path).drop("date")
+    # record the schema baseline at table creation — the schema_drift
+    # check then PASSes instead of WARNING-skipping
+    from mlcast_sourcedata_validator_spark.operators.schema_check import (
+        record_schema,
+    )
+
+    record_schema(df, path)
     reg = generate_conversations_registry(df)
     b1 = build_baseline(df, expr="length(text)", metric="turn_len_chars")
     b2 = build_baseline(df, expr="hour(ts) + 1", metric="ts_hour",
