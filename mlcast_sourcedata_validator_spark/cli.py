@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference parity: specs/cli.py:140-160)")
     p.add_argument("--s3-anon", action="store_true",
                    help="anonymous S3 access for remote table paths")
+    p.add_argument("--record-schema", action="store_true",
+                   help="record the table's current schema signature into "
+                        "its properties (run at creation / after an "
+                        "intentional migration) and exit; later runs' "
+                        "schema_drift check compares against it")
     p.add_argument("--quarantine", default=None,
                    help="also write the FULL-WIDTH offending rows (row/"
                         "window verdicts) to this parquet path — the "
@@ -146,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
 
             schema = StructType.fromDDL(args.schema)
         df = read_table(spark, args.table, fmt=args.format, schema=schema)
+        if args.record_schema:
+            from .operators.schema_check import record_schema
+
+            sig = record_schema(df, args.table, spark=spark)
+            print(f"recorded schema signature: {sig}")
+            return 0
     else:
         print("error: provide --table, --demo, or --list", file=sys.stderr)
         return 2

@@ -82,6 +82,7 @@ _COMPILERS = {
     # text quality (fused agg band + map-side violation rows)
     "text_quality": text_quality.compile_text_quality,
     "text_repetition": text_quality.compile_text_repetition,
+    "pii": text_quality.compile_pii,
     # row predicates
     "domain": domains.compile_domain,
     "conditional_column": domains.compile_conditional_column,

@@ -102,6 +102,75 @@ def compile_text_quality(
     return [AggCheck(cid, exprs, verdict), row]
 
 
+def compile_pii(
+    spec: CheckSpec, suite: CheckSuite
+) -> list[AggCheck | RowCheck]:
+    """PII screen as a declarative check: per-row regexp hit counts over
+    the shared :data:`functions.text.PII_PATTERNS` classes, riding the
+    fused scan (map-side; zero shuffle). params: column ('text'),
+    max_frac (fraction of PII-bearing docs tolerated before FAIL,
+    default 0.0 — any PII fails), warn_frac (default 0.0 — any PII at
+    least warns). The violation rows name WHICH classes hit, so the
+    quarantined docs can be routed straight to
+    :func:`functions.text.redact_pii`."""
+    from ..functions.text import PII_PATTERNS
+
+    col = spec.params.get("column", "text")
+    max_frac = spec.params.get("max_frac", 0.0)
+    warn_frac = spec.params.get("warn_frac", 0.0)
+    cid = spec.check_id
+    t = F.col(col)
+    class_hits = {
+        name: F.coalesce(F.regexp_count(t, F.lit(p)), F.lit(0))
+        for name, p in PII_PATTERNS.items()
+    }
+    any_hit = None
+    for name in PII_PATTERNS:
+        c = class_hits[name] > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    exprs = {
+        f"{cid}__n_pii": F.sum(F.when(any_hit, 1).otherwise(0)),
+        f"{cid}__n": F.count(F.lit(1)),
+    }
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        n_pii, n = m[f"{cid}__n_pii"], m[f"{cid}__n"]
+        if not n:
+            report.add(spec.section, spec.requirement, WARNING,
+                       "no rows — PII check skipped")
+            return stamp(report, _MOD, "compile_pii")
+        frac = (n_pii or 0) / n
+        detail = f"{n_pii} of {n} docs ({frac:.4%}) contain PII patterns"
+        if frac > max_frac:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} — exceeds {max_frac:.2%}")
+        elif frac > warn_frac:
+            report.add(spec.section, spec.requirement, WARNING, detail)
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_pii")
+
+    def row_verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        report.add(spec.section, spec.requirement, PASS,
+                   f"{n_viol} PII-bearing documents listed in violations")
+        return stamp(report, _MOD, "compile_pii")
+
+    detail = F.concat(
+        F.lit("pii classes: "),
+        F.concat_ws(",", F.array_compact(F.array(*[
+            F.when(class_hits[name] > 0,
+                   F.concat(F.lit(f"{name}="),
+                            class_hits[name].cast("string")))
+            for name in PII_PATTERNS
+        ]))),
+    )
+    row = RowCheck(cid, F.coalesce(any_hit, F.lit(False)), detail,
+                   row_verdict, severity=WARNING)
+    return [AggCheck(cid, exprs, verdict), row]
+
+
 def compile_text_repetition(
     spec: CheckSpec, suite: CheckSuite
 ) -> list[AggCheck | RowCheck]:

@@ -111,6 +111,12 @@ def suite() -> CheckSuite:
              "max_frac": 0.02, "warn_frac": 0.005},
         ),
         CheckSpec(
+            "pii_screen", "pii", "4.11 pii",
+            "Documents MUST NOT contain PII patterns (email/ipv4/ssn/"
+            "phone); offending documents are listed for redaction.",
+            {"column": "text", "max_frac": 0.0, "warn_frac": 0.0},
+        ),
+        CheckSpec(
             "drift_doc_len", "drift", "4.10 drift",
             "The document-length distribution SHOULD NOT drift from the "
             "baseline snapshot (KS<=0.15 WARN, <=0.30 FAIL; PSI<=0.2 "

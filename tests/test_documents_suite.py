@@ -248,3 +248,64 @@ def test_schema_drift_check(spark, docs, tmp_path):
     reordered = docs.select("text", "doc_id", "lang", "source", "n_chars")
     rows = drift_rows(reordered, tbl)
     assert any(r.status == WARNING and "ORDER changed" in r.detail for r in rows)
+
+
+def test_pii_check_rides_fused_scan(spark, docs):
+    """The pii check: clean corpus passes (synthetic docs are PII-free);
+    a salted email/ssn doc FAILs the band and lands in violations with
+    the hit classes named; plan stays zero-Exchange."""
+    from mlcast_sourcedata_validator_spark.compiler import (
+        build_suite_plan,
+        compile_suite,
+    )
+
+    suite = get_suite("documents_v1")
+    res = run_suite(RunContext(spark=spark, df=docs, suite=suite, run_id="p0"))
+    pii = [r for r in res.report.results if r.section == "4.11 pii"]
+    assert pii and all(r.status == PASS for r in pii), \
+        [(r.status, r.detail) for r in pii]
+
+    salted = docs.unionByName(spark.createDataFrame(
+        [(7_700_001, "mail me: bob@corp.example and ssn 123-45-6789",
+          "en", "web", 45)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text")))
+    res2 = run_suite(RunContext(spark=spark, df=salted, suite=suite,
+                                run_id="p1"))
+    pii2 = [r for r in res2.report.results if r.section == "4.11 pii"]
+    assert any(r.status == FAIL for r in pii2), \
+        [(r.status, r.detail) for r in pii2]
+    v = [r for r in res2.violations.collect() if r.check_id == "pii_screen"]
+    assert len(v) == 1 and v[0].conv_id == "7700001"
+    assert "email=1" in v[0].detail and "ssn=1" in v[0].detail
+
+    # the suite plan is still zero-shuffle with the pii check fused in
+    cs = compile_suite(suite)
+    plan = build_suite_plan(
+        RunContext(spark=spark, df=docs, suite=suite, run_id="pp"), cs)
+    s = plan.violations._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in s
+
+
+def test_cli_record_schema_flag(spark, docs, tmp_path, capsys):
+    from mlcast_sourcedata_validator_spark import cli
+    from mlcast_sourcedata_validator_spark.sources.properties import (
+        read_table_properties,
+        write_table_properties,
+    )
+
+    tbl = str(tmp_path / "rs_tbl")
+    docs.coalesce(1).write.mode("overwrite").parquet(tbl)
+    write_table_properties(tbl, {"license": "CC-BY-4.0"})
+    rc = cli.main(["--suite", "documents_v1", "--table", tbl,
+                   "--record-schema"])
+    assert rc == 0
+    assert "recorded schema signature" in capsys.readouterr().out
+    props = read_table_properties(tbl)
+    # merged, not clobbered
+    assert props["license"] == "CC-BY-4.0"
+    assert props["schema_signature"].startswith("doc_id:bigint;text:string")
+    # a later run's schema_drift check now PASSes
+    rc2 = cli.main(["--suite", "documents_v1", "--table", tbl])
+    out = capsys.readouterr().out
+    assert rc2 == 0 and "schema matches the recorded signature" in out
