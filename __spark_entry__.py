@@ -819,6 +819,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "source")
     q["stratified_cap_documents"] = stratified_cap_documents
 
+    def pack_sequences_documents(spark, sf):
+        """Concat-then-chunk sequence packing (GPT-style pretraining
+        layout): docs laid out by id within each source shard, chunked
+        every 512 whitespace tokens; emits each doc's pack id/offset and
+        a straddles flag. Pure window prefix-sum arithmetic — exact
+        DuckDB oracle."""
+        from mlcast_sourcedata_validator_spark.functions import packing as pk
+
+        d = _t(spark, sf, "documents").withColumn(
+            "n_toks", F.size(F.split(F.col("text"), " ")))
+        return pk.pack_sequences(d, "doc_id", "n_toks", budget=512,
+                                 partition_col="source")
+    q["pack_sequences_documents"] = pack_sequences_documents
+
+    def prioritized_dedup_documents(spark, sf):
+        """Cross-source preference dedup: pretend rank = doc_id % 3 and
+        keep the best-ranked copy of each distinct text (ties by min
+        id). Returns (doc_id, rank) of survivors."""
+        d = _t(spark, sf, "documents").withColumn(
+            "rank", (F.col("doc_id") % 3).cast("int"))
+        return dd.prioritized_dedup(d, "doc_id", "text", "rank") \
+                 .select("doc_id", "rank")
+    q["prioritized_dedup_documents"] = prioritized_dedup_documents
+
     def pipeline_clean_documents(spark, sf):
         """The composed training-data pipeline: text profiling -> quality +
         language filter -> exact dedup -> per-language summary. All stages
@@ -1666,6 +1690,34 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         WHERE rk <= 20"""
 
+    o["pack_sequences_documents"] = """
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' '))::BIGINT AS n_toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, source, n_toks,
+                 coalesce(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS start_offset
+          FROM t)
+        SELECT doc_id, source, n_toks AS n_tokens, start_offset,
+               (start_offset // 512)::BIGINT AS pack_id,
+               (start_offset % 512)::BIGINT AS pack_offset,
+               ((start_offset + greatest(n_toks, 1) - 1) // 512
+                > start_offset // 512) AS straddles_boundary
+        FROM s"""
+
+    o["prioritized_dedup_documents"] = """
+        SELECT doc_id, rank FROM (
+          SELECT doc_id, (doc_id % 3)::INT AS rank,
+                 row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY (doc_id % 3) ASC, doc_id ASC) AS rk
+          FROM documents)
+        WHERE rk = 1"""
+
     o["pipeline_clean_documents"] = f"""
         WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
         keep AS (SELECT doc_id FROM prof
@@ -1867,6 +1919,10 @@ _EXTRA_ORDER = [
     # stratum cap; id-derived uniform reproduced exactly by the oracle)
     "sample_mixture_documents",
     "stratified_cap_documents",
+    # sequence packing (concat-then-chunk prefix-sum layout) + cross-
+    # source preference dedup — both exact window-arithmetic oracles
+    "pack_sequences_documents",
+    "prioritized_dedup_documents",
 ]
 
 

@@ -717,6 +717,32 @@ def dedup_clusters(
     )
 
 
+def prioritized_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """Cross-source dedup with a preference order: of all rows sharing
+    identical content, keep the one with the LOWEST ``rank_col`` (ties
+    broken by min id — stable under retries). The multi-corpus union
+    primitive: "prefer the curated copy over the crawl copy of the same
+    document".
+
+    One window over ``md5(text)`` — a single shuffle on the content
+    hash, exactly like :func:`exact_dedup`, with rank-then-id replacing
+    plain min-id. Returns the surviving full-width rows.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(rank_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def decontaminate_flags(
     df: DataFrame,
     id_col: str,

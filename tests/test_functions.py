@@ -595,3 +595,55 @@ def test_deterministic_sampling_family(spark):
     again = sp.stratified_cap(df.repartition(13), "source", "doc_id",
                               k=7, seed=1)
     assert {r.doc_id for r in cap.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_prioritized_dedup_prefers_low_rank(spark):
+    from mlcast_sourcedata_validator_spark.functions.dedup import (
+        prioritized_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "same content", 2),   # crawl copy
+            (2, "same content", 0),   # curated copy -> survives
+            (3, "same content", 1),
+            (4, "unique a", 2),
+            (5, "tie content", 1),
+            (6, "tie content", 1),    # tie -> min id 5 survives
+        ],
+        "doc_id long, text string, rank int",
+    )
+    kept = {r.doc_id for r in
+            prioritized_dedup(df, "doc_id", "text", "rank").collect()}
+    assert kept == {2, 4, 5}
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    from mlcast_sourcedata_validator_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 50), (5, 300)],
+        "doc_id long, n_toks int",
+    )
+    out = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "n_toks", budget=256).collect()}
+    # stream: 0,100,200,300,350 -> packs of 256
+    assert [out[i].start_offset for i in range(1, 6)] == [0, 100, 200, 300, 350]
+    assert [out[i].pack_id for i in range(1, 6)] == [0, 0, 0, 1, 1]
+    assert out[2].pack_offset == 100 and out[4].pack_offset == 300 - 256
+    # doc 2 spans 100..199 (within pack 0); doc 3 spans 200..299 -> straddles
+    assert not out[2].straddles_boundary and out[3].straddles_boundary
+    # doc 5 spans 350..649 -> crosses the 512 boundary
+    assert out[5].straddles_boundary
+
+    # per-shard packing: each shard starts its own stream at offset 0
+    sharded = df.withColumn("shard", (F.col("doc_id") % 2).cast("int"))
+    per = {(r.shard, r.doc_id): r.start_offset for r in
+           pack_sequences(sharded, "doc_id", "n_toks", budget=256,
+                          partition_col="shard").collect()}
+    assert per[(1, 1)] == 0 and per[(0, 2)] == 0
+    assert per[(1, 3)] == 100 and per[(0, 4)] == 100
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_toks", budget=0)
