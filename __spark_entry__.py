@@ -819,6 +819,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "source")
     q["stratified_cap_documents"] = stratified_cap_documents
 
+    def upsample_mixture_documents(spark, sf):
+        """Full mixture weighting (weights > 1 repeat rows with 0-based
+        copy indices; fractional parts resolved by the portable
+        deterministic uniform)."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.upsample_mixture(
+            d, "doc_id", "lang", {"en": 2.5, "de": 1.0}, default=0.5, seed=7,
+        ).select("doc_id", "lang", "copy_idx")
+    q["upsample_mixture_documents"] = upsample_mixture_documents
+
     def pack_sequences_documents(spark, sf):
         """Concat-then-chunk sequence packing (GPT-style pretraining
         layout): docs laid out by id within each source shard, chunked
@@ -1690,6 +1702,21 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         WHERE rk <= 20"""
 
+    o["upsample_mixture_documents"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+                 ELSE 0.5 END AS wt,
+                 {u_doc} AS u
+          FROM documents),
+        n AS (
+          SELECT doc_id, lang,
+                 (floor(wt)::INT
+                  + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END) AS nc
+          FROM w)
+        SELECT doc_id, lang, unnest(range(0, nc))::INT AS copy_idx
+        FROM n WHERE nc > 0"""
+
     o["pack_sequences_documents"] = """
         WITH t AS (
           SELECT doc_id, source,
@@ -1919,6 +1946,7 @@ _EXTRA_ORDER = [
     # stratum cap; id-derived uniform reproduced exactly by the oracle)
     "sample_mixture_documents",
     "stratified_cap_documents",
+    "upsample_mixture_documents",
     # sequence packing (concat-then-chunk prefix-sum layout) + cross-
     # source preference dedup — both exact window-arithmetic oracles
     "pack_sequences_documents",

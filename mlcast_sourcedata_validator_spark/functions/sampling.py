@@ -74,6 +74,43 @@ def sample_by_mixture(
     return df.where(hash_uniform(F.col(id_col), seed) < rate)
 
 
+def upsample_mixture(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    seed: int = 0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Full mixture weighting — weights may EXCEED 1 ("books x2.5"):
+    every row is emitted ``floor(w)`` times plus one more with
+    probability ``frac(w)`` via the deterministic uniform, each copy
+    tagged with ``copy_col`` (0-based) so downstream shuffles/dedup can
+    distinguish epochs. ``w <= 1`` degrades to plain
+    :func:`sample_by_mixture` semantics (0 or 1 copies). Map-side
+    ``explode`` of a per-row integer range — no shuffle, retry-stable.
+    """
+    w = None
+    for k, wt in weights.items():
+        cond = F.col(key_col) == k
+        w = (F.when(cond, F.lit(float(wt))) if w is None
+             else w.when(cond, F.lit(float(wt))))
+    w = w.otherwise(F.lit(float(default))) if w is not None \
+        else F.lit(float(default))
+    base = F.floor(w).cast("int")
+    extra = F.when(hash_uniform(F.col(id_col), seed) < (w - F.floor(w)),
+                   F.lit(1)).otherwise(F.lit(0))
+    n_copies = base + extra
+    # guard the empty case explicitly: Spark's sequence(0, -1) produces a
+    # DESCENDING [0, -1], not an empty array — explode of the empty array
+    # is what drops zero-copy rows
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def stratified_cap(
     df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
 ) -> DataFrame:

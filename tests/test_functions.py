@@ -647,3 +647,33 @@ def test_pack_sequences_concat_then_chunk(spark):
     assert per[(1, 3)] == 100 and per[(0, 4)] == 100
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "n_toks", budget=0)
+
+
+def test_upsample_mixture_weights(spark):
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, ["books", "web", "logs"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    up = sp.upsample_mixture(df, "doc_id", "source",
+                             {"books": 2.5, "web": 1.0, "logs": 0.25},
+                             seed=4)
+    by_src = {r.source: r.n for r in
+              up.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # books x2.5: every doc twice + ~half a third time
+    assert 2300 < by_src["books"] < 2700
+    assert by_src["web"] == 1000
+    assert 170 < by_src["logs"] < 330
+    # copy indices are 0-based per doc and deterministic across layouts
+    copies = {(r.doc_id, r.copy_idx) for r in up.collect()}
+    again = {(r.doc_id, r.copy_idx) for r in
+             sp.upsample_mixture(df.repartition(11), "doc_id", "source",
+                                 {"books": 2.5, "web": 1.0, "logs": 0.25},
+                                 seed=4).collect()}
+    assert copies == again
+    books_copies = [c for (d, c) in copies if d % 3 == 0 and d == 0]
+    assert set(books_copies) in ({0, 1}, {0, 1, 2})
+    # weight 1.0 -> exactly one copy with copy_idx 0
+    web = [c for (d, c) in copies if d % 3 == 1]
+    assert set(web) == {0}

@@ -110,3 +110,17 @@ def test_cli_format_and_schema_flags(spark, docs_pq, tmp_path, capsys):
     assert "row count 500 >= 1" in out
     assert "table property 'license' is missing" in out
     assert "skipped: schema validation failed" not in out
+
+
+def test_orc_roundtrip_and_detection(spark, docs_pq, tmp_path):
+    """ORC: self-describing (schema from file metadata, no inference) —
+    suite data verdicts identical to parquet."""
+    oc = str(tmp_path / "docs.orc")
+    docs_pq.coalesce(1).write.mode("overwrite").orc(oc)
+    df = read_table(spark, oc)  # .orc extension -> orc reader
+    assert df.schema == docs_pq.schema
+    base = run_suite(RunContext(spark=spark, df=docs_pq,
+                                suite=get_suite("documents_v1"), run_id="o0"))
+    res = run_suite(RunContext(spark=spark, df=df,
+                               suite=get_suite("documents_v1"), run_id="o1"))
+    assert _data_verdicts(res) == _data_verdicts(base)
