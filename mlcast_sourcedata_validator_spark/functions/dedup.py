@@ -780,10 +780,16 @@ def decontaminate_flags(
         tr.select(F.col(id_col), F.explode(
             F.array_distinct(word_shingles(F.col(text_col), n))
         ).alias("_s"))
-        .select(id_col, encw(F.col("_s")).alias("_x")).distinct()
+        .select(id_col, encw(F.col("_s")).alias("_x"))
     )
+    # broadcast-filter FIRST, dedupe the tiny survivor set after: a
+    # distinct over all training shingle codes would shuffle the whole
+    # exploded corpus; post-join, only codes shared with the eval set
+    # remain (rare by construction). The distinct still matters — two
+    # different per-doc shingles can encw-collide onto one code.
     hits = (
         tr_sh.join(F.broadcast(ev_sh), "_x")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("int").alias("ngram_hits"))
     )
