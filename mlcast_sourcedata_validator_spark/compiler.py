@@ -92,6 +92,7 @@ _COMPILERS = {
     "turn_contiguity": ordering.compile_turn_contiguity,
     "ts_monotonic": ordering.compile_ts_monotonic,
     "variable_timestep": ordering.compile_variable_timestep,
+    "role_transitions": ordering.compile_role_transitions,
     "refint": refint.compile_refint,
     # drift
     "drift": drift.compile_drift,
@@ -274,12 +275,24 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
         pre_checks = [(cid, rc) for cid, rc in cs.row_checks if not rc.needs_window]
         win_checks = [(cid, rc) for cid, rc in cs.row_checks if rc.needs_window]
 
-        slim = df.select(
+        slim_cols = [
             F.col(conv),
             F.col(turn),
             F.col(ts),
             _hits_array(pre_checks).alias("_row_hits"),
-        )
+        ]
+        # role-transition grammar: ship a tiny-int role code through the
+        # shuffle (not the role string) only when the check is declared
+        role_spec = next(
+            (s for s in suite.checks if s.kind == "role_transitions"), None)
+        if role_spec is not None:
+            slim_cols.append(
+                ordering.role_code_expr(
+                    role_spec.params.get("column", "role"),
+                    role_spec.params["roles"],
+                ).alias(ordering.ROLE_CODE)
+            )
+        slim = df.select(*slim_cols)
 
         if need_registry:
             if ctx.registry_df is None:
@@ -303,6 +316,9 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
                 .withColumn(ordering.LAG_TS, F.lag(ts).over(w))
                 .withColumn(ordering.LAG_TURN, F.lag(turn).over(w))
             )
+            if role_spec is not None:
+                enriched = enriched.withColumn(
+                    ordering.LAG_ROLE, F.lag(ordering.ROLE_CODE).over(w))
             if need_dt:
                 # unix_micros over an explicit TIMESTAMP cast: NTZ inputs
                 # cannot cast straight to BIGINT under ANSI mode

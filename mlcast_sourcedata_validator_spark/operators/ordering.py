@@ -158,3 +158,81 @@ def compile_variable_timestep(spec: CheckSpec, suite: CheckSuite) -> list[RowChe
         return stamp(report, _MOD, "compile_variable_timestep")
 
     return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+
+
+ROLE_CODE = "_rolec"
+LAG_ROLE = "_lag_rolec"
+
+
+def role_code_expr(column: str, roles: list[str]):
+    """Map-side tiny-int encoding of the role column (unknown -> -1) —
+    what rides the slim projection through the window shuffle instead of
+    the full role string (~1 byte vs ~9)."""
+    expr = F.lit(-1)
+    out = None
+    for i, r in enumerate(roles):
+        cond = F.col(column) == r
+        out = F.when(cond, F.lit(i)) if out is None else out.when(cond, F.lit(i))
+    return (out.otherwise(expr) if out is not None else expr).cast("int")
+
+
+def compile_role_transitions(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """Conversation GRAMMAR check: within each conversation (ordered by
+    turn), every (previous role -> role) transition must be in the
+    allowed set, and the first turn's role must be in ``start_roles``.
+    The transcripts-native well-formedness check — e.g. a tool turn only
+    after an assistant turn, no double-assistant.
+
+    params: column='role', roles=[...] (the code alphabet; values outside
+    it are code -1 and always violate), allowed=[[from, to], ...],
+    start_roles=[...].
+
+    Rides the SHARED conversation window: the compiler ships a tiny-int
+    role code through the slim projection and lags it next to
+    lag(ts)/lag(turn) — no second window, no extra shuffle.
+    """
+    roles: list[str] = spec.params["roles"]
+    allowed = {(f, t) for f, t in
+               (tuple(p) for p in spec.params["allowed"])}
+    start_roles = set(spec.params.get("start_roles", roles))
+    code = {r: i for i, r in enumerate(roles)}
+
+    cur, prev = F.col(ROLE_CODE), F.col(LAG_ROLE)
+    ok_pairs = None
+    for f, t in sorted(allowed):
+        c = (prev == code[f]) & (cur == code[t])
+        ok_pairs = c if ok_pairs is None else (ok_pairs | c)
+    bad_transition = prev.isNotNull() & ~F.coalesce(ok_pairs, F.lit(False))
+    ok_start = None
+    for r in sorted(start_roles):
+        c = cur == code[r]
+        ok_start = c if ok_start is None else (ok_start | c)
+    bad_start = (F.col(RN) == 1) & ~F.coalesce(ok_start, F.lit(False))
+    pred = bad_transition | bad_start
+
+    def _name(c):
+        out = None
+        for r, i in code.items():
+            cond = c == i
+            out = F.when(cond, F.lit(r)) if out is None else out.when(cond, F.lit(r))
+        return out.otherwise(F.lit("<unknown>"))
+
+    detail = F.when(
+        bad_start,
+        F.concat(F.lit("conversation starts with role "), _name(cur)),
+    ).otherwise(
+        F.concat(F.lit("role transition not allowed: "), _name(prev),
+                 F.lit(" -> "), _name(cur)),
+    )
+
+    def verdict(n_viol: int, m) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} turns violate the role-transition grammar")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       "all conversations follow the role-transition grammar")
+        return stamp(report, _MOD, "compile_role_transitions")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]

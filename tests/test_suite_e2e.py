@@ -206,3 +206,56 @@ def test_cli_quarantine_flag(spark, sf_dir, tmp_path, capsys):
     q = spark.read.parquet(qdir)
     assert q.schema == docs.schema
     assert [r.doc_id for r in q.collect()] == [9_900_001]
+
+
+def test_role_transition_grammar_check(spark):
+    """Conversation grammar: allowed (prev -> cur) role transitions plus
+    start roles, evaluated on the shared conversation window. Violations
+    name the offending transition; the compact role code (not the role
+    string) rides the shuffle."""
+    from mlcast_sourcedata_validator_spark.suite import CheckSpec, CheckSuite
+
+    suite = CheckSuite("g", [CheckSpec(
+        "grammar", "role_transitions", "3.9 grammar",
+        "conversations MUST follow system? (user assistant)*",
+        {
+            "column": "role",
+            "roles": ["system", "user", "assistant"],
+            "allowed": [["system", "user"], ["user", "assistant"],
+                        ["assistant", "user"]],
+            "start_roles": ["system", "user"],
+        })])
+    rows = [
+        # c1: well-formed
+        ("c1", 0, "system", None, "t", None),
+        ("c1", 1, "user", None, "t", None),
+        ("c1", 2, "assistant", None, "t", None),
+        ("c1", 3, "user", None, "t", None),
+        # c2: starts with assistant (bad) then assistant->assistant (bad)
+        ("c2", 0, "assistant", None, "t", None),
+        ("c2", 1, "assistant", None, "t", None),
+        # c3: unknown role mid-conversation (code -1 always violates)
+        ("c3", 0, "user", None, "t", None),
+        ("c3", 1, "moderator", None, "t", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string",
+    ).withColumn("ts", F.current_timestamp())
+    res = run_suite(RunContext(spark=spark, df=df, suite=suite, run_id="g"))
+    assert res.report.has_fails()
+    v = sorted((r.conv_id, r.turn_idx, r.detail) for r in
+               res.violations.collect())
+    assert ("c1", 0, v) not in v
+    keys = [(c, t) for c, t, _ in v]
+    assert keys == [("c2", 0), ("c2", 1), ("c3", 1)]
+    details = {k: d for c, t, d in v for k in [(c, t)]}
+    assert "starts with role assistant" in details[("c2", 0)]
+    assert "assistant -> assistant" in details[("c2", 1)]
+    assert "user -> <unknown>" in details[("c3", 1)]
+
+    # clean conversations pass
+    clean_df = df.where(F.col("conv_id") == "c1")
+    res2 = run_suite(RunContext(spark=spark, df=clean_df, suite=suite,
+                                run_id="g2"))
+    assert not res2.report.has_fails() and res2.n_violations == 0
