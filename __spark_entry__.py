@@ -855,6 +855,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "rank")
     q["prioritized_dedup_documents"] = prioritized_dedup_documents
 
+    def shuffle_shards_documents(spark, sf):
+        """Deterministic global shuffle: every doc gets a pseudo-random
+        shard in [0, 8) and a contiguous 1-based position within it —
+        integer-only universal-hash arithmetic, so the DuckDB oracle
+        reproduces the full (shard, pos) layout exactly."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.shuffle_into_shards(d, "doc_id", n_shards=8, seed=11) \
+                 .select("doc_id", "shard_id", "shard_pos")
+    q["shuffle_shards_documents"] = shuffle_shards_documents
+
     def pipeline_clean_documents(spark, sf):
         """The composed training-data pipeline: text profiling -> quality +
         language filter -> exact dedup -> per-language summary. All stages
@@ -1745,6 +1757,15 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         WHERE rk = 1"""
 
+    from mlcast_sourcedata_validator_spark.functions.sampling import (
+        shuffle_into_shards_sql)
+    _shard, _okey, _rn = shuffle_into_shards_sql("doc_id", 8, seed=11)
+    o["shuffle_shards_documents"] = f"""
+        WITH h AS (
+          SELECT doc_id, {_shard} AS shard_id, {_okey} AS _okey
+          FROM documents)
+        SELECT doc_id, shard_id, {_rn} AS shard_pos FROM h"""
+
     o["pipeline_clean_documents"] = f"""
         WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
         keep AS (SELECT doc_id FROM prof
@@ -1951,6 +1972,9 @@ _EXTRA_ORDER = [
     # source preference dedup — both exact window-arithmetic oracles
     "pack_sequences_documents",
     "prioritized_dedup_documents",
+    # deterministic global shuffle (shard + in-shard order as a pure
+    # function of the ids; integer-only arithmetic => exact oracle)
+    "shuffle_shards_documents",
 ]
 
 

@@ -111,6 +111,61 @@ def upsample_mixture(
     return df.withColumn(copy_col, F.explode(copies))
 
 
+def shuffle_into_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard_id",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE for training-data ordering: assign
+    every row a pseudo-random shard in [0, n_shards) and a contiguous
+    1-based position within that shard. Writing the result partitioned
+    by ``shard_col`` and sorted by ``pos_col`` yields a globally
+    shuffled corpus whose order is a pure function of the ids — stable
+    across retries, partitionings, and engines (the exact failure mode
+    of ``df.orderBy(rand())``, whose RNG is seeded per-partition).
+
+    Arithmetic is integer-only (no float portability caveats): the
+    md5-whitened id code is universal-hashed twice with independent
+    coefficients — ``h1 mod n_shards`` picks the shard, ``h2`` (ties by
+    id) orders rows inside it. One shuffle: the window on ``shard_col``.
+    At 10^12 rows pick ``n_shards`` so a shard is ~10^6 rows (file-sized);
+    the per-shard sorts then parallelize across the cluster and each
+    shard maps 1:1 to an output file.
+    """
+    j1 = seed % len(MINHASH_COEFFS)
+    j2 = (seed + 1) % len(MINHASH_COEFFS)
+    code = encw(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12))
+    out = (
+        df.withColumn(shard_col,
+                      F.pmod(uhash(code, j1), F.lit(n_shards)).cast("int"))
+        .withColumn("_okey", uhash(code, j2))
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_okey").asc(), F.col(id_col).asc())
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long")) \
+              .drop("_okey")
+
+
+def shuffle_into_shards_sql(
+    id_expr: str, n_shards: int, seed: int = 0,
+    shard_col: str = "shard_id", pos_col: str = "shard_pos",
+) -> tuple[str, str, str]:
+    """DuckDB mirror of :func:`shuffle_into_shards`: returns the
+    (shard expression, order-key expression, row_number-over clause)
+    fragments sharing its exact integer arithmetic."""
+    j1 = seed % len(MINHASH_COEFFS)
+    j2 = (seed + 1) % len(MINHASH_COEFFS)
+    code = encw_sql(f"substr(md5(({id_expr})::VARCHAR), 1, 12)")
+    shard = f"({uhash_sql(code, j1)} % {n_shards})::INT"
+    okey = uhash_sql(code, j2)
+    rn = (f"row_number() OVER (PARTITION BY {shard_col} "
+          f"ORDER BY _okey ASC, {id_expr} ASC)::BIGINT")
+    return shard, okey, rn
+
+
 def stratified_cap(
     df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
 ) -> DataFrame:

@@ -677,3 +677,37 @@ def test_upsample_mixture_weights(spark):
     # weight 1.0 -> exactly one copy with copy_idx 0
     web = [c for (d, c) in copies if d % 3 == 1]
     assert set(web) == {0}
+
+
+def test_shuffle_into_shards(spark):
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out = sp.shuffle_into_shards(df, "doc_id", n_shards=8, seed=3)
+    rows = out.collect()
+    assert len(rows) == 4000
+    # shard ids cover [0, 8); balanced in expectation (universal hash)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(by_shard) == set(range(8))
+    assert all(250 < len(v) < 750 for v in by_shard.values())
+    # positions are contiguous 1..n within every shard
+    for v in by_shard.values():
+        assert sorted(r.shard_pos for r in v) == list(range(1, len(v) + 1))
+    # actually shuffled: within-shard order decorrelated from id order
+    for v in by_shard.values():
+        ids_in_pos_order = [r.doc_id for r in
+                            sorted(v, key=lambda r: r.shard_pos)]
+        assert ids_in_pos_order != sorted(ids_in_pos_order)
+    # pure function of the ids: identical layout under any input
+    # partitioning (the property df.orderBy(rand()) lacks)
+    again = {(r.doc_id, r.shard_id, r.shard_pos) for r in
+             sp.shuffle_into_shards(df.repartition(13), "doc_id",
+                                    n_shards=8, seed=3).collect()}
+    assert again == {(r.doc_id, r.shard_id, r.shard_pos) for r in rows}
+    # seed changes the layout
+    other = {(r.doc_id, r.shard_id) for r in
+             sp.shuffle_into_shards(df, "doc_id", n_shards=8,
+                                    seed=4).collect()}
+    assert other != {(r.doc_id, r.shard_id) for r in rows}
