@@ -867,6 +867,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "shard_id", "shard_pos")
     q["shuffle_shards_documents"] = shuffle_shards_documents
 
+    def frequent_spans_documents(spark, sf):
+        """Corpus boilerplate profiler: word 3-grams by document frequency
+        (per-document distinct, so spammy repeats count once). One
+        explode + one map-side-partial groupBy."""
+        from mlcast_sourcedata_validator_spark.functions import (
+            boilerplate as bp)
+
+        return bp.frequent_spans(_t(spark, sf, "documents"),
+                                 "doc_id", "text", n=3, min_df=5)
+    q["frequent_spans_documents"] = frequent_spans_documents
+
+    def boilerplate_removed_documents(spark, sf):
+        """CCNet-style frequent-line removal, exercised at word
+        granularity (the fixture text is newline-free): every token
+        appearing in >=60% of documents is stripped; surviving tokens
+        rejoin in original order, all-boilerplate/NULL docs come back
+        ''. The DuckDB oracle reproduces the reassembly exactly."""
+        from mlcast_sourcedata_validator_spark.functions import (
+            boilerplate as bp)
+
+        d = _t(spark, sf, "documents")
+        min_df = d.count() * 6 // 10  # integer arithmetic == the oracle's
+        return bp.remove_frequent_lines(
+            d, "doc_id", "text", min_df=min_df, delimiter=" ",
+        ).select("doc_id", "text")
+    q["boilerplate_removed_documents"] = boilerplate_removed_documents
+
     def pipeline_clean_documents(spark, sf):
         """The composed training-data pipeline: text profiling -> quality +
         language filter -> exact dedup -> per-language summary. All stages
@@ -1766,6 +1793,15 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, shard_id, {_rn} AS shard_pos FROM h"""
 
+    from mlcast_sourcedata_validator_spark.functions.boilerplate import (
+        frequent_spans_sql, remove_frequent_lines_sql)
+    o["frequent_spans_documents"] = frequent_spans_sql(
+        "documents", "doc_id", "text", n=3, min_df=5)
+    o["boilerplate_removed_documents"] = remove_frequent_lines_sql(
+        "documents", "doc_id", "text",
+        min_df="SELECT (count(*) * 6) // 10 FROM documents",
+        delimiter=" ")
+
     o["pipeline_clean_documents"] = f"""
         WITH prof AS (SELECT * FROM ({o['text_profile_documents']})),
         keep AS (SELECT doc_id FROM prof
@@ -1975,6 +2011,10 @@ _EXTRA_ORDER = [
     # deterministic global shuffle (shard + in-shard order as a pure
     # function of the ids; integer-only arithmetic => exact oracle)
     "shuffle_shards_documents",
+    # corpus boilerplate: frequent-span profiler + frequent-line removal
+    # (order-preserving reassembly mirrored exactly in DuckDB)
+    "frequent_spans_documents",
+    "boilerplate_removed_documents",
 ]
 
 

@@ -711,3 +711,68 @@ def test_shuffle_into_shards(spark):
              sp.shuffle_into_shards(df, "doc_id", n_shards=8,
                                     seed=4).collect()}
     assert other != {(r.doc_id, r.shard_id) for r in rows}
+
+
+def test_remove_frequent_lines(spark):
+    from mlcast_sourcedata_validator_spark.functions import boilerplate as bp
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha\nunique beta", "en"),
+            (2, f"{banner}\nunique gamma", "en"),
+            (3, f"unique delta\n{banner}\nunique epsilon", "fr"),
+            (4, banner, "en"),                # all-boilerplate -> ''
+            (5, "totally original", "en"),    # untouched
+            (6, None, "en"),                  # NULL text -> ''
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: (r.text, r.lang)
+           for r in bp.remove_frequent_lines(docs, "doc_id", "text",
+                                             min_df=3).collect()}
+    assert out[1] == ("unique alpha\nunique beta", "en")
+    assert out[2] == ("unique gamma", "en")
+    # order of surviving lines preserved (boilerplate was in the middle)
+    assert out[3] == ("unique delta\nunique epsilon", "fr")
+    assert out[4] == ("", "en")
+    assert out[5] == ("totally original", "en")
+    assert out[6] == ("", "en")
+    # repeated within ONE doc but nowhere else: document frequency is
+    # distinct-docs, so it survives
+    docs2 = spark.createDataFrame(
+        [(1, "same\nsame\nsame"), (2, "other")], "doc_id long, text string")
+    out2 = {r.doc_id: r.text for r in bp.remove_frequent_lines(
+        docs2, "doc_id", "text", min_df=2).collect()}
+    assert out2[1] == "same\nsame\nsame"
+    # literal (non-regex) delimiter: '.' must not mean "any char"
+    docs3 = spark.createDataFrame(
+        [(1, "boil.keep one"), (2, "boil.keep two")],
+        "doc_id long, text string")
+    out3 = {r.doc_id: r.text for r in bp.remove_frequent_lines(
+        docs3, "doc_id", "text", min_df=2, delimiter=".").collect()}
+    assert out3[1] == "keep one"
+    # out_col keeps the original text column intact
+    kept = bp.remove_frequent_lines(
+        docs, "doc_id", "text", min_df=3, out_col="clean").collect()
+    assert {r.doc_id: r.text is not None or r.clean == ""
+            for r in kept}[6] is True
+
+
+def test_frequent_spans(spark):
+    from mlcast_sourcedata_validator_spark.functions import boilerplate as bp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a the quick brown dog"),
+            (3, "the quick brown fox runs"),
+            (4, "the quick brown fox jumps the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.span: r.df_count
+           for r in bp.frequent_spans(docs, "doc_id", "text",
+                                      n=3, min_df=3).collect()}
+    # per-document distinct: doc 4's internal repeat counts once
+    assert got == {"the quick brown": 4, "quick brown fox": 3}
