@@ -216,6 +216,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return psi
     q["drift_psi_events"] = drift_psi_events
 
+    def categorical_drift_events(spark, sf):
+        """TVD + PSI of the event_type mix, second half vs first half of
+        the month — the categorical-drift primitive (operators/drift.py
+        compile_categorical_drift) computed relationally. 'error' is
+        deliberately left out of the declared list so the <other> bin
+        carries real mass."""
+        from mlcast_sourcedata_validator_spark.operators.drift import (
+            categorical_bucket,
+        )
+
+        ev = _t(spark, sf, "events")
+        bucket = categorical_bucket(
+            F.col("event_type"), ["click", "purchase", "signup", "view"]
+        )
+        half = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+        hist = ev.select(bucket.alias("bucket"), half.alias("first_half")) \
+                 .groupBy("bucket").agg(
+                     F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("a"),
+                     F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("b"))
+        tot = hist.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        p = F.greatest(F.col("a") / F.col("ta"), F.lit(1e-6))
+        qq = F.greatest(F.col("b") / F.col("tb"), F.lit(1e-6))
+        return (
+            hist.crossJoin(tot)
+            .select(
+                F.abs(F.col("a") / F.col("ta") - F.col("b") / F.col("tb"))
+                .alias("gap"),
+                ((p - qq) * F.log(p / qq)).alias("term"),
+            )
+            .agg(F.round(F.sum("gap") / 2, 6).alias("tvd"),
+                 F.round(F.sum("term"), 6).alias("psi"))
+        )
+    q["categorical_drift_events"] = categorical_drift_events
+
     def daily_drift_events(spark, sf):
         """Per-day KS/PSI of the value distribution vs the whole-table
         baseline — exercises the applyInPandas (Arrow) drift path against a
@@ -1221,6 +1255,21 @@ def _all_oracles() -> dict[str, str]:
           * ln(greatest(a/ta, 1e-6) / greatest(b/tb, 1e-6))), 6) AS psi
         FROM hist, tot"""
 
+    o["categorical_drift_events"] = """
+        WITH hist AS (
+          SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+                                 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+                                 ELSE 5 END AS bucket,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS a,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS b
+          FROM events GROUP BY 1),
+        tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM hist)
+        SELECT round(sum(abs(a/ta - b/tb)) / 2, 6) AS tvd,
+               round(sum(
+                 (greatest(a/ta, 1e-6) - greatest(b/tb, 1e-6))
+                 * ln(greatest(a/ta, 1e-6) / greatest(b/tb, 1e-6))), 6) AS psi
+        FROM hist, tot"""
+
     o["daily_drift_events"] = """
         WITH hist AS (
           SELECT ts::DATE AS day,
@@ -1976,6 +2025,7 @@ _EXTRA_ORDER = [
     "dup_groups_events",              # same primitive as uniqueness_events
     "nation_region_rollup",           # ⊂ rollup_region_nation
     "drift_psi_events",               # PSI-only twin of daily_drift_events
+    "categorical_drift_events",       # TVD/PSI of the event_type mix
     # quadratic oracle twins of in-window bucketed scale paths
     "simhash_pairs_documents",        # == simhash_banded_pairs_documents
     "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs

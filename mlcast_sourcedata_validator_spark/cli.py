@@ -111,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
 
     if args.demo:
-        from .operators.drift import build_baseline
+        from .operators.drift import build_baseline, build_categorical_baseline
         from .synth import (
             dangling_conv_ids,
             generate_conversations_registry,
@@ -124,7 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         registry = generate_conversations_registry(
             dirty, drop_convs=dangling_conv_ids(_expected)
         )
-        baseline = build_baseline(clean, expr="length(text)", metric="turn_len_chars")
+        baseline = build_baseline(
+            clean, expr="length(text)", metric="turn_len_chars"
+        ).unionByName(build_categorical_baseline(
+            clean, expr="role",
+            categories=["system", "user", "assistant", "tool"],
+            metric="role_dist",
+        ))
         df = dirty
     elif args.table and not args.whole_table and args.results:
         from .checkpoint import run_partitioned

@@ -96,6 +96,7 @@ _COMPILERS = {
     "refint": refint.compile_refint,
     # drift
     "drift": drift.compile_drift,
+    "categorical_drift": drift.compile_categorical_drift,
     # table properties (ds.attrs analog)
     "license": licensing.compile_license,
     "required_property": licensing.compile_required_property,

@@ -197,3 +197,117 @@ def build_baseline(
         .count()
         .select(F.lit(metric).alias("metric"), "bin", "count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift: role/tool distribution vs a baseline snapshot.
+# ---------------------------------------------------------------------------
+
+def categorical_bucket(col: Column, categories: list[str]) -> Column:
+    """Map a declared category list to bin indices 1..k; anything else —
+    including NULL — lands in the k+1 'other' bin. A CASE chain over a
+    short literal list stays in whole-stage codegen like the numeric
+    bucketizers."""
+    b = F.when(col == categories[0], 1)
+    for i, c in enumerate(categories[1:], start=2):
+        b = b.when(col == c, i)
+    return b.otherwise(len(categories) + 1).cast("int")
+
+
+def tvd_psi_cramers(
+    counts_a: list[float], counts_b: list[float]
+) -> tuple[float, float, float]:
+    """Total variation distance, PSI, and Cramér's V between two category
+    histograms (current=a vs baseline=b). TVD = half the L1 gap of the
+    proportion vectors, in [0,1]. Cramér's V normalizes the
+    goodness-of-fit chi-square statistic (expected = baseline
+    proportions x current n) by n*(k-1) so it is threshold-friendly
+    without a p-value table (no scipy dependency). Cells with ZERO
+    baseline mass are excluded from the chi-square (an eps-smoothed
+    expected count would make V an artifact of the eps choice; mass in
+    novel categories is already captured by TVD and PSI, which use
+    epsilon-smoothing as in :func:`ks_psi`)."""
+    na, nb = sum(counts_a), sum(counts_b)
+    if na == 0 or nb == 0:
+        return float("nan"), float("nan"), float("nan")
+    tvd = psi = chi2 = 0.0
+    k = 0
+    for a, b in zip(counts_a, counts_b):
+        pa, pb = a / na, b / nb
+        tvd += abs(pa - pb)
+        p = max(pa, _EPS)
+        q = max(pb, _EPS)
+        psi += (p - q) * math.log(p / q)
+        if pb > 0:
+            k += 1
+            exp = pb * na
+            chi2 += (a - exp) ** 2 / exp
+    v = math.sqrt(chi2 / (na * max(k - 1, 1)))
+    return tvd / 2.0, psi, v
+
+
+def compile_categorical_drift(spec: CheckSpec, suite: CheckSuite) -> DriftCheck:
+    """params: metric, expr (SQL producing the category string),
+    categories (declared list; others+NULL pool into one bin),
+    warn_tvd/max_tvd, warn_psi/max_psi, warn_v/max_v.
+
+    Rides the fused scan exactly like the numeric drift check — the
+    bucket is a codegen'd CASE, the per-bin counts are Observation
+    aggregates, and the comparison is driver math on k+1 scalars. The
+    categorical complement of the binned-histogram family for the
+    transcripts table's `role`/`tool` columns, whose drift (a new agent
+    framework, a renamed tool) is invisible to numeric histograms.
+    """
+    p = spec.params
+    cats = list(p["categories"])
+    bucket = categorical_bucket(F.expr(p["expr"]), cats)
+    n_bins = len(cats) + 1
+    labels = cats + ["<other>"]
+    cid = spec.check_id
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        cur = [m.get(f"{cid}__bin_{i}") or 0 for i in range(1, n_bins + 1)]
+        base = m.get(f"{cid}__baseline")
+        if base is None:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"no baseline for metric '{p['metric']}' — "
+                       "categorical drift skipped")
+            return stamp(report, _MOD, "compile_categorical_drift")
+        tvd, psi, v = tvd_psi_cramers(cur, base)
+        if tvd == tvd:  # not NaN: name the most-shifted category
+            na, nb = sum(cur) or 1, sum(base) or 1
+            gaps = [abs(a / na - b / nb) for a, b in zip(cur, base)]
+            worst = labels[gaps.index(max(gaps))]
+        detail = f"metric={p['metric']} tvd={tvd:.4f} psi={psi:.4f} v={v:.4f}"
+        if tvd != tvd:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} (insufficient data)")
+        elif (tvd > p.get("max_tvd", 1.0) or psi > p.get("max_psi", float("inf"))
+              or v > p.get("max_v", float("inf"))):
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} worst='{worst}'")
+        elif (tvd > p.get("warn_tvd", 1.0) or psi > p.get("warn_psi", float("inf"))
+              or v > p.get("warn_v", float("inf"))):
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} worst='{worst}'")
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_categorical_drift")
+
+    return DriftCheck(cid, bucket, n_bins, p["metric"], verdict)
+
+
+def build_categorical_baseline(
+    df: DataFrame, *, expr: str, categories: list[str], metric: str
+) -> DataFrame:
+    """Categorical baseline snapshot (metric, bin, count) from a clean
+    reference DataFrame — same shape as :func:`build_baseline`, so one
+    baseline table serves both drift families."""
+    bucket = categorical_bucket(F.expr(expr), list(categories))
+    return (
+        df.select(bucket.alias("bin"))
+        .groupBy("bin")
+        .count()
+        .select(F.lit(metric).alias("metric"), "bin", "count")
+    )

@@ -138,6 +138,24 @@ def suite() -> CheckSuite:
              "warn_ks": 0.15, "max_ks": 0.30, "warn_psi": 0.2, "max_psi": 0.5},
         ),
         CheckSpec(
+            "drift_role_dist", "categorical_drift", "5.2 drift",
+            "The role mix SHOULD NOT drift from the baseline snapshot "
+            "(TVD<=0.10 WARN, <=0.25 FAIL; PSI<=0.2 WARN, <=0.5 FAIL) — "
+            "a new agent framework shifts this long before numeric stats.",
+            {"metric": "role_dist", "expr": "role", "categories": ROLES,
+             "warn_tvd": 0.10, "max_tvd": 0.25,
+             "warn_psi": 0.2, "max_psi": 0.5},
+        ),
+        CheckSpec(
+            "drift_tool_dist", "categorical_drift", "5.2 drift",
+            "The tool-usage mix (NULL = no tool call) SHOULD NOT drift "
+            "from the baseline snapshot.",
+            {"metric": "tool_dist", "expr": "coalesce(tool, '<none>')",
+             "categories": ["<none>"] + TOOLS,
+             "warn_tvd": 0.10, "max_tvd": 0.25,
+             "warn_psi": 0.2, "max_psi": 0.5},
+        ),
+        CheckSpec(
             "license", "license", "5.3 licensing",
             "The table MUST declare a 'license' property; it SHOULD be a "
             "valid SPDX identifier from the recommended list; NC/ND "

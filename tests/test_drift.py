@@ -64,3 +64,106 @@ def test_daily_drift_flags_only_drifted_day(spark):
     assert by_day[some_day]["ks"] > 0.5
     others = [r["ks"] for d, r in by_day.items() if d != some_day and r["n"] > 50]
     assert others and max(others) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift (role/tool mix).
+# ---------------------------------------------------------------------------
+
+def _np_tvd_psi(a, b, eps=1e-6):
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    pa, pb = a / a.sum(), b / b.sum()
+    tvd = 0.5 * float(np.abs(pa - pb).sum())
+    p = np.maximum(pa, eps)
+    q = np.maximum(pb, eps)
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    return tvd, psi
+
+
+def test_tvd_psi_cramers_matches_numpy_reference():
+    from mlcast_sourcedata_validator_spark.operators.drift import tvd_psi_cramers
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(1, 1000, 5).tolist()
+    b = rng.integers(1, 1000, 5).tolist()
+    tvd, psi, v = tvd_psi_cramers(a, b)
+    tvd_ref, psi_ref = _np_tvd_psi(a, b)
+    assert math.isclose(tvd, tvd_ref, rel_tol=1e-12)
+    assert math.isclose(psi, psi_ref, rel_tol=1e-9)
+    # chi-square cross-check for Cramér's V
+    na = sum(a)
+    exp = np.asarray(b, float) / sum(b) * na
+    chi2 = float(np.sum((np.asarray(a, float) - exp) ** 2 / exp))
+    assert math.isclose(v, math.sqrt(chi2 / (na * 4)), rel_tol=1e-12)
+
+
+def test_tvd_identical_zero_disjoint_one():
+    from mlcast_sourcedata_validator_spark.operators.drift import tvd_psi_cramers
+
+    tvd, psi, _ = tvd_psi_cramers([10, 20, 30], [10, 20, 30])
+    assert tvd == 0.0 and abs(psi) < 1e-12
+    tvd, _, _ = tvd_psi_cramers([100, 0], [0, 100])
+    assert tvd == 1.0
+
+
+def test_categorical_bucket_null_and_unknown_pool_to_other(spark):
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        categorical_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [("user",), ("assistant",), ("operator",), (None,)], "role string"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            categorical_bucket(F.col("role"), ["system", "user", "assistant", "tool"])
+            .alias("b")
+        ).collect()
+    ]
+    # user->2, assistant->3, unknown->5, NULL->5
+    assert got == [2, 3, 5, 5]
+
+
+def test_categorical_drift_verdicts(spark):
+    """Suite-level: identical mix PASSes, a shifted role mix FAILs, and a
+    missing baseline degrades to WARNING — all through the fused scan."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_categorical_baseline,
+    )
+    from mlcast_sourcedata_validator_spark.report import FAIL, PASS, WARNING
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec,
+        CheckSuite,
+        RunContext,
+    )
+
+    suite = CheckSuite(suite_id="cat_drift_only", checks=[CheckSpec(
+        "drift_role_dist", "categorical_drift", "5.2 drift", "role mix",
+        {"metric": "role_dist", "expr": "role",
+         "categories": ["system", "user", "assistant", "tool"],
+         "warn_tvd": 0.05, "max_tvd": 0.20},
+    )])
+    df = generate_transcripts(spark, n_convs=100, seed=7)
+    base = build_categorical_baseline(
+        df, expr="role",
+        categories=["system", "user", "assistant", "tool"],
+        metric="role_dist")
+
+    res = run_suite(RunContext(spark=spark, df=df, suite=suite,
+                               run_id="c1", baseline_df=base))
+    assert [r.status for r in res.report.results] == [PASS]
+
+    # collapse every role to 'user' -> TVD far beyond the FAIL bar,
+    # and the worst-shifted category is named in the detail
+    shifted = df.withColumn("role", F.lit("user"))
+    res = run_suite(RunContext(spark=spark, df=shifted, suite=suite,
+                               run_id="c2", baseline_df=base))
+    assert [r.status for r in res.report.results] == [FAIL]
+    assert "worst=" in res.report.results[0].detail
+
+    res = run_suite(RunContext(spark=spark, df=df, suite=suite,
+                               run_id="c3", baseline_df=None))
+    assert [r.status for r in res.report.results] == [WARNING]

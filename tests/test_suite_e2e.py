@@ -5,7 +5,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from mlcast_sourcedata_validator_spark.compiler import run_suite
-from mlcast_sourcedata_validator_spark.operators.drift import build_baseline
+from mlcast_sourcedata_validator_spark.operators.drift import (
+    build_baseline,
+    build_categorical_baseline,
+)
 from mlcast_sourcedata_validator_spark.report import FAIL, PASS, WARNING
 from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
 from mlcast_sourcedata_validator_spark.synth import (
@@ -29,7 +32,15 @@ def baseline(spark, clean):
                         scale="log", lo=1.0, hi=10000.0, n_bins=32)
     b2 = build_baseline(clean, expr="hour(ts) + 1", metric="ts_hour",
                         scale="linear", lo=1.0, hi=25.0, n_bins=24)
-    return b1.unionByName(b2).localCheckpoint()
+    b3 = build_categorical_baseline(
+        clean, expr="role",
+        categories=["system", "user", "assistant", "tool"],
+        metric="role_dist")
+    b4 = build_categorical_baseline(
+        clean, expr="coalesce(tool, '<none>')",
+        categories=["<none>", "search", "python", "browser", "sql"],
+        metric="tool_dist")
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4).localCheckpoint()
 
 
 @pytest.fixture(scope="module")
@@ -139,7 +150,7 @@ def test_missing_baseline_degrades_to_warning(spark, clean):
     res = run_suite(ctx)
     assert res.report.summarize()[FAIL] == 0
     drift_rows = [r for r in res.report.results if "drift skipped" in r.detail]
-    assert len(drift_rows) == 2 and all(r.status == WARNING for r in drift_rows)
+    assert len(drift_rows) == 4 and all(r.status == WARNING for r in drift_rows)
 
 
 def test_quarantine_splits_clean_and_flagged(spark, clean, baseline):
