@@ -278,6 +278,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return salted_count(ev, ["user_id"], n_salts=8)
     q["salted_count_events"] = salted_count_events
 
+    def incremental_rollup_events(spark, sf):
+        """Per-user rollup maintained INCREMENTALLY (functions/rollup.py):
+        the two halves of the month are rolled up separately — as two
+        date-partition deltas would be — then merged with the algebraic
+        merge aggs over rollup rows only. Must equal the oracle's plain
+        whole-table GROUP BY exactly, for any split."""
+        from mlcast_sourcedata_validator_spark.functions.rollup import (
+            keyed_rollup,
+            merge_rollups,
+        )
+
+        ev = _t(spark, sf, "events")
+        specs = {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "first_ts": (F.min("ts"), F.min("first_ts")),
+            "last_ts": (F.max("ts"), F.max("last_ts")),
+            "sum_value": (F.sum(F.col("value").cast("decimal(24,6)")),
+                          F.sum("sum_value")),
+            "n_purchases": (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
+                F.sum("n_purchases"),
+            ),
+        }
+        half = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+        parts = [keyed_rollup(ev.where(half), ["user_id"], specs),
+                 keyed_rollup(ev.where(~half), ["user_id"], specs)]
+        merged = merge_rollups(parts, ["user_id"], specs)
+        return merged.select(
+            "user_id", "n_events", "first_ts", "last_ts",
+            F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+            "n_purchases",
+        )
+    q["incremental_rollup_events"] = incremental_rollup_events
+
     def dedup_keep_min_documents(spark, sf):
         """Exact dedup keeping the min-id representative of each
         identical-text group; documents are all distinct at these SFs so a
@@ -1310,6 +1344,16 @@ def _all_oracles() -> dict[str, str]:
     o["salted_count_events"] = """
         SELECT user_id, count(*)::BIGINT AS count FROM events GROUP BY user_id"""
 
+    o["incremental_rollup_events"] = """
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               round(sum(value::DECIMAL(24,6))::DOUBLE, 4) AS sum_value,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                 AS n_purchases
+        FROM events GROUP BY user_id"""
+
     o["dedup_keep_min_documents"] = """
         WITH all_docs AS (
           SELECT doc_id, text, n_chars FROM documents
@@ -2026,6 +2070,8 @@ _EXTRA_ORDER = [
     "nation_region_rollup",           # ⊂ rollup_region_nation
     "drift_psi_events",               # PSI-only twin of daily_drift_events
     "categorical_drift_events",       # TVD/PSI of the event_type mix
+    # incremental rollup: split-rollup-merge == whole-table GROUP BY
+    "incremental_rollup_events",
     # quadratic oracle twins of in-window bucketed scale paths
     "simhash_pairs_documents",        # == simhash_banded_pairs_documents
     "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs

@@ -44,6 +44,29 @@ LINEAGE_SCHEMA = (
     "n_passes long, wall_sec double, committed_at double"
 )
 
+METRICS_SCHEMA = (
+    "suite_id string, run_id string, metric string, value double, "
+    "value_str string"
+)
+
+
+def _metrics_rows(suite_id: str, run_id: str, metrics: dict) -> list[tuple]:
+    """Flatten a run's scalar metrics for the metrics store. Numeric
+    scalars land in ``value``; short non-numeric strings (verdict labels)
+    in ``value_str``; list-valued entries (drift bin arrays,
+    injected baselines) are SKIPPED — they are inputs/raw histograms, not
+    trendable measurements, and the histogram store is the baseline table."""
+    rows = []
+    for k, v in metrics.items():
+        if isinstance(v, bool):
+            rows.append((suite_id, run_id, k, float(v), None))
+        elif isinstance(v, (int, float)):
+            f = float(v)
+            rows.append((suite_id, run_id, k, f if f == f else None, None))
+        elif isinstance(v, str) and len(v) <= 256:
+            rows.append((suite_id, run_id, k, None, v))
+    return rows
+
 
 def write_partitioned_transcripts(
     df: DataFrame, table_path: str, files_per_partition: int = 1
@@ -156,6 +179,12 @@ def run_partitioned(
         ).write.mode("overwrite").parquet(
             fs.join(results_path, "results", f"partition_id={p}")
         )
+        mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
+        if mrows:
+            spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
+                .write.mode("overwrite").parquet(
+                    fs.join(results_path, "metrics", f"partition_id={p}")
+                )
         if fail_injector is not None:
             fail_injector(p)
         s = res.report.summarize()
@@ -188,3 +217,55 @@ def read_violations(spark: SparkSession, results_path: str) -> DataFrame:
 
 def read_lineage(spark: SparkSession, results_path: str) -> DataFrame:
     return spark.read.parquet(fs.join(results_path, "lineage"))
+
+
+def read_metrics(spark: SparkSession, results_path: str) -> DataFrame:
+    """Per-partition scalar metrics (suite_id, run_id, metric, value,
+    value_str, partition_id) — the queryable metrics history the
+    north_star mandates alongside lineage."""
+    return spark.read.parquet(fs.join(results_path, "metrics"))
+
+
+def metric_outlier_partitions(
+    metrics_df: DataFrame,
+    metric: str,
+    *,
+    mad_factor: float = 5.0,
+    min_partitions: int = 4,
+) -> DataFrame:
+    """Partitions whose ``metric`` deviates from the cross-partition
+    median by more than ``mad_factor`` x MAD (median absolute deviation).
+
+    The robust complement of the per-partition verdicts: a day whose
+    null_rate is 10x every other day's passes its own absolute threshold
+    yet is exactly the partition a corpus owner wants flagged. Median/MAD
+    (not mean/stddev) so one bad day cannot mask itself by inflating the
+    spread. Both aggregates run over O(#partitions) rows — driver-scale.
+
+    Returns (partition_id, value, median, mad, deviation) for flagged
+    partitions; empty if fewer than ``min_partitions`` partitions carry
+    the metric (median of 2-3 points is noise) or if MAD is 0 and every
+    value equals the median.
+    """
+    vals = metrics_df.where(
+        (F.col("metric") == metric) & F.col("value").isNotNull()
+    ).select("partition_id", "value")
+    if vals.count() < min_partitions:
+        return vals.select(
+            "partition_id", "value",
+            F.lit(None).cast("double").alias("median"),
+            F.lit(None).cast("double").alias("mad"),
+            F.lit(None).cast("double").alias("deviation"),
+        ).where(F.lit(False))
+    med = vals.agg(F.median("value").alias("median"))
+    with_med = vals.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("value") - F.col("median"))).alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .withColumn("deviation", F.abs(F.col("value") - F.col("median")))
+        # MAD==0 (perfectly stable metric): any nonzero deviation flags
+        .where(F.col("deviation") > F.col("mad") * mad_factor)
+        .select("partition_id", "value", "median", "mad", "deviation")
+    )

@@ -1,0 +1,110 @@
+"""Incremental keyed rollups: algebraic partial aggregation + merge.
+
+The hypertable-rollup analog for a 10^12-turn transcripts table: a
+per-conversation (or per-user, per-day, ...) summary table that is
+MAINTAINED INCREMENTALLY — each new date partition is rolled up alone
+(one scan of just the new data, partition-pruned) and merged into the
+existing rollup with an aggregation over rollup ROWS (|keys| rows, not
+|turns| rows). The full-history recompute never happens after day one.
+
+Correctness contract: every spec is *algebraic* — ``merge(rollup(A),
+rollup(B)) == rollup(A ∪ B)`` for ANY split of the input — the same
+requirement :mod:`..skew`'s two-phase salted aggregation imposes, and the
+same (partial, merge) pair convention. count/sum/min/max qualify; so do
+sums of indicator expressions (role counts) and HLL sketch buffers.
+Averages/ratios are DERIVED at read time from merged sums
+(:func:`with_derived`), never merged directly.
+
+At scale: the delta rollup's groupBy gets map-side partial aggregation
+(rows arrive grouped by conv within a shard, so partials are tiny); the
+merge shuffles only rollup rows. A Zipf-hot conv_id is bounded by max
+conversation length, and the merge side is one row per (conv, source) —
+no salting needed on either phase.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: output name -> (partial agg over raw turns, merge agg over rollup rows)
+RollupSpecs = dict[str, tuple[Column, Column]]
+
+
+def transcript_rollup_specs(
+    text_col: str = "text", role_col: str = "role",
+    tool_col: str = "tool", ts_col: str = "ts", turn_col: str = "turn_idx",
+) -> RollupSpecs:
+    """The flagship per-conversation summary for the input_hint schema.
+
+    Every stat is algebraic; chars/token sums accumulate in DECIMAL so
+    merge order can never perturb them (same rationale as the streaming
+    aggregates in ``__spark_entry__``).
+    """
+    def _n(pred: Column) -> Column:
+        return F.sum(F.when(pred, 1).otherwise(0))
+
+    return {
+        "n_turns": (F.count(F.lit(1)), F.sum("n_turns")),
+        "first_ts": (F.min(ts_col), F.min("first_ts")),
+        "last_ts": (F.max(ts_col), F.max("last_ts")),
+        "min_turn_idx": (F.min(turn_col), F.min("min_turn_idx")),
+        "max_turn_idx": (F.max(turn_col), F.max("max_turn_idx")),
+        # pinned to decimal(38,0) on BOTH sides: Spark widens sum(decimal
+        # (p,s)) to decimal(p+10,s), so an unpinned merge would change the
+        # stored type at every merge depth — schema drift in the rollup
+        # table itself
+        "total_chars": (
+            F.sum(F.coalesce(F.length(text_col), F.lit(0)).cast("decimal(28,0)"))
+            .cast("decimal(38,0)"),
+            F.sum("total_chars").cast("decimal(38,0)"),
+        ),
+        "n_user": (_n(F.col(role_col) == "user"), F.sum("n_user")),
+        "n_assistant": (_n(F.col(role_col) == "assistant"), F.sum("n_assistant")),
+        "n_system": (_n(F.col(role_col) == "system"), F.sum("n_system")),
+        "n_tool_calls": (_n(F.col(tool_col).isNotNull()), F.sum("n_tool_calls")),
+    }
+
+
+def keyed_rollup(df: DataFrame, keys: list[str], specs: RollupSpecs) -> DataFrame:
+    """Roll raw rows up to one row per key (the partial-aggregate pass).
+
+    Run this over a NEW partition only; merge into the standing rollup
+    with :func:`merge_rollups`.
+    """
+    return df.groupBy(*keys).agg(
+        *[c.alias(name) for name, (c, _) in specs.items()]
+    )
+
+
+def merge_rollups(
+    parts: list[DataFrame], keys: list[str], specs: RollupSpecs
+) -> DataFrame:
+    """Merge rollup tables produced by :func:`keyed_rollup` (or by prior
+    merges — the operation is associative). Shuffles only rollup rows:
+    O(sum of |keys| per part), independent of raw input size."""
+    if not parts:
+        raise ValueError("merge_rollups needs at least one part")
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy(*keys).agg(
+        *[re_agg.alias(name) for name, (_, re_agg) in specs.items()]
+    )
+
+
+def with_derived(rollup: DataFrame) -> Column | DataFrame:
+    """Read-time derived metrics over a transcript rollup: mean turn
+    length, wall duration, tool-call rate. Kept OUT of the merge cycle —
+    ratios are not algebraic."""
+    return rollup.withColumn(
+        "avg_turn_chars",
+        F.round(F.col("total_chars").cast("double") / F.col("n_turns"), 4),
+    ).withColumn(
+        "duration_sec",
+        (F.unix_micros(F.col("last_ts").cast("timestamp"))
+         - F.unix_micros(F.col("first_ts").cast("timestamp"))) / 1e6,
+    ).withColumn(
+        "tool_call_rate",
+        F.round(F.col("n_tool_calls") / F.col("n_turns"), 4),
+    )

@@ -120,3 +120,48 @@ def test_no_resume_reprocesses(spark, table, registry, tmp_path):
     s2 = run_partitioned(spark, suite, table, store, registry_df=registry,
                          resume=False)
     assert s2.processed == s1.processed and not s2.skipped
+
+
+def test_metrics_store_written_and_outlier_detection(spark, table, registry, tmp_path):
+    """run_partitioned persists per-partition scalar metrics (north_star:
+    'lineage and metrics'); metric_outlier_partitions flags a planted
+    anomalous day via median/MAD."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        metric_outlier_partitions,
+        read_metrics,
+    )
+
+    results = str(tmp_path / "mstore")
+    suite = get_suite("transcripts_v1")
+    summary = run_partitioned(spark, suite, table, results, registry_df=registry)
+    m = read_metrics(spark, results)
+    # every committed partition wrote metrics, incl. the fused-scan row count
+    parts_with_rows = {
+        r["pid"]
+        for r in m.where("metric = '__n_rows'")
+                  .select(F.col("partition_id").cast("string").alias("pid"))
+                  .collect()
+    }
+    assert parts_with_rows == set(summary.processed)
+    # row counts in the metrics store match lineage exactly
+    joined = (
+        m.where("metric = '__n_rows'")
+        .join(read_lineage(spark, results), "partition_id")
+        .where(F.col("value").cast("long") != F.col("n_input_rows"))
+    )
+    assert joined.count() == 0
+
+    # outlier detection: plant one partition whose value is 10x the rest
+    base = [("p1", 0.01), ("p2", 0.012), ("p3", 0.011), ("p4", 0.013),
+            ("p5", 0.1)]
+    mdf = spark.createDataFrame(
+        [("s", "r", "null_rate", v, None, p) for p, v in base],
+        "suite_id string, run_id string, metric string, value double, "
+        "value_str string, partition_id string",
+    )
+    out = metric_outlier_partitions(mdf, "null_rate", mad_factor=5.0)
+    assert [r["partition_id"] for r in out.collect()] == ["p5"]
+    # fewer than min_partitions -> empty, never a noisy flag
+    assert metric_outlier_partitions(
+        mdf.where("partition_id in ('p1','p5')"), "null_rate"
+    ).count() == 0

@@ -1,0 +1,86 @@
+"""Incremental keyed rollup: merge(rollup(parts)) == rollup(whole) for any
+split; transcript specs; derived metrics stay out of the merge cycle."""
+
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.functions.rollup import (
+    keyed_rollup,
+    merge_rollups,
+    transcript_rollup_specs,
+    with_derived,
+)
+from mlcast_sourcedata_validator_spark.synth import generate_transcripts
+
+
+def _assert_df_equal(a, b):
+    # dtypes (name, type) must match exactly; nullability may differ
+    # (count() is non-nullable, its sum() merge is nullable)
+    assert a.dtypes == b.dtypes, f"{a.dtypes} != {b.dtypes}"
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_merge_of_any_split_equals_full_rollup(spark):
+    df = generate_transcripts(spark, n_convs=120, seed=11)
+    specs = transcript_rollup_specs()
+    full = keyed_rollup(df, ["conv_id"], specs)
+    # three deterministic splits of different shapes: by hash, by turn
+    # parity, by ts threshold — each split severs conversations mid-way
+    for split_col in [
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(3)),
+        F.col("turn_idx") % 2,
+        (F.col("ts") > F.lit("2024-01-03 00:00:00").cast("timestamp")).cast("int"),
+    ]:
+        tagged = df.withColumn("_part", split_col)
+        parts = [
+            keyed_rollup(tagged.where(F.col("_part") == v).drop("_part"),
+                         ["conv_id"], specs)
+            for v in [r["_part"] for r in tagged.select("_part").distinct().collect()]
+        ]
+        _assert_df_equal(merge_rollups(parts, ["conv_id"], specs), full)
+
+
+def test_merge_is_associative_and_accepts_merged_input(spark):
+    df = generate_transcripts(spark, n_convs=60, seed=12)
+    specs = transcript_rollup_specs()
+    third = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(3))
+    tagged = df.withColumn("_p", third)
+    p = [keyed_rollup(tagged.where(F.col("_p") == i).drop("_p"),
+                      ["conv_id"], specs) for i in range(3)]
+    left_first = merge_rollups(
+        [merge_rollups(p[:2], ["conv_id"], specs), p[2]], ["conv_id"], specs)
+    all_at_once = merge_rollups(p, ["conv_id"], specs)
+    _assert_df_equal(left_first, all_at_once)
+
+
+def test_transcript_specs_values(spark):
+    rows = [
+        ("c1", 0, "system", "sys prompt", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "user", "hello", None, "2024-01-01 00:00:10"),
+        ("c1", 2, "assistant", "hi there", None, "2024-01-01 00:00:20"),
+        ("c1", 3, "tool", "result", "search", "2024-01-01 00:01:00"),
+        ("c2", 0, "user", None, None, "2024-01-02 08:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["conv_id"]: r for r in with_derived(
+        keyed_rollup(df, ["conv_id"], transcript_rollup_specs())
+    ).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4 and c1["n_user"] == 1 and c1["n_assistant"] == 1
+    assert c1["n_system"] == 1 and c1["n_tool_calls"] == 1
+    assert int(c1["total_chars"]) == len("sys prompt") + 5 + 8 + 6
+    assert c1["min_turn_idx"] == 0 and c1["max_turn_idx"] == 3
+    assert c1["duration_sec"] == 60.0
+    assert c1["tool_call_rate"] == 0.25
+    # NULL text counts as 0 chars, not NULL-poisoned
+    assert int(out["c2"]["total_chars"]) == 0 and out["c2"]["n_turns"] == 1
+
+
+def test_empty_delta_merge_is_identity(spark):
+    df = generate_transcripts(spark, n_convs=30, seed=13)
+    specs = transcript_rollup_specs()
+    full = keyed_rollup(df, ["conv_id"], specs)
+    empty = keyed_rollup(df.where(F.lit(False)), ["conv_id"], specs)
+    _assert_df_equal(merge_rollups([full, empty], ["conv_id"], specs), full)
