@@ -219,6 +219,100 @@ def read_lineage(spark: SparkSession, results_path: str) -> DataFrame:
     return spark.read.parquet(fs.join(results_path, "lineage"))
 
 
+def maintain_rollup(
+    spark: SparkSession,
+    table_path: str,
+    rollup_path: str,
+    keys: list[str],
+    specs,
+    *,
+    rollup_id: str = "conv_rollup",
+    partition_key: str = "date",
+    resume: bool = True,
+    max_partitions: Optional[int] = None,
+    storage_options: Optional[dict] = None,
+) -> list[str]:
+    """Incrementally maintain a keyed rollup over a date-partitioned
+    table: each uncommitted partition is rolled up ALONE (one
+    partition-pruned scan of just the new data) into
+    ``<rollup_path>/deltas/partition_id=<p>/``, committed with the same
+    idempotent overwrite-then-marker protocol as the validation store.
+    The full-history recompute never happens after day one — at 10^12
+    turns the daily maintenance cost is one scan of the new day.
+
+    Returns the partitions processed this call. Reuses the validation
+    lineage contract with ``suite_id = "__rollup__:<rollup_id>"`` so a
+    crash between delta write and marker is redone safely.
+    """
+    from .functions.rollup import keyed_rollup
+
+    pseudo_suite = f"__rollup__:{rollup_id}"
+    partitions = list_date_partitions(table_path, key=partition_key,
+                                      storage_options=storage_options)
+    if not partitions:
+        raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
+    done = committed_partitions(
+        spark, rollup_path, pseudo_suite, storage_options
+    ) if resume else set()
+
+    processed: list[str] = []
+    for p in partitions:
+        if p in done:
+            continue
+        if max_partitions is not None and len(processed) >= max_partitions:
+            break
+        t0 = time.time()
+        batch = spark.read.option("basePath", table_path).parquet(
+            fs.join(table_path, f"{partition_key}={p}")
+        ).drop(partition_key)
+        delta = keyed_rollup(batch, keys, specs)
+        delta.write.mode("overwrite").parquet(
+            fs.join(rollup_path, "deltas", f"partition_id={p}")
+        )
+        marker = spark.createDataFrame(
+            [(pseudo_suite, rollup_id, p, "COMMITTED", 0, 0, 0, 0, 0,
+              time.time() - t0, time.time())],
+            schema=LINEAGE_SCHEMA,
+        )
+        marker.write.mode("append").parquet(fs.join(rollup_path, "lineage"))
+        processed.append(p)
+    return processed
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    keys: list[str],
+    specs,
+    *,
+    rollup_id: str = "conv_rollup",
+    storage_options: Optional[dict] = None,
+) -> DataFrame:
+    """Merge the COMMITTED rollup deltas into the current rollup state.
+
+    Only delta dirs with a commit marker are read (a crashed partial
+    write is invisible). The merge shuffles rollup rows —
+    O(#keys x #delta-partitions), independent of raw table size. When
+    the delta count grows large, periodically rewrite the merged state
+    as a single base delta (on Iceberg: a rewrite-data-files compaction);
+    the read stays correct either way, compaction only trims the merge
+    fan-in.
+    """
+    from .functions.rollup import merge_rollups
+
+    pseudo_suite = f"__rollup__:{rollup_id}"
+    done = committed_partitions(spark, rollup_path, pseudo_suite,
+                                storage_options)
+    if not done:
+        raise ValueError(f"no committed rollup deltas under {rollup_path}")
+    dirs = [fs.join(rollup_path, "deltas", f"partition_id={p}")
+            for p in sorted(str(p) for p in done)]
+    deltas = spark.read.option(
+        "basePath", fs.join(rollup_path, "deltas")
+    ).parquet(*dirs).drop("partition_id")
+    return merge_rollups([deltas], keys, specs)
+
+
 def read_metrics(spark: SparkSession, results_path: str) -> DataFrame:
     """Per-partition scalar metrics (suite_id, run_id, metric, value,
     value_str, partition_id) — the queryable metrics history the

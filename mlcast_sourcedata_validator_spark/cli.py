@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "its properties (run at creation / after an "
                         "intentional migration) and exit; later runs' "
                         "schema_drift check compares against it")
+    p.add_argument("--conv-rollup", default=None, metavar="PATH",
+                   help="maintain the incremental per-conversation rollup "
+                        "store at PATH alongside a --results run (each new "
+                        "partition rolled up alone and committed; resume-"
+                        "aware like the results store)")
     p.add_argument("--quarantine", default=None,
                    help="also write the FULL-WIDTH offending rows (row/"
                         "window verdicts) to this parquet path — the "
@@ -147,6 +152,20 @@ def main(argv: list[str] | None = None) -> int:
             f"partitions, skipped {len(summary.skipped)} (committed), "
             f"{summary.n_fails} FAIL rows, {summary.n_violations} violations"
         )
+        if args.conv_rollup:
+            from .checkpoint import maintain_rollup
+            from .functions.rollup import transcript_rollup_specs
+
+            rolled = maintain_rollup(
+                spark, args.table, args.conv_rollup,
+                [suite.conv_col], transcript_rollup_specs(
+                    ts_col=suite.ts_col, turn_col=suite.turn_col),
+                resume=not args.no_resume,
+                max_partitions=args.max_partitions,
+                storage_options=storage_options,
+            )
+            print(f"conv rollup: {len(rolled)} partition deltas committed "
+                  f"at {args.conv_rollup}")
         return summary.exit_code()
     elif args.table:
         from .sources.tables import read_table

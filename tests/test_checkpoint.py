@@ -165,3 +165,28 @@ def test_metrics_store_written_and_outlier_detection(spark, table, registry, tmp
     assert metric_outlier_partitions(
         mdf.where("partition_id in ('p1','p5')"), "null_rate"
     ).count() == 0
+
+
+def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
+    """--conv-rollup maintains the rollup store alongside the results run
+    and the merged state matches a direct whole-table rollup."""
+    from mlcast_sourcedata_validator_spark.checkpoint import read_rollup
+    from mlcast_sourcedata_validator_spark.cli import main
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        keyed_rollup,
+        transcript_rollup_specs,
+    )
+
+    reg = str(tmp_path / "reg")
+    spark.read.parquet(table).select("conv_id").distinct().write.parquet(reg)
+    rc = main(["--suite", "transcripts_v1", "--table", table,
+               "--results", str(tmp_path / "store"),
+               "--conv-rollup", str(tmp_path / "roll"),
+               "--registry", reg, "--cores", "8"])
+    assert rc == 0
+    specs = transcript_rollup_specs()
+    merged = read_rollup(spark, str(tmp_path / "roll"), ["conv_id"], specs)
+    direct = keyed_rollup(spark.read.parquet(table).drop("date"),
+                          ["conv_id"], specs)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0

@@ -84,3 +84,52 @@ def test_empty_delta_merge_is_identity(spark):
     full = keyed_rollup(df, ["conv_id"], specs)
     empty = keyed_rollup(df.where(F.lit(False)), ["conv_id"], specs)
     _assert_df_equal(merge_rollups([full, empty], ["conv_id"], specs), full)
+
+
+def test_maintained_rollup_matches_direct_and_resumes(spark, tmp_path):
+    """maintain_rollup over a 4-day table == direct whole-table rollup;
+    interrupted maintenance resumes without reprocessing; an uncommitted
+    (crashed) delta is invisible to read_rollup and redone on resume."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        maintain_rollup,
+        read_rollup,
+        write_partitioned_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=60, seed=17).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(4)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "roll")
+    write_partitioned_transcripts(df, table)
+    specs = transcript_rollup_specs()
+
+    # interrupted first pass: only 2 partitions committed
+    first = maintain_rollup(spark, table, store, ["conv_id"], specs,
+                            max_partitions=2)
+    assert len(first) == 2
+    partial = read_rollup(spark, store, ["conv_id"], specs)
+    assert partial.count() > 0
+
+    # crash simulation: a delta dir written WITHOUT its commit marker
+    # must not be readable state
+    fake = keyed_rollup(df.limit(5), ["conv_id"], specs)
+    fake.write.mode("overwrite").parquet(str(tmp_path / "roll/deltas/partition_id=9999-01-01"))
+    assert read_rollup(spark, store, ["conv_id"], specs).exceptAll(partial).count() == 0
+
+    # resume: remaining partitions only
+    second = maintain_rollup(spark, table, store, ["conv_id"], specs)
+    assert set(first).isdisjoint(second) and len(first) + len(second) == 4
+
+    merged = read_rollup(spark, store, ["conv_id"], specs)
+    direct = keyed_rollup(spark.read.parquet(table).drop("date"),
+                          ["conv_id"], specs)
+    assert merged.dtypes == direct.dtypes
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    # idempotent: nothing left to do
+    assert maintain_rollup(spark, table, store, ["conv_id"], specs) == []

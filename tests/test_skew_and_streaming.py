@@ -297,4 +297,9 @@ def test_streaming_dedup_bounded_state_matches_batch_distinct(spark, sf_dir):
                            F.round(F.sum(F.col("value").cast("decimal(24,6)"))
                                    .cast("double"), 4).alias("sum_value"))
                       .collect()}
-    assert got == exp
+    # spelled-out diff: this equality failed once under a fully loaded
+    # suite run and passed on every isolated rerun; if it flakes again
+    # the per-type delta identifies whether dedup state or sum merge drifted
+    diff = {k: (got.get(k), exp.get(k))
+            for k in set(got) | set(exp) if got.get(k) != exp.get(k)}
+    assert got == exp, f"streaming vs batch mismatch: {diff}"
