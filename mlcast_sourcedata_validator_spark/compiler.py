@@ -145,13 +145,31 @@ class SuiteRunResult:
         return 1 if self.has_fails() else 0
 
 
-def compile_suite(suite: CheckSuite, exact: bool = False) -> CompiledSuite:
+#: kinds whose default semantics differ between a whole-table run and a
+#: single-partition batch (properties that are not locally decidable)
+_PARTITION_SCOPED_KINDS = {"turn_contiguity"}
+
+
+def compile_suite(
+    suite: CheckSuite, exact: bool = False, partition_scoped: bool = False
+) -> CompiledSuite:
+    """``partition_scoped=True`` compiles for a one-date-partition batch:
+    checks whose property is not locally decidable relax to their local
+    form (turn_contiguity stops requiring turn 0 in the batch — a
+    conversation legitimately continues across date partitions; the
+    global start-at-0 + boundary continuity are the rollup audit's job,
+    functions/rollup.py `contiguity_audit`)."""
     cs = CompiledSuite(suite)
     for spec in suite.checks:
         if spec.kind not in _COMPILERS:
             raise ValueError(f"unknown check kind: {spec.kind!r} ({spec.check_id})")
         fn = _COMPILERS[spec.kind]
-        out = fn(spec, suite, exact=exact) if spec.kind in _AGG_KINDS else fn(spec, suite)
+        if spec.kind in _AGG_KINDS:
+            out = fn(spec, suite, exact=exact)
+        elif spec.kind in _PARTITION_SCOPED_KINDS:
+            out = fn(spec, suite, partition_scoped=partition_scoped)
+        else:
+            out = fn(spec, suite)
         cs.order.append(spec.check_id)
         items = out if isinstance(out, list) else [out]
         for item in items:
@@ -398,7 +416,8 @@ def quarantine(
     individual rows and therefore don't quarantine — run
     :func:`run_suite` for the full report and exit code.
     """
-    cs = compile_suite(ctx.suite, exact=ctx.exact)
+    cs = compile_suite(ctx.suite, exact=ctx.exact,
+                       partition_scoped=ctx.partition_id is not None)
     plan = build_suite_plan(ctx, cs)
     if plan.violations is None:  # no row/window checks in the suite
         return ctx.df, ctx.df.limit(0)
@@ -424,7 +443,8 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
     t0 = time.time()
     suite = ctx.suite
     run_id = ctx.run_id or uuid.uuid4().hex[:12]
-    cs = compile_suite(suite, exact=ctx.exact)
+    cs = compile_suite(suite, exact=ctx.exact,
+                       partition_scoped=ctx.partition_id is not None)
     spark = ctx.spark
 
     # --- 1. driver-side checks (no scan) ---------------------------------

@@ -93,6 +93,43 @@ def merge_rollups(
     )
 
 
+def contiguity_audit(
+    rollup: DataFrame, conv_col: str = "conv_id", base_turn: int = 0
+) -> DataFrame:
+    """Cross-partition turn-contiguity audit over the MERGED rollup.
+
+    The per-partition window checks (operators/ordering.py) see one date
+    partition at a time, so a gap or duplicate that straddles a partition
+    boundary — day 1 ends at turn 4, day 2 resumes at turn 6 — is
+    invisible to them. The merged rollup sees every partition's
+    contribution, and contiguity is decidable from algebraic stats alone:
+    a conversation is contiguous from ``base_turn`` iff
+
+        min_turn_idx == base_turn  and
+        n_turns == max_turn_idx - min_turn_idx + 1
+
+    Cost: O(#conversations) rollup rows, no raw-table scan. Returns the
+    violating conversations with a reason column.
+
+    Residual blind spot (documented): a cross-boundary duplicate that
+    exactly compensates a cross-boundary gap keeps ``n_turns`` equal to
+    the span and passes this audit; only the whole-table uniqueness
+    check (or an exact distinct count, which is not algebraic) separates
+    that pair. Each anomaly alone IS caught here.
+    """
+    span = F.col("max_turn_idx") - F.col("min_turn_idx") + F.lit(1)
+    return (
+        rollup.withColumn(
+            "reason",
+            F.when(F.col("min_turn_idx") != base_turn, F.lit("bad_first_turn"))
+            .when(F.col("n_turns") < span, F.lit("gap"))
+            .when(F.col("n_turns") > span, F.lit("duplicate"))
+        )
+        .where(F.col("reason").isNotNull())
+        .select(conv_col, "n_turns", "min_turn_idx", "max_turn_idx", "reason")
+    )
+
+
 def with_derived(rollup: DataFrame) -> Column | DataFrame:
     """Read-time derived metrics over a transcript rollup: mean turn
     length, wall duration, tool-call rate. Kept OUT of the merge cycle —

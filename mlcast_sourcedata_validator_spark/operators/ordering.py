@@ -63,15 +63,26 @@ def compile_unique_key(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
     return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
 
 
-def compile_turn_contiguity(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+def compile_turn_contiguity(
+    spec: CheckSpec, suite: CheckSuite, partition_scoped: bool = False
+) -> list[RowCheck]:
     """turn_idx must start at 0 and increase without gaps.
 
     Gap = turn_idx > lag(turn_idx) + 1 (strictly greater, so duplicates are
     attributed to the uniqueness check, not double-counted here).
-    params: require_zero_start: bool = True.
+    params: require_zero_start: bool (default: True for whole-table runs,
+    False for partition-scoped runs).
+
+    Partition-scoped batches check INTERNAL gaps only: a conversation
+    legitimately continues across date partitions, so "first turn in this
+    batch is 0" is not a locally decidable property — enforcing it would
+    FAIL every boundary-spanning conversation. The global start-at-0 and
+    cross-boundary continuity are decided from the merged rollup
+    (functions/rollup.py `contiguity_audit`, O(#convs), no raw re-scan).
+    An explicit ``require_zero_start`` in params overrides either default.
     """
     turn = F.col(suite.turn_col)
-    require_zero = spec.params.get("require_zero_start", True)
+    require_zero = spec.params.get("require_zero_start", not partition_scoped)
 
     gap = F.col(LAG_TURN).isNotNull() & (turn > F.col(LAG_TURN) + 1)
     first_bad = (F.col(RN) == 1) & (turn != 0) if require_zero else F.lit(False)
@@ -90,7 +101,10 @@ def compile_turn_contiguity(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck
                        f"{n_viol} turn-index discontinuities")
         else:
             report.add(spec.section, spec.requirement, PASS,
-                       "turn_idx contiguous from 0 in every conversation")
+                       "turn_idx contiguous from 0 in every conversation"
+                       if require_zero else
+                       "turn_idx internally contiguous (partition-scoped: "
+                       "start-at-0 decided by the rollup audit)")
         return stamp(report, _MOD, "compile_turn_contiguity")
 
     return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]

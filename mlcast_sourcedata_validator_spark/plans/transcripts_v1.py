@@ -62,7 +62,11 @@ def suite() -> CheckSuite:
             "turn_contiguity", "turn_contiguity", "3.3 ordering",
             "turn_idx MUST start at 0 and increase without gaps within a "
             "conversation.",
-            {"require_zero_start": True},
+            # no explicit require_zero_start: whole-table runs enforce the
+            # start-at-0 half; partition-scoped runs check internal gaps
+            # only (a conversation continues across date partitions) and
+            # delegate start-at-0 + boundary continuity to the rollup
+            # contiguity audit
         ),
         CheckSpec(
             "ts_monotonic", "ts_monotonic", "3.3 ordering",

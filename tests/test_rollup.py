@@ -133,3 +133,67 @@ def test_maintained_rollup_matches_direct_and_resumes(spark, tmp_path):
 
     # idempotent: nothing left to do
     assert maintain_rollup(spark, table, store, ["conv_id"], specs) == []
+
+
+def test_contiguity_audit_catches_cross_partition_gap(spark, tmp_path):
+    """A turn gap at a date-partition boundary is invisible to the
+    per-partition window checks but caught by the rollup audit."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        maintain_rollup,
+        read_rollup,
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        contiguity_audit,
+    )
+    from mlcast_sourcedata_validator_spark.report import FAIL
+    from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
+
+    rows = []
+    # conv "ok": turns 0-5 split 0-2 / 3-5 across two days — contiguous
+    for i in range(6):
+        day = "2024-06-01" if i < 3 else "2024-06-02"
+        rows.append(("ok", i, "user" if i % 2 else "assistant", "t", None,
+                     f"{day} 12:00:{i:02d}"))
+    # conv "gap": day 1 has 0-2, day 2 resumes at 4 (turn 3 lost at the
+    # boundary) — each day is INTERNALLY contiguous
+    for i in [0, 1, 2, 4, 5]:
+        day = "2024-06-01" if i < 3 else "2024-06-02"
+        rows.append(("gap", i, "user" if i % 2 else "assistant", "t", None,
+                     f"{day} 12:00:{i:02d}"))
+    # conv "dup": turn 2 appears on BOTH days
+    for day, i in [("2024-06-01", 0), ("2024-06-01", 1), ("2024-06-01", 2),
+                   ("2024-06-02", 2), ("2024-06-02", 3)]:
+        rows.append(("dup", i, "user" if i % 2 else "assistant", "t", None,
+                     f"{day} 12:00:{i:02d}"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    table = str(tmp_path / "tbl")
+    write_partitioned_transcripts(df, table)
+
+    # per-partition validation sees NO contiguity/uniqueness FAILs: each
+    # day is internally clean
+    suite = get_suite("transcripts_v1")
+    registry = df.select("conv_id").distinct().localCheckpoint()
+    for day in ["2024-06-01", "2024-06-02"]:
+        batch = spark.read.option("basePath", table).parquet(
+            f"{table}/date={day}").drop("date")
+        res = run_suite(RunContext(spark=spark, df=batch, suite=suite,
+                                   run_id=f"d-{day}", registry_df=registry,
+                                   partition_id=day))
+        ordering_fails = [r for r in res.report.results
+                          if r.status == FAIL and r.section.startswith("3")]
+        assert ordering_fails == [], ordering_fails
+
+    # the rollup audit catches both boundary anomalies, names them, and
+    # passes the clean conversation
+    specs = transcript_rollup_specs()
+    store = str(tmp_path / "roll")
+    maintain_rollup(spark, table, store, ["conv_id"], specs)
+    audit = {r["conv_id"]: r["reason"]
+             for r in contiguity_audit(
+                 read_rollup(spark, store, ["conv_id"], specs)).collect()}
+    assert audit == {"gap": "gap", "dup": "duplicate"}
