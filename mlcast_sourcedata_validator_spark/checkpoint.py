@@ -313,6 +313,30 @@ def read_rollup(
     return merge_rollups([deltas], keys, specs)
 
 
+def read_rollup_deltas(
+    spark: SparkSession,
+    rollup_path: str,
+    *,
+    rollup_id: str = "conv_rollup",
+    storage_options: Optional[dict] = None,
+) -> DataFrame:
+    """Committed rollup deltas WITH their partition_id — the input to the
+    boundary audits (functions/rollup.py `boundary_audit`), which need
+    the per-partition breakdown the merged view intentionally loses."""
+    pseudo_suite = f"__rollup__:{rollup_id}"
+    done = committed_partitions(spark, rollup_path, pseudo_suite,
+                                storage_options)
+    if not done:
+        raise ValueError(f"no committed rollup deltas under {rollup_path}")
+    dirs = [fs.join(rollup_path, "deltas", f"partition_id={p}")
+            for p in sorted(str(p) for p in done)]
+    return spark.read.option(
+        "basePath", fs.join(rollup_path, "deltas")
+    ).parquet(*dirs).withColumn(
+        "partition_id", F.col("partition_id").cast("string")
+    )
+
+
 def read_metrics(spark: SparkSession, results_path: str) -> DataFrame:
     """Per-partition scalar metrics (suite_id, run_id, metric, value,
     value_str, partition_id) — the queryable metrics history the

@@ -166,6 +166,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"conv rollup: {len(rolled)} partition deltas committed "
                   f"at {args.conv_rollup}")
+            from .checkpoint import read_rollup, read_rollup_deltas
+            from .functions.rollup import boundary_audit, contiguity_audit
+
+            specs = transcript_rollup_specs(
+                ts_col=suite.ts_col, turn_col=suite.turn_col)
+            n_span = contiguity_audit(
+                read_rollup(spark, args.conv_rollup, [suite.conv_col], specs,
+                            storage_options=storage_options),
+                conv_col=suite.conv_col).count()
+            n_boundary = boundary_audit(
+                read_rollup_deltas(spark, args.conv_rollup,
+                                   storage_options=storage_options),
+                conv_col=suite.conv_col).count()
+            print(f"rollup audits: {n_span} span violations, "
+                  f"{n_boundary} boundary ordering violations")
         return summary.exit_code()
     elif args.table:
         from .sources.tables import read_table

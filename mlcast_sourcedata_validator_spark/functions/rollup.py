@@ -130,6 +130,55 @@ def contiguity_audit(
     )
 
 
+def boundary_audit(
+    deltas: DataFrame,
+    conv_col: str = "conv_id",
+    partition_col: str = "partition_id",
+) -> DataFrame:
+    """Cross-boundary ORDERING audit over per-partition rollup deltas.
+
+    The per-partition window checks verify ordering INSIDE each date
+    partition; :func:`contiguity_audit` verifies the merged turn span.
+    What neither sees is HOW the turns are distributed across partitions:
+
+    - ``turn_overlap``: a later partition's min_turn_idx <= an earlier
+      partition's max_turn_idx — turns interleave across days (a replayed
+      or mis-dated shard), even when the merged span is perfect.
+    - ``ts_regression``: a later partition's first_ts < an earlier
+      partition's last_ts — event time runs backwards at the boundary,
+      invisible to per-partition ts-monotonic checks.
+
+    One window over (conv, partition) DELTA rows — O(#convs x
+    #partitions-each-conv-touches), typically 1-3 rows per conv; no
+    raw-table scan. Partitions are ordered by ``partition_col`` (date
+    strings sort chronologically).
+
+    Together: local window checks + contiguity_audit + boundary_audit
+    decide the full global ordering contract with one raw scan per NEW
+    partition, ever.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(conv_col).orderBy(partition_col)
+    lag_max_turn = F.lag("max_turn_idx").over(w)
+    lag_last_ts = F.lag("last_ts").over(w)
+    return (
+        deltas.select(conv_col, partition_col, "min_turn_idx",
+                      "max_turn_idx", "first_ts", "last_ts")
+        .withColumn(
+            "reason",
+            F.when(lag_max_turn.isNotNull()
+                   & (F.col("min_turn_idx") <= lag_max_turn),
+                   F.lit("turn_overlap"))
+            .when(lag_last_ts.isNotNull()
+                  & (F.col("first_ts") < lag_last_ts),
+                  F.lit("ts_regression"))
+        )
+        .where(F.col("reason").isNotNull())
+        .select(conv_col, partition_col, "reason")
+    )
+
+
 def with_derived(rollup: DataFrame) -> Column | DataFrame:
     """Read-time derived metrics over a transcript rollup: mean turn
     length, wall duration, tool-call rate. Kept OUT of the merge cycle —

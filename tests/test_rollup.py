@@ -197,3 +197,65 @@ def test_contiguity_audit_catches_cross_partition_gap(spark, tmp_path):
              for r in contiguity_audit(
                  read_rollup(spark, store, ["conv_id"], specs)).collect()}
     assert audit == {"gap": "gap", "dup": "duplicate"}
+
+
+def test_boundary_audit_catches_interleave_and_ts_regression(spark, tmp_path):
+    """Turn ranges interleaved across partitions (merged span perfect, so
+    contiguity_audit passes) and a boundary event-time regression — both
+    invisible to per-partition checks, both caught from delta rows alone."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        maintain_rollup,
+        read_rollup,
+        read_rollup_deltas,
+    )
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        boundary_audit,
+        contiguity_audit,
+    )
+
+    rows = []
+    # conv "ok": clean split 0-2 / 3-5, boundary-monotonic timestamps
+    for i in range(6):
+        day = "2024-06-01" if i < 3 else "2024-06-02"
+        rows.append(("ok", i, "user", "t", None, f"{day} 12:00:{i:02d}"))
+    # conv "mix": day 1 holds EVEN turns 0,2,4; day 2 holds ODD turns
+    # 1,3,5 with ts consistent with turn order WITHIN each day. Merged
+    # span 0..5 with 6 turns -> contiguity_audit passes; ranges overlap.
+    for i in [0, 2, 4]:
+        rows.append(("mix", i, "user", "t", None, f"2024-06-01 12:00:{i:02d}"))
+    for i in [1, 3, 5]:
+        rows.append(("mix", i, "user", "t", None, f"2024-06-02 12:00:{i:02d}"))
+    # conv "tsr": turns split 0-1 / 2-3 (no range overlap) but batch 2's
+    # first EVENT time is earlier than batch 1's last — possible when
+    # partitions are INGESTION batches, not date(ts) (a late-arriving
+    # shard landed in the wrong batch). date(ts) partitioning makes this
+    # impossible by construction, so the table below is written as
+    # explicit batch dirs rather than via write_partitioned_transcripts.
+    rows += [("tsr", 0, "user", "t", None, "2024-06-01 12:00:00"),
+             ("tsr", 1, "user", "t", None, "2024-06-01 12:00:30"),
+             ("tsr", 2, "user", "t", None, "2024-06-01 11:00:00"),
+             ("tsr", 3, "user", "t", None, "2024-06-01 11:00:05")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    table = str(tmp_path / "tbl")
+    batch1 = (
+        ((F.col("conv_id") == "ok") & (F.col("turn_idx") < 3))
+        | ((F.col("conv_id") == "mix") & (F.col("turn_idx") % 2 == 0))
+        | ((F.col("conv_id") == "tsr") & (F.col("turn_idx") < 2))
+    )
+    df.where(batch1).write.parquet(f"{table}/date=2024-06-01")
+    df.where(~batch1).write.parquet(f"{table}/date=2024-06-02")
+
+    store = str(tmp_path / "roll")
+    specs = transcript_rollup_specs()
+    maintain_rollup(spark, table, store, ["conv_id"], specs)
+
+    # span audit: all three convs are span-clean
+    assert contiguity_audit(
+        read_rollup(spark, store, ["conv_id"], specs)).count() == 0
+
+    got = {(r["conv_id"], r["reason"])
+           for r in boundary_audit(read_rollup_deltas(spark, store)).collect()}
+    assert got == {("mix", "turn_overlap"), ("tsr", "ts_regression")}
