@@ -68,6 +68,38 @@ def transcript_rollup_specs(
     }
 
 
+def table_rollup_specs(
+    conv_col: str = "conv_id", text_col: str = "text", ts_col: str = "ts",
+    lg_config_k: int = 12,
+) -> RollupSpecs:
+    """TABLE-level incremental stats (``keys=[]`` — one row per
+    partition delta): row count, ts coverage, char mass, and a
+    **mergeable HLL sketch** of distinct conversations.
+
+    The sketch is the piece that makes whole-corpus cardinality
+    incremental: ``hll_sketch_agg`` over each new partition (a few KB of
+    binary state, survives the parquet delta write), ``hll_union_agg``
+    at merge — distinct-conv count over 10^12 rows without ever
+    rescanning history, with HLL's standard ~1-2% relative error at
+    lg_config_k=12. Estimate with
+    ``F.hll_sketch_estimate("conv_sketch")`` after the merge.
+    """
+    return {
+        "n_turns": (F.count(F.lit(1)), F.sum("n_turns")),
+        "first_ts": (F.min(ts_col), F.min("first_ts")),
+        "last_ts": (F.max(ts_col), F.max("last_ts")),
+        "total_chars": (
+            F.sum(F.coalesce(F.length(text_col), F.lit(0)).cast("decimal(28,0)"))
+            .cast("decimal(38,0)"),
+            F.sum("total_chars").cast("decimal(38,0)"),
+        ),
+        "conv_sketch": (
+            F.hll_sketch_agg(conv_col, F.lit(lg_config_k)),
+            F.hll_union_agg("conv_sketch"),
+        ),
+    }
+
+
 def keyed_rollup(df: DataFrame, keys: list[str], specs: RollupSpecs) -> DataFrame:
     """Roll raw rows up to one row per key (the partial-aggregate pass).
 

@@ -259,3 +259,39 @@ def test_boundary_audit_catches_interleave_and_ts_regression(spark, tmp_path):
     got = {(r["conv_id"], r["reason"])
            for r in boundary_audit(read_rollup_deltas(spark, store)).collect()}
     assert got == {("mix", "turn_overlap"), ("tsr", "ts_regression")}
+
+
+def test_table_rollup_hll_sketch_merges_across_partitions(spark, tmp_path):
+    """keys=[] table-level rollup: the HLL conversation sketch written to
+    per-partition parquet deltas unions into a whole-corpus distinct
+    estimate without rescanning history."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        maintain_rollup,
+        read_rollup,
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        table_rollup_specs,
+    )
+
+    df = generate_transcripts(spark, n_convs=300, seed=19).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(4)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "roll")
+    write_partitioned_transcripts(df, table)
+    specs = table_rollup_specs()
+    done = maintain_rollup(spark, table, store, [], specs,
+                           rollup_id="table_stats")
+    assert len(done) == 4
+    row = read_rollup(spark, store, [], specs, rollup_id="table_stats") \
+        .select(
+            "n_turns",
+            F.hll_sketch_estimate("conv_sketch").alias("n_convs"),
+        ).collect()[0]
+    assert row["n_turns"] == df.count()
+    exact = df.select("conv_id").distinct().count()
+    assert abs(row["n_convs"] - exact) / exact < 0.05
