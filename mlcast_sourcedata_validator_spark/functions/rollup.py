@@ -211,7 +211,7 @@ def boundary_audit(
     )
 
 
-def with_derived(rollup: DataFrame) -> Column | DataFrame:
+def with_derived(rollup: DataFrame) -> DataFrame:
     """Read-time derived metrics over a transcript rollup: mean turn
     length, wall duration, tool-call rate. Kept OUT of the merge cycle —
     ratios are not algebraic."""
