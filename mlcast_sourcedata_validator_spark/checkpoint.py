@@ -235,7 +235,9 @@ def maintain_rollup(
     """Incrementally maintain a keyed rollup over a date-partitioned
     table: each uncommitted partition is rolled up ALONE (one
     partition-pruned scan of just the new data) into
-    ``<rollup_path>/deltas/partition_id=<p>/``, committed with the same
+    ``<rollup_path>/deltas/<rollup_id>/partition_id=<p>/`` (deltas are
+    namespaced per rollup_id so several rollups — e.g. the per-conv and
+    the keys=[] table-level one — can share a store), committed with the same
     idempotent overwrite-then-marker protocol as the validation store.
     The full-history recompute never happens after day one — at 10^12
     turns the daily maintenance cost is one scan of the new day.
@@ -267,7 +269,7 @@ def maintain_rollup(
         ).drop(partition_key)
         delta = keyed_rollup(batch, keys, specs)
         delta.write.mode("overwrite").parquet(
-            fs.join(rollup_path, "deltas", f"partition_id={p}")
+            fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")
         )
         marker = spark.createDataFrame(
             [(pseudo_suite, rollup_id, p, "COMMITTED", 0, 0, 0, 0, 0,
@@ -305,10 +307,10 @@ def read_rollup(
                                 storage_options)
     if not done:
         raise ValueError(f"no committed rollup deltas under {rollup_path}")
-    dirs = [fs.join(rollup_path, "deltas", f"partition_id={p}")
+    dirs = [fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")
             for p in sorted(str(p) for p in done)]
     deltas = spark.read.option(
-        "basePath", fs.join(rollup_path, "deltas")
+        "basePath", fs.join(rollup_path, "deltas", rollup_id)
     ).parquet(*dirs).drop("partition_id")
     return merge_rollups([deltas], keys, specs)
 
@@ -328,10 +330,10 @@ def read_rollup_deltas(
                                 storage_options)
     if not done:
         raise ValueError(f"no committed rollup deltas under {rollup_path}")
-    dirs = [fs.join(rollup_path, "deltas", f"partition_id={p}")
+    dirs = [fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")
             for p in sorted(str(p) for p in done)]
     return spark.read.option(
-        "basePath", fs.join(rollup_path, "deltas")
+        "basePath", fs.join(rollup_path, "deltas", rollup_id)
     ).parquet(*dirs).withColumn(
         "partition_id", F.col("partition_id").cast("string")
     )
@@ -358,32 +360,33 @@ def metric_outlier_partitions(
     null_rate is 10x every other day's passes its own absolute threshold
     yet is exactly the partition a corpus owner wants flagged. Median/MAD
     (not mean/stddev) so one bad day cannot mask itself by inflating the
-    spread. Both aggregates run over O(#partitions) rows — driver-scale.
+    spread. The per-metric series is O(#partitions) scalars, collected
+    once; median/MAD are driver math (one Spark job, not four).
 
     Returns (partition_id, value, median, mad, deviation) for flagged
     partitions; empty if fewer than ``min_partitions`` partitions carry
     the metric (median of 2-3 points is noise) or if MAD is 0 and every
     value equals the median.
     """
-    vals = metrics_df.where(
+    import statistics
+
+    spark = metrics_df.sparkSession
+    # ONE scan: the per-metric values are O(#partitions) scalars (the
+    # docstring's premise), so collect once and do median/MAD on the
+    # driver instead of four jobs (count + median + MAD self-cross-join
+    # + filter) re-reading the metrics source
+    rows = metrics_df.where(
         (F.col("metric") == metric) & F.col("value").isNotNull()
-    ).select("partition_id", "value")
-    if vals.count() < min_partitions:
-        return vals.select(
-            "partition_id", "value",
-            F.lit(None).cast("double").alias("median"),
-            F.lit(None).cast("double").alias("mad"),
-            F.lit(None).cast("double").alias("deviation"),
-        ).where(F.lit(False))
-    med = vals.agg(F.median("value").alias("median"))
-    with_med = vals.crossJoin(F.broadcast(med))
-    mad = with_med.agg(
-        F.median(F.abs(F.col("value") - F.col("median"))).alias("mad")
-    )
-    return (
-        with_med.crossJoin(F.broadcast(mad))
-        .withColumn("deviation", F.abs(F.col("value") - F.col("median")))
-        # MAD==0 (perfectly stable metric): any nonzero deviation flags
-        .where(F.col("deviation") > F.col("mad") * mad_factor)
-        .select("partition_id", "value", "median", "mad", "deviation")
-    )
+    ).select(F.col("partition_id").cast("string"), "value").collect()
+    out_schema = ("partition_id string, value double, median double, "
+                  "mad double, deviation double")
+    if len(rows) < min_partitions:
+        return spark.createDataFrame([], out_schema)
+    med = statistics.median(r["value"] for r in rows)
+    mad = statistics.median(abs(r["value"] - med) for r in rows)
+    # MAD==0 (perfectly stable metric): any nonzero deviation flags
+    flagged = [
+        (r["partition_id"], r["value"], med, mad, abs(r["value"] - med))
+        for r in rows if abs(r["value"] - med) > mad * mad_factor
+    ]
+    return spark.createDataFrame(flagged, out_schema)

@@ -135,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
             clean, expr="role",
             categories=["system", "user", "assistant", "tool"],
             metric="role_dist",
+        )).unionByName(build_categorical_baseline(
+            clean, expr="coalesce(tool, '<none>')",
+            categories=["<none>", "search", "python", "browser", "sql"],
+            metric="tool_dist",
         ))
         df = dirty
     elif args.table and not args.whole_table and args.results:
@@ -152,25 +156,30 @@ def main(argv: list[str] | None = None) -> int:
             f"partitions, skipped {len(summary.skipped)} (committed), "
             f"{summary.n_fails} FAIL rows, {summary.n_violations} violations"
         )
+        rc = summary.exit_code()
         if args.conv_rollup:
-            from .checkpoint import maintain_rollup
-            from .functions.rollup import transcript_rollup_specs
+            from .checkpoint import (
+                maintain_rollup,
+                read_rollup,
+                read_rollup_deltas,
+            )
+            from .functions.rollup import (
+                boundary_audit,
+                contiguity_audit,
+                transcript_rollup_specs,
+            )
 
+            specs = transcript_rollup_specs(
+                ts_col=suite.ts_col, turn_col=suite.turn_col)
             rolled = maintain_rollup(
                 spark, args.table, args.conv_rollup,
-                [suite.conv_col], transcript_rollup_specs(
-                    ts_col=suite.ts_col, turn_col=suite.turn_col),
+                [suite.conv_col], specs,
                 resume=not args.no_resume,
                 max_partitions=args.max_partitions,
                 storage_options=storage_options,
             )
             print(f"conv rollup: {len(rolled)} partition deltas committed "
                   f"at {args.conv_rollup}")
-            from .checkpoint import read_rollup, read_rollup_deltas
-            from .functions.rollup import boundary_audit, contiguity_audit
-
-            specs = transcript_rollup_specs(
-                ts_col=suite.ts_col, turn_col=suite.turn_col)
             n_span = contiguity_audit(
                 read_rollup(spark, args.conv_rollup, [suite.conv_col], specs,
                             storage_options=storage_options),
@@ -181,7 +190,12 @@ def main(argv: list[str] | None = None) -> int:
                 conv_col=suite.conv_col).count()
             print(f"rollup audits: {n_span} span violations, "
                   f"{n_boundary} boundary ordering violations")
-        return summary.exit_code()
+            # the audits own the start-at-0 / cross-boundary half of the
+            # MUST-level ordering contract that partition-scoped batch
+            # checks deliberately relax — their violations are FAILs
+            if n_span or n_boundary:
+                rc = 1
+        return rc
     elif args.table:
         from .sources.tables import read_table
 

@@ -117,7 +117,8 @@ def test_maintained_rollup_matches_direct_and_resumes(spark, tmp_path):
     # crash simulation: a delta dir written WITHOUT its commit marker
     # must not be readable state
     fake = keyed_rollup(df.limit(5), ["conv_id"], specs)
-    fake.write.mode("overwrite").parquet(str(tmp_path / "roll/deltas/partition_id=9999-01-01"))
+    fake.write.mode("overwrite").parquet(
+        str(tmp_path / "roll/deltas/conv_rollup/partition_id=9999-01-01"))
     assert read_rollup(spark, store, ["conv_id"], specs).exceptAll(partial).count() == 0
 
     # resume: remaining partitions only
@@ -295,3 +296,67 @@ def test_table_rollup_hll_sketch_merges_across_partitions(spark, tmp_path):
     assert row["n_turns"] == df.count()
     exact = df.select("conv_id").distinct().count()
     assert abs(row["n_convs"] - exact) / exact < 0.05
+
+
+def test_two_rollup_ids_share_one_store(spark, tmp_path):
+    """Per-conv and table-level rollups at the SAME rollup_path must not
+    clobber each other (deltas are namespaced by rollup_id)."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        maintain_rollup,
+        read_rollup,
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        table_rollup_specs,
+    )
+
+    df = generate_transcripts(spark, n_convs=40, seed=23).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(2)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "roll")
+    write_partitioned_transcripts(df, table)
+    conv_specs = transcript_rollup_specs()
+    tbl_specs = table_rollup_specs()
+    maintain_rollup(spark, table, store, ["conv_id"], conv_specs)
+    maintain_rollup(spark, table, store, [], tbl_specs,
+                    rollup_id="table_stats")
+    conv = read_rollup(spark, store, ["conv_id"], conv_specs)
+    tbl = read_rollup(spark, store, [], tbl_specs, rollup_id="table_stats")
+    assert conv.count() == df.select("conv_id").distinct().count()
+    assert tbl.collect()[0]["n_turns"] == df.count()
+    # and the per-conv state equals a direct rollup (not table-level rows)
+    direct = keyed_rollup(df, ["conv_id"], conv_specs)
+    assert conv.exceptAll(direct).count() == 0
+
+
+def test_cli_exit_1_on_rollup_audit_violation(spark, tmp_path):
+    """A boundary gap that per-partition validation passes must still
+    drive the CLI exit code to 1 through the rollup audits."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.cli import main
+
+    rows = []
+    for i in [0, 1, 2]:
+        rows.append(("g", i, "user", "t", None, f"2024-06-01 12:00:{i:02d}"))
+    for i in [4, 5]:  # boundary gap: turn 3 lost between the days
+        rows.append(("g", i, "user", "t", None, f"2024-06-02 12:00:{i:02d}"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    table = str(tmp_path / "tbl")
+    write_partitioned_transcripts(df, table)
+    reg = str(tmp_path / "reg")
+    df.select("conv_id").distinct().write.parquet(reg)
+
+    rc = main(["--suite", "transcripts_v1", "--table", table,
+               "--results", str(tmp_path / "store"),
+               "--conv-rollup", str(tmp_path / "roll"),
+               "--registry", reg, "--cores", "8"])
+    assert rc == 1
