@@ -281,6 +281,53 @@ def maintain_rollup(
     return processed
 
 
+def _active_rollup_partitions(
+    spark: SparkSession, rollup_path: str, rollup_id: str,
+    storage_options: Optional[dict],
+) -> set[str]:
+    """Delta partitions whose LATEST lineage row is COMMITTED (not
+    COMPACTED-away). Resolution is per-partition latest-marker-wins on
+    ``committed_at`` — O(#markers) rows collected once."""
+    pseudo_suite = f"__rollup__:{rollup_id}"
+    lineage_dir = fs.join(rollup_path, "lineage")
+    try:
+        if not fs.isdir(lineage_dir, storage_options) or \
+                not fs.list_parquet_files(lineage_dir, limit=1,
+                                          storage_options=storage_options):
+            return set()
+    except fs.FsUnavailable:
+        return set()
+    rows = (
+        spark.read.parquet(lineage_dir)
+        .where(F.col("suite_id") == pseudo_suite)
+        .select("partition_id", "status", "committed_at")
+        .collect()
+    )
+    latest: dict[str, tuple[float, str]] = {}
+    for r in rows:
+        key = str(r["partition_id"])
+        if key not in latest or r["committed_at"] > latest[key][0]:
+            latest[key] = (r["committed_at"], r["status"])
+    return {p for p, (_, s) in latest.items() if s == "COMMITTED"}
+
+
+def _active_delta_df(
+    spark: SparkSession, rollup_path: str, rollup_id: str,
+    storage_options: Optional[dict],
+) -> DataFrame:
+    active = _active_rollup_partitions(spark, rollup_path, rollup_id,
+                                       storage_options)
+    if not active:
+        raise ValueError(f"no committed rollup deltas under {rollup_path}")
+    dirs = [fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")
+            for p in sorted(active)]
+    return spark.read.option(
+        "basePath", fs.join(rollup_path, "deltas", rollup_id)
+    ).parquet(*dirs).withColumn(
+        "partition_id", F.col("partition_id").cast("string")
+    )
+
+
 def read_rollup(
     spark: SparkSession,
     rollup_path: str,
@@ -290,28 +337,18 @@ def read_rollup(
     rollup_id: str = "conv_rollup",
     storage_options: Optional[dict] = None,
 ) -> DataFrame:
-    """Merge the COMMITTED rollup deltas into the current rollup state.
+    """Merge the ACTIVE rollup deltas into the current rollup state.
 
-    Only delta dirs with a commit marker are read (a crashed partial
-    write is invisible). The merge shuffles rollup rows —
-    O(#keys x #delta-partitions), independent of raw table size. When
-    the delta count grows large, periodically rewrite the merged state
-    as a single base delta (on Iceberg: a rewrite-data-files compaction);
-    the read stays correct either way, compaction only trims the merge
-    fan-in.
+    Only delta dirs whose latest commit marker is COMMITTED are read: a
+    crashed partial write has no marker and is invisible; a compacted
+    delta's latest marker is COMPACTED and its mass lives in the base
+    delta instead (:func:`compact_rollup`). The merge shuffles rollup
+    rows — O(#keys x #active-deltas), independent of raw table size.
     """
     from .functions.rollup import merge_rollups
 
-    pseudo_suite = f"__rollup__:{rollup_id}"
-    done = committed_partitions(spark, rollup_path, pseudo_suite,
-                                storage_options)
-    if not done:
-        raise ValueError(f"no committed rollup deltas under {rollup_path}")
-    dirs = [fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")
-            for p in sorted(str(p) for p in done)]
-    deltas = spark.read.option(
-        "basePath", fs.join(rollup_path, "deltas", rollup_id)
-    ).parquet(*dirs).drop("partition_id")
+    deltas = _active_delta_df(spark, rollup_path, rollup_id,
+                              storage_options).drop("partition_id")
     return merge_rollups([deltas], keys, specs)
 
 
@@ -322,21 +359,66 @@ def read_rollup_deltas(
     rollup_id: str = "conv_rollup",
     storage_options: Optional[dict] = None,
 ) -> DataFrame:
-    """Committed rollup deltas WITH their partition_id — the input to the
+    """Active rollup deltas WITH their partition_id — the input to the
     boundary audits (functions/rollup.py `boundary_audit`), which need
-    the per-partition breakdown the merged view intentionally loses."""
+    the per-partition breakdown the merged view intentionally loses.
+
+    Note: a compaction base delta (partition_id ``__base-...``) pools
+    many source partitions, so per-boundary audit signal for partitions
+    compacted into it is gone — run `boundary_audit` BEFORE compacting
+    (it filters ``__``-prefixed rows out itself)."""
+    return _active_delta_df(spark, rollup_path, rollup_id, storage_options)
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    keys: list[str],
+    specs,
+    *,
+    rollup_id: str = "conv_rollup",
+    storage_options: Optional[dict] = None,
+) -> Optional[str]:
+    """Rewrite the ACTIVE deltas as one base delta, trimming read-side
+    merge fan-in from O(#partitions-ever) to O(1) + new deltas since.
+
+    At 10^12 turns the store accrues a delta per day per table; after
+    years that is thousands of dirs in every read. Compaction is the
+    rewrite-data-files analog: (1) merge active deltas, (2) write the
+    result to ``deltas/<id>/partition_id=__base-<uuid>__``, (3) append
+    ONE marker batch that COMMITs the base and marks every source
+    COMPACTED. Crash before (3) leaves an unreferenced base dir (never
+    read — no marker) and the old state intact; resume-safety for
+    :func:`maintain_rollup` is untouched because a source partition's
+    COMMITTED row still exists in the lineage history (compaction flips
+    its LATEST status, and maintenance dedups on ever-committed).
+
+    Returns the base partition name, or None when fewer than two active
+    deltas exist (nothing to trim).
+    """
+    from .functions.rollup import merge_rollups
+
     pseudo_suite = f"__rollup__:{rollup_id}"
-    done = committed_partitions(spark, rollup_path, pseudo_suite,
-                                storage_options)
-    if not done:
-        raise ValueError(f"no committed rollup deltas under {rollup_path}")
-    dirs = [fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")
-            for p in sorted(str(p) for p in done)]
-    return spark.read.option(
-        "basePath", fs.join(rollup_path, "deltas", rollup_id)
-    ).parquet(*dirs).withColumn(
-        "partition_id", F.col("partition_id").cast("string")
+    active = _active_rollup_partitions(spark, rollup_path, rollup_id,
+                                       storage_options)
+    if len(active) < 2:
+        return None
+    deltas = _active_delta_df(spark, rollup_path, rollup_id,
+                              storage_options).drop("partition_id")
+    base = f"__base-{uuid.uuid4().hex[:12]}__"
+    t0 = time.time()
+    merge_rollups([deltas], keys, specs).write.mode("overwrite").parquet(
+        fs.join(rollup_path, "deltas", rollup_id, f"partition_id={base}")
     )
+    now = time.time()
+    markers = [(pseudo_suite, rollup_id, base, "COMMITTED", 0, 0, 0, 0, 0,
+                now - t0, now)]
+    markers += [(pseudo_suite, rollup_id, p, "COMPACTED", 0, 0, 0, 0, 0,
+                 0.0, now) for p in sorted(active)]
+    spark.createDataFrame(markers, schema=LINEAGE_SCHEMA) \
+        .coalesce(1).write.mode("append") \
+        .parquet(fs.join(rollup_path, "lineage"))
+    return base
 
 
 def read_metrics(spark: SparkSession, results_path: str) -> DataFrame:

@@ -195,8 +195,11 @@ def boundary_audit(
     lag_max_turn = F.lag("max_turn_idx").over(w)
     lag_last_ts = F.lag("last_ts").over(w)
     return (
-        deltas.select(conv_col, partition_col, "min_turn_idx",
-                      "max_turn_idx", "first_ts", "last_ts")
+        # compaction base deltas (partition_id '__base-...') pool many
+        # source partitions — no boundary semantics; audit only real ones
+        deltas.where(~F.col(partition_col).startswith("__"))
+        .select(conv_col, partition_col, "min_turn_idx",
+                "max_turn_idx", "first_ts", "last_ts")
         .withColumn(
             "reason",
             F.when(lag_max_turn.isNotNull()

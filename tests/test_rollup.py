@@ -360,3 +360,55 @@ def test_cli_exit_1_on_rollup_audit_violation(spark, tmp_path):
                "--conv-rollup", str(tmp_path / "roll"),
                "--registry", reg, "--cores", "8"])
     assert rc == 1
+
+
+def test_compact_rollup_preserves_state_and_resume(spark, tmp_path):
+    """Compaction rewrites N deltas as one base: merged state identical
+    before/after, maintenance resume still skips compacted partitions,
+    new deltas merge on top, and a second compaction folds base+new."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+        read_rollup_deltas,
+        write_partitioned_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=60, seed=29).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(4)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "roll")
+    write_partitioned_transcripts(df, table)
+    specs = transcript_rollup_specs()
+
+    # maintain 3 of 4 partitions, then compact them into one base
+    maintain_rollup(spark, table, store, ["conv_id"], specs, max_partitions=3)
+    before = read_rollup(spark, store, ["conv_id"], specs).collect()
+    base = compact_rollup(spark, store, ["conv_id"], specs)
+    assert base and base.startswith("__base-")
+    after = read_rollup(spark, store, ["conv_id"], specs)
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after.collect()))
+    # fan-in trimmed: only the base delta is active
+    assert read_rollup_deltas(spark, store).select("partition_id") \
+        .distinct().count() == 1
+
+    # resume must NOT redo the compacted partitions — only the 4th
+    new = maintain_rollup(spark, table, store, ["conv_id"], specs)
+    assert len(new) == 1
+    full = read_rollup(spark, store, ["conv_id"], specs)
+    direct = keyed_rollup(spark.read.parquet(table).drop("date"),
+                          ["conv_id"], specs)
+    assert full.exceptAll(direct).count() == 0
+    assert direct.exceptAll(full).count() == 0
+
+    # second compaction folds base + the new delta; state still exact
+    assert compact_rollup(spark, store, ["conv_id"], specs)
+    full2 = read_rollup(spark, store, ["conv_id"], specs)
+    assert full2.exceptAll(direct).count() == 0
+    assert direct.exceptAll(full2).count() == 0
+    # nothing active to compact now -> no-op
+    assert compact_rollup(spark, store, ["conv_id"], specs) is None
