@@ -324,6 +324,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "n_chars")
     q["dedup_keep_min_documents"] = dedup_keep_min_documents
 
+    def incremental_dedup_documents(spark, sf):
+        """Incremental exact dedup against a content-hash index
+        (functions/dedup.py content_index_specs/dedup_against_index):
+        the index covers doc_id < 250 (history); the rest of the corpus
+        plus a duplicated slice arrive as the 'new batch' and are deduped
+        against the index WITHOUT rescanning history. History ids are all
+        smaller than batch ids, so the result equals the oracle's global
+        keep-min dedup over the whole union exactly."""
+        from mlcast_sourcedata_validator_spark.functions.dedup import (
+            content_index_specs,
+            dedup_against_index,
+        )
+        from mlcast_sourcedata_validator_spark.functions.rollup import (
+            keyed_rollup,
+        )
+
+        d = _t(spark, sf, "documents")
+        hist = d.where(F.col("doc_id") < 250)
+        dup = d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        batch = d.where(F.col("doc_id") >= 250).unionByName(dup)
+        index = keyed_rollup(
+            hist.withColumn("text_hash", F.md5("text")),
+            ["text_hash"], content_index_specs("doc_id"),
+        )
+        kept_new = dedup_against_index(batch, index, "doc_id", "text")
+        return hist.unionByName(kept_new).select("doc_id", "n_chars")
+    q["incremental_dedup_documents"] = incremental_dedup_documents
+
     # --- TPC-H-ish analytics (scan/filter/agg/join/window/topk coverage) ---
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1344,6 +1374,17 @@ def _all_oracles() -> dict[str, str]:
     o["salted_count_events"] = """
         SELECT user_id, count(*)::BIGINT AS count FROM events GROUP BY user_id"""
 
+    o["incremental_dedup_documents"] = """
+        WITH all_docs AS (
+          SELECT doc_id, text, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, n_chars FROM documents
+          WHERE doc_id < 50),
+        keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                 FROM all_docs GROUP BY 1)
+        SELECT a.doc_id, a.n_chars FROM all_docs a
+        JOIN keep k ON a.doc_id = k.doc_id"""
+
     o["incremental_rollup_events"] = """
         SELECT user_id,
                count(*)::BIGINT AS n_events,
@@ -2072,6 +2113,8 @@ _EXTRA_ORDER = [
     "categorical_drift_events",       # TVD/PSI of the event_type mix
     # incremental rollup: split-rollup-merge == whole-table GROUP BY
     "incremental_rollup_events",
+    # content-index dedup of a new batch vs history == global keep-min
+    "incremental_dedup_documents",
     # quadratic oracle twins of in-window bucketed scale paths
     "simhash_pairs_documents",        # == simhash_banded_pairs_documents
     "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs

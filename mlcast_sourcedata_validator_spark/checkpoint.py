@@ -230,6 +230,7 @@ def maintain_rollup(
     partition_key: str = "date",
     resume: bool = True,
     max_partitions: Optional[int] = None,
+    derive: Optional[dict] = None,
     storage_options: Optional[dict] = None,
 ) -> list[str]:
     """Incrementally maintain a keyed rollup over a date-partitioned
@@ -267,6 +268,10 @@ def maintain_rollup(
         batch = spark.read.option("basePath", table_path).parquet(
             fs.join(table_path, f"{partition_key}={p}")
         ).drop(partition_key)
+        # derive: name -> Column computed before the rollup, so keys may
+        # be expressions over the raw schema (e.g. a content hash)
+        for name, col in (derive or {}).items():
+            batch = batch.withColumn(name, col)
         delta = keyed_rollup(batch, keys, specs)
         delta.write.mode("overwrite").parquet(
             fs.join(rollup_path, "deltas", rollup_id, f"partition_id={p}")

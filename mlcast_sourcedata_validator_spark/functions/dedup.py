@@ -127,6 +127,50 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(w_min, on=id_col, how="left_semi")
 
 
+def content_index_specs(id_col: str = "doc_id"):
+    """Rollup specs for the incremental CONTENT-HASH DEDUP INDEX:
+    ``keys=["text_hash"]`` (derive it with ``F.md5(text_col)`` via
+    ``maintain_rollup(..., derive=...)``), one row per distinct content
+    with its copy count and min-id representative — both algebraic.
+
+    This is how exact dedup works at 10^12 rows: the index is maintained
+    per new partition (one scan of the new data), each day's crawl is
+    deduped against it (:func:`dedup_against_index`) without rescanning
+    history, and ``n_copies > 1`` in the merged index IS the global
+    cross-partition duplicate audit — duplicates that live in different
+    date partitions and are invisible to any single-partition dedup
+    pass. Delta fan-in is bounded by ``checkpoint.compact_rollup``.
+    """
+    return {
+        "n_copies": (F.count(F.lit(1)), F.sum("n_copies")),
+        "min_id": (F.min(id_col), F.min("min_id")),
+    }
+
+
+def dedup_against_index(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Dedup a NEW batch against the historical content index: rows whose
+    content already exists in the index are dropped; among rows whose
+    content is new, the min-id representative is kept.
+
+    Plan: the batch is hashed map-side; one groupBy on the hash picks the
+    batch representative; an anti-join against the index (broadcast if
+    the planner can — the index side is (hash, ...) rows, prunable to the
+    hash column) removes historically-seen content; a semi-join restores
+    the full-width rows. No scan of historical RAW data ever happens —
+    the index stands in for the entire corpus.
+    """
+    hashed = df.withColumn(hash_col, F.md5(F.col(text_col)))
+    batch_min = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    fresh = batch_min.join(index.select(hash_col), hash_col, "left_anti")
+    return hashed.join(fresh, [hash_col, id_col], "left_semi").drop(hash_col)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -412,3 +412,59 @@ def test_compact_rollup_preserves_state_and_resume(spark, tmp_path):
     assert direct.exceptAll(full2).count() == 0
     # nothing active to compact now -> no-op
     assert compact_rollup(spark, store, ["conv_id"], specs) is None
+
+
+def test_content_index_cross_partition_dup_and_incremental_dedup(spark, tmp_path):
+    """The maintained content-hash index (a) flags duplicates that live
+    in DIFFERENT date partitions — invisible to any single-partition
+    dedup pass — and (b) dedups a new batch against history without
+    rescanning raw history, equal to global keep-min dedup."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        maintain_rollup,
+        read_rollup,
+    )
+    from mlcast_sourcedata_validator_spark.functions.dedup import (
+        content_index_specs,
+        dedup_against_index,
+        exact_dedup,
+    )
+
+    rows = [
+        # day 1
+        (0, "alpha text", "2024-06-01 10:00:00"),
+        (1, "beta text", "2024-06-01 11:00:00"),
+        # day 2: doc 2 duplicates doc 0 (cross-partition), doc 3 fresh
+        (2, "alpha text", "2024-06-02 10:00:00"),
+        (3, "gamma text", "2024-06-02 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    table = str(tmp_path / "docs")
+    df.withColumn("date", F.to_date("ts")).write.partitionBy("date") \
+        .parquet(table)
+
+    store = str(tmp_path / "idx")
+    specs = content_index_specs("doc_id")
+    maintain_rollup(spark, table, store, ["text_hash"], specs,
+                    rollup_id="content_index",
+                    derive={"text_hash": F.md5("text")})
+    index = read_rollup(spark, store, ["text_hash"], specs,
+                        rollup_id="content_index")
+    # global dup audit from the index alone: exactly the alpha content
+    dups = index.where("n_copies > 1").collect()
+    assert len(dups) == 1 and dups[0]["n_copies"] == 2 and dups[0]["min_id"] == 0
+
+    # day 3 arrives: one historical dup, one batch-internal dup pair
+    batch = spark.createDataFrame(
+        [(10, "beta text"), (11, "delta text"), (12, "delta text")],
+        "doc_id long, text string")
+    kept = dedup_against_index(batch, index, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+    # equivalence: history-kept + batch-kept == global keep-min dedup
+    all_docs = df.select("doc_id", "text").unionByName(batch)
+    global_kept = sorted(
+        r["doc_id"] for r in exact_dedup(all_docs, "doc_id", "text").collect())
+    hist_kept = sorted(
+        r["doc_id"]
+        for r in exact_dedup(df.select("doc_id", "text"), "doc_id", "text").collect())
+    assert sorted(hist_kept + [r["doc_id"] for r in kept.collect()]) == global_kept
