@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "store at PATH alongside a --results run (each new "
                         "partition rolled up alone and committed; resume-"
                         "aware like the results store)")
+    p.add_argument("--compact-rollup", action="store_true",
+                   help="after maintaining + auditing the --conv-rollup "
+                        "store, rewrite its active deltas as one base "
+                        "delta (trims read-side merge fan-in)")
     p.add_argument("--quarantine", default=None,
                    help="also write the FULL-WIDTH offending rows (row/"
                         "window verdicts) to this parquet path — the "
@@ -195,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
             # checks deliberately relax — their violations are FAILs
             if n_span or n_boundary:
                 rc = 1
+            if args.compact_rollup:
+                from .checkpoint import compact_rollup
+
+                base = compact_rollup(
+                    spark, args.conv_rollup, [suite.conv_col], specs,
+                    storage_options=storage_options)
+                print(f"rollup compaction: "
+                      f"{base or 'no-op (fewer than 2 active deltas)'}")
         return rc
     elif args.table:
         from .sources.tables import read_table

@@ -181,7 +181,7 @@ def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
     spark.read.parquet(table).select("conv_id").distinct().write.parquet(reg)
     rc = main(["--suite", "transcripts_v1", "--table", table,
                "--results", str(tmp_path / "store"),
-               "--conv-rollup", str(tmp_path / "roll"),
+               "--conv-rollup", str(tmp_path / "roll"), "--compact-rollup",
                "--registry", reg, "--cores", "8"])
     assert rc == 0
     specs = transcript_rollup_specs()
@@ -190,3 +190,12 @@ def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
                           ["conv_id"], specs)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+    # --compact-rollup left exactly one active (base) delta, same state
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        read_rollup_deltas,
+    )
+
+    active = [r["partition_id"] for r in
+              read_rollup_deltas(spark, str(tmp_path / "roll"))
+              .select("partition_id").distinct().collect()]
+    assert len(active) == 1 and active[0].startswith("__base-")

@@ -468,3 +468,24 @@ def test_content_index_cross_partition_dup_and_incremental_dedup(spark, tmp_path
         r["doc_id"]
         for r in exact_dedup(df.select("doc_id", "text"), "doc_id", "text").collect())
     assert sorted(hist_kept + [r["doc_id"] for r in kept.collect()]) == global_kept
+
+
+def test_rollup_plans_keep_partial_aggregation(spark):
+    """Scale pins: the delta rollup and the merge are each ONE exchange
+    with map-side partial aggregation (partial+final HashAggregate) —
+    the property that makes per-partition deltas tiny and the merge
+    shuffle O(#keys)."""
+    df = generate_transcripts(spark, n_convs=40, seed=31)
+    specs = transcript_rollup_specs()
+    delta_plan = keyed_rollup(df, ["conv_id"], specs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert delta_plan.count("Exchange") == 1
+    assert delta_plan.count("HashAggregate") >= 2  # partial + final
+    half = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2))
+    parts = [keyed_rollup(df.where(half == i), ["conv_id"], specs)
+             for i in range(2)]
+    merge_plan = merge_rollups(parts, ["conv_id"], specs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the merge itself adds exactly one more exchange over the union
+    assert merge_plan.count("Exchange") <= 3
+    assert "HashAggregate" in merge_plan
