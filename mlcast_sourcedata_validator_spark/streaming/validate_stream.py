@@ -12,6 +12,15 @@ Per micro-batch the engine runs the identical fused single-scan plan, so
 batch and streaming validation semantics are the same by construction
 (checks whose meaning is global — temporal coverage, drift — are evaluated
 per micro-batch, i.e. over the batch's own rows).
+
+Because ``partition_id`` is set per micro-batch, the suite compiles
+PARTITION-SCOPED (compiler.py `_PARTITION_SCOPED_KINDS`): turn-contiguity
+checks internal gaps only — a conversation legitimately continues across
+micro-batches, so "first turn in this batch is 0" would false-FAIL every
+continuing conversation. The global start-at-0 / cross-boundary half of
+the ordering contract belongs to the rollup audits
+(functions/rollup.py `contiguity_audit` / `boundary_audit`) run over the
+accumulated store, exactly as in the partitioned batch flow.
 """
 
 from __future__ import annotations
