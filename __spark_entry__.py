@@ -354,6 +354,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist.unionByName(kept_new).select("doc_id", "n_chars")
     q["incremental_dedup_documents"] = incremental_dedup_documents
 
+    def budget_tail_events(spark, sf):
+        """Per-user suffix under a weight budget (functions/packing.py
+        tail_by_budget): each user's most recent events while their
+        running value stays <= 300, ties broken by event_id. The
+        context-window truncation primitive, relationally identical to
+        'keep each conversation's latest K-token turns'."""
+        from mlcast_sourcedata_validator_spark.functions.packing import (
+            tail_by_budget,
+        )
+
+        ev = _t(spark, sf, "events")
+        out = tail_by_budget(ev, ["user_id"], "ts", F.col("value"), 300.0,
+                             tiebreak_cols=["event_id"])
+        return out.select("event_id", "user_id", "value")
+    q["budget_tail_events"] = budget_tail_events
+
     # --- TPC-H-ish analytics (scan/filter/agg/join/window/topk coverage) ---
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1385,6 +1401,17 @@ def _all_oracles() -> dict[str, str]:
         SELECT a.doc_id, a.n_chars FROM all_docs a
         JOIN keep k ON a.doc_id = k.doc_id"""
 
+    o["budget_tail_events"] = """
+        WITH r AS (
+          SELECT event_id, user_id, value,
+                 sum(value::DECIMAL(18,2)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS running
+          FROM events)
+        SELECT event_id, user_id, value FROM r WHERE running <= 300"""
+
     o["incremental_rollup_events"] = """
         SELECT user_id,
                count(*)::BIGINT AS n_events,
@@ -2115,6 +2142,8 @@ _EXTRA_ORDER = [
     "incremental_rollup_events",
     # content-index dedup of a new batch vs history == global keep-min
     "incremental_dedup_documents",
+    # per-key suffix under a decimal weight budget (context-window prep)
+    "budget_tail_events",
     # quadratic oracle twins of in-window bucketed scale paths
     "simhash_pairs_documents",        # == simhash_banded_pairs_documents
     "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs

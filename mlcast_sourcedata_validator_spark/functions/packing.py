@@ -60,3 +60,40 @@ def pack_sequences(
                  / budget) > F.floor(start / budget))
         .alias("straddles_boundary"),
     )
+
+
+def tail_by_budget(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    weight: "F.Column",
+    budget: float,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key SUFFIX selection under a weight budget: keep each key's
+    most-recent rows (descending ``order_col``) while their inclusive
+    running weight stays <= ``budget``.
+
+    The context-window prep op: "each conversation's latest turns that
+    fit in K tokens". One key-window pass (descending running sum), no
+    self-join; per-key work is bounded by conversation length, so the
+    window skew profile matches the engine's other conv-keyed passes.
+
+    The running sum accumulates in DECIMAL so the kept-set boundary is
+    reproducible bit-for-bit across engines and retries (a float cumsum
+    is order-deterministic here, but decimal removes representation
+    doubt for oracle comparison). A single row heavier than the budget
+    is dropped — the contract is "suffix whose total fits", not "at
+    least one row".
+    """
+    order = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(weight.cast("decimal(18,2)")).over(w)
+    return (
+        df.withColumn("__running", running)
+        .where(F.col("__running") <= budget)
+        .drop("__running")
+    )

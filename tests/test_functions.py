@@ -776,3 +776,27 @@ def test_frequent_spans(spark):
                                       n=3, min_df=3).collect()}
     # per-document distinct: doc 4's internal repeat counts once
     assert got == {"the quick brown": 4, "quick brown fox": 3}
+
+
+def test_tail_by_budget_keeps_latest_suffix(spark):
+    """Context-window prep: each conversation's most recent turns whose
+    token total fits the budget; an oversized single turn drops out."""
+    from mlcast_sourcedata_validator_spark.functions.packing import (
+        tail_by_budget,
+    )
+    from mlcast_sourcedata_validator_spark.functions.text import (
+        ws_token_count,
+    )
+
+    rows = [
+        # conv a: 4 turns of 3 tokens each; budget 7 -> last 2 turns
+        ("a", 0, "one two three"), ("a", 1, "x y z"),
+        ("a", 2, "p q r"), ("a", 3, "u v w"),
+        # conv b: the latest turn alone exceeds the budget -> empty
+        ("b", 0, "s"), ("b", 1, " ".join(["t"] * 10)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    kept = tail_by_budget(df, ["conv_id"], "turn_idx",
+                          ws_token_count(F.col("text")), 7.0)
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in kept.collect())
+    assert got == [("a", 2), ("a", 3)]
