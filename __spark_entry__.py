@@ -1205,11 +1205,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dropDuplicatesWithinWatermark — NOT plain dropDuplicates — so the
         keyed dedup state is BOUNDED: a key's state is evicted once the
         event-time watermark passes its timestamp + delay, instead of
-        growing with total distinct keys forever (the 100-TB hazard). The
-        24h delay comfortably covers the duplicate-arrival skew here
-        (both copies of a row carry the SAME event time and arrive in the
-        same availableNow batch), so the drained result still equals
-        batch DISTINCT exactly."""
+        growing with total distinct keys forever (the 100-TB hazard).
+
+        Delay sizing rule (operational, from Spark's own watermark
+        contract): the delay must cover the maximum event-time disorder
+        between duplicate arrivals. When DRAINING A BACKLOG with
+        availableNow, that disorder is the backlog's whole event-time
+        span — if the planner splits the drain into multiple
+        micro-batches, a duplicate's second copy can arrive after the
+        watermark advanced past most of the month, where a short delay
+        would both evict its key's state and late-drop legitimately
+        deduped rows nondeterministically. Hence 40 days > the 31-day
+        table span for the drain; in live operation the backlog is
+        minutes and the same rule yields a small delay. State remains
+        eviction-bounded to one delay-window of keys either way."""
         _stream_seq[0] += 1
         qname = f"stream_dedup_{_stream_seq[0]}"
         sch = _t(spark, sf, "events").schema
@@ -1224,7 +1233,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         dedup = (
             _read().unionByName(_read())
-            .withWatermark("ts", "24 hours")
+            .withWatermark("ts", "40 days")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         # decimal-accumulated sum: exact + order-independent (see
