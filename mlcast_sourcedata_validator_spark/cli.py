@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "store at PATH alongside a --results run (each new "
                         "partition rolled up alone and committed; resume-"
                         "aware like the results store)")
+    p.add_argument("--content-index", default=None, metavar="PATH",
+                   help="maintain the incremental content-hash dedup "
+                        "index at PATH alongside a --results run (id col "
+                        "= the suite's key column, hash over --index-text-"
+                        "col); prints the global cross-partition "
+                        "duplicate count from the merged index")
+    p.add_argument("--index-text-col", default="text",
+                   help="column hashed into the content index "
+                        "(default: text)")
     p.add_argument("--compact-rollup", action="store_true",
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
@@ -206,6 +215,40 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.conv_rollup, [suite.conv_col], specs,
                     storage_options=storage_options)
                 print(f"rollup compaction: "
+                      f"{base or 'no-op (fewer than 2 active deltas)'}")
+        if args.content_index:
+            from pyspark.sql import functions as F
+
+            from .checkpoint import (
+                compact_rollup,
+                maintain_rollup,
+                read_rollup,
+            )
+            from .functions.dedup import content_index_specs
+
+            ispecs = content_index_specs(suite.conv_col)
+            idone = maintain_rollup(
+                spark, args.table, args.content_index,
+                ["text_hash"], ispecs, rollup_id="content_index",
+                derive={"text_hash": F.md5(F.col(args.index_text_col))},
+                resume=not args.no_resume,
+                max_partitions=args.max_partitions,
+                storage_options=storage_options,
+            )
+            n_dup_groups = read_rollup(
+                spark, args.content_index, ["text_hash"], ispecs,
+                rollup_id="content_index",
+                storage_options=storage_options,
+            ).where("n_copies > 1").count()
+            print(f"content index: {len(idone)} partition deltas "
+                  f"committed; {n_dup_groups} cross-partition duplicate "
+                  f"groups in the merged index")
+            if args.compact_rollup:
+                base = compact_rollup(
+                    spark, args.content_index, ["text_hash"], ispecs,
+                    rollup_id="content_index",
+                    storage_options=storage_options)
+                print(f"content index compaction: "
                       f"{base or 'no-op (fewer than 2 active deltas)'}")
         return rc
     elif args.table:

@@ -309,3 +309,42 @@ def test_cli_record_schema_flag(spark, docs, tmp_path, capsys):
     rc2 = cli.main(["--suite", "documents_v1", "--table", tbl])
     out = capsys.readouterr().out
     assert rc2 == 0 and "schema matches the recorded signature" in out
+
+
+def test_cli_content_index_flag(spark, sf_dir, tmp_path):
+    """--content-index maintains the incremental dedup index alongside a
+    partitioned documents run; a cross-partition duplicate shows up as a
+    dup group in the merged index."""
+    from pyspark.sql import functions as F
+
+    from mlcast_sourcedata_validator_spark.checkpoint import read_rollup
+    from mlcast_sourcedata_validator_spark.cli import main
+    from mlcast_sourcedata_validator_spark.functions.dedup import (
+        content_index_specs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # day 1: even ids; day 2: odd ids PLUS a copy of doc 0's text under a
+    # new id — a duplicate pair split across partitions
+    dup = docs.where("doc_id = 0").withColumn(
+        "doc_id", F.lit(900001).cast("long"))
+    tagged = docs.unionByName(dup).withColumn(
+        "date",
+        F.when((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 900000),
+               F.lit("2024-06-01")).otherwise(F.lit("2024-06-02"))
+        .cast("date"),
+    )
+    table = str(tmp_path / "docs")
+    tagged.repartition("date").write.partitionBy("date").parquet(table)
+
+    rc = main(["--suite", "documents_v1", "--table", table,
+               "--results", str(tmp_path / "store"),
+               "--content-index", str(tmp_path / "idx"),
+               "--cores", "8"])
+    assert rc in (0, 1)  # storage/property degrades may FAIL; not under test
+    idx = read_rollup(spark, str(tmp_path / "idx"), ["text_hash"],
+                      content_index_specs("doc_id"), rollup_id="content_index")
+    dups = idx.where("n_copies > 1").collect()
+    assert len(dups) == 1 and dups[0]["n_copies"] == 2
+    assert dups[0]["min_id"] == 0
+    assert idx.count() == docs.count()  # one row per distinct content

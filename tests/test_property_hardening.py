@@ -139,3 +139,34 @@ def test_bands_for_threshold_invariants(t):
     for r2 in range(r + 1, n_hashes + 1):
         b2 = n_hashes // r2
         assert 1 - (1 - t ** r2) ** b2 < 0.98
+
+
+# --- categorical drift statistics invariants --------------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=2,
+                max_size=12),
+       st.lists(st.integers(min_value=0, max_value=10_000), min_size=2,
+                max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_tvd_psi_invariants(a, b):
+    """TVD ∈ [0,1] and symmetric; PSI >= 0 and symmetric; V >= 0.
+    Histograms are truncated to equal length (zip semantics)."""
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        tvd_psi_cramers,
+    )
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    tvd, psi, v = tvd_psi_cramers(a, b)
+    if sum(a) == 0 or sum(b) == 0:
+        assert tvd != tvd  # NaN contract for an empty side
+        return
+    assert -1e-12 <= tvd <= 1.0 + 1e-12
+    assert psi >= -1e-12
+    assert v >= 0.0
+    tvd2, psi2, _ = tvd_psi_cramers(b, a)
+    assert abs(tvd - tvd2) < 1e-12
+    assert abs(psi - psi2) < 1e-9
+    # identical histograms: all three vanish
+    t0, p0, v0 = tvd_psi_cramers(a, a)
+    assert abs(t0) < 1e-12 and abs(p0) < 1e-12 and abs(v0) < 1e-12
