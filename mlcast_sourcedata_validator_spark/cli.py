@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-text-col", default="text",
                    help="column hashed into the content index "
                         "(default: text)")
+    p.add_argument("--audit-metric", action="append", default=None,
+                   metavar="METRIC",
+                   help="after a --results run, flag partitions whose "
+                        "METRIC deviates > 5 MADs from the cross-"
+                        "partition median (repeatable; e.g. "
+                        "--audit-metric __n_rows)")
     p.add_argument("--compact-rollup", action="store_true",
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
@@ -216,6 +222,20 @@ def main(argv: list[str] | None = None) -> int:
                     storage_options=storage_options)
                 print(f"rollup compaction: "
                       f"{base or 'no-op (fewer than 2 active deltas)'}")
+        if args.audit_metric:
+            from .checkpoint import metric_outlier_partitions, read_metrics
+
+            m = read_metrics(spark, args.results)
+            for metric in args.audit_metric:
+                out = metric_outlier_partitions(m, metric).collect()
+                if out:
+                    detail = ", ".join(
+                        f"{r['partition_id']}={r['value']:g} "
+                        f"(median {r['median']:g})" for r in out)
+                    print(f"metric audit [{metric}]: {len(out)} outlier "
+                          f"partition(s): {detail}")
+                else:
+                    print(f"metric audit [{metric}]: no outliers")
         if args.content_index:
             from pyspark.sql import functions as F
 

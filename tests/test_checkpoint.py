@@ -199,3 +199,19 @@ def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
               read_rollup_deltas(spark, str(tmp_path / "roll"))
               .select("partition_id").distinct().collect()]
     assert len(active) == 1 and active[0].startswith("__base-")
+
+
+def test_cli_audit_metric_flag(spark, table, registry, tmp_path, capsys):
+    """--audit-metric reports per-metric outlier partitions (or their
+    absence) from the metrics store after the partitioned run."""
+    from mlcast_sourcedata_validator_spark.cli import main
+
+    reg = str(tmp_path / "reg2")
+    spark.read.parquet(table).select("conv_id").distinct().write.parquet(reg)
+    rc = main(["--suite", "transcripts_v1", "--table", table,
+               "--results", str(tmp_path / "astore"),
+               "--audit-metric", "__n_rows",
+               "--registry", reg, "--cores", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "metric audit [__n_rows]:" in out
