@@ -370,6 +370,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "user_id", "value")
     q["budget_tail_events"] = budget_tail_events
 
+    def table_diff_events(spark, sf):
+        """Snapshot diff (functions/diff.py diff_tables): snapshot B is
+        events with a deterministic edit script applied — value bumped
+        where event_id%97==0 (changed), rows event_id%89==0 dropped
+        (removed), 20 re-keyed rows appended (added). The diff must
+        recover the exact edit script."""
+        from mlcast_sourcedata_validator_spark.functions.diff import (
+            diff_tables,
+        )
+
+        ev = _t(spark, sf, "events")
+        b = (
+            ev.where(F.col("event_id") % 89 != 0)
+            .withColumn("value",
+                        F.when(F.col("event_id") % 97 == 0,
+                               F.round(F.col("value") + 1.0, 2))
+                        .otherwise(F.col("value")))
+            .unionByName(ev.where(F.col("event_id") < 20)
+                         .withColumn("event_id",
+                                     F.col("event_id") + 1_000_000))
+        )
+        out = diff_tables(ev, b, ["event_id"], ["event_type", "value"])
+        return out.select("event_id", "change")
+    q["table_diff_events"] = table_diff_events
+
     # --- TPC-H-ish analytics (scan/filter/agg/join/window/topk coverage) ---
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1421,6 +1446,25 @@ def _all_oracles() -> dict[str, str]:
           FROM events)
         SELECT event_id, user_id, value FROM r WHERE running <= 300"""
 
+    o["table_diff_events"] = """
+        WITH b AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_id % 97 = 0 THEN round(value + 1.0, 2)
+                      ELSE value END AS value
+          FROM events WHERE event_id % 89 <> 0
+          UNION ALL
+          SELECT event_id + 1000000, event_type, value
+          FROM events WHERE event_id < 20),
+        d AS (
+          SELECT coalesce(a.event_id, b.event_id) AS event_id,
+                 CASE WHEN a.event_id IS NULL THEN 'added'
+                      WHEN b.event_id IS NULL THEN 'removed'
+                      WHEN a.event_type IS DISTINCT FROM b.event_type
+                        OR a.value IS DISTINCT FROM b.value THEN 'changed'
+                 END AS change
+          FROM events a FULL OUTER JOIN b ON a.event_id = b.event_id)
+        SELECT event_id, change FROM d WHERE change IS NOT NULL"""
+
     o["incremental_rollup_events"] = """
         SELECT user_id,
                count(*)::BIGINT AS n_events,
@@ -2153,6 +2197,8 @@ _EXTRA_ORDER = [
     "incremental_dedup_documents",
     # per-key suffix under a decimal weight budget (context-window prep)
     "budget_tail_events",
+    # keyed snapshot diff recovers a deterministic edit script exactly
+    "table_diff_events",
     # quadratic oracle twins of in-window bucketed scale paths
     "simhash_pairs_documents",        # == simhash_banded_pairs_documents
     "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs

@@ -800,3 +800,26 @@ def test_tail_by_budget_keeps_latest_suffix(spark):
                           ws_token_count(F.col("text")), 7.0)
     got = sorted((r["conv_id"], r["turn_idx"]) for r in kept.collect())
     assert got == [("a", 2), ("a", 3)]
+
+
+def test_diff_tables_classifies_and_ignores_column_order(spark):
+    """added/removed/changed classification is exact; NULL-safe; column
+    ORDER differences between snapshots do not register as changes."""
+    import pytest as _pytest
+
+    from mlcast_sourcedata_validator_spark.functions.diff import diff_tables
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0), (4, None, 4.0)],
+        "id long, s string, v double")
+    # b: row 1 unchanged (different column order), row 2 NULL->value,
+    # row 3 removed, row 5 added, row 4 unchanged incl. NULL string
+    b = spark.createDataFrame(
+        [("x", 1, 1.0), ("y", 2, 2.0), ("q", 5, 5.0), (None, 4, 4.0)],
+        "s string, id long, v double")
+    got = {r["id"]: r["change"]
+           for r in diff_tables(a, b, ["id"]).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    # no comparable columns -> explicit error, not an empty diff
+    with _pytest.raises(ValueError):
+        diff_tables(a.select("id"), b.select("id"), ["id"])
