@@ -127,6 +127,15 @@ def suite() -> CheckSuite:
              "max_psi": 0.5},
         ),
         CheckSpec(
+            "drift_lang_dist", "categorical_drift", "4.10 drift",
+            "The language mix SHOULD NOT drift from the baseline "
+            "snapshot (TVD<=0.10 WARN, <=0.25 FAIL; PSI<=0.2 WARN, "
+            "<=0.5 FAIL) — a crawl-source change shifts this first.",
+            {"metric": "lang_dist", "expr": "lang", "categories": LANGS,
+             "warn_tvd": 0.10, "max_tvd": 0.25,
+             "warn_psi": 0.2, "max_psi": 0.5},
+        ),
+        CheckSpec(
             "license", "license", "5.1 licensing",
             "The table MUST declare a 'license' property; it SHOULD be a "
             "valid SPDX expression from the recommended list; NC/ND "

@@ -215,3 +215,22 @@ def test_cli_audit_metric_flag(spark, table, registry, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "metric audit [__n_rows]:" in out
+
+
+def test_metrics_rows_flattening():
+    """Scalar typing rules of the metrics store: bools as 0/1 doubles,
+    NaN as NULL value, short strings in value_str, lists skipped."""
+    import math
+
+    from mlcast_sourcedata_validator_spark.checkpoint import _metrics_rows
+
+    rows = _metrics_rows("s", "r", {
+        "n": 7, "rate": 0.25, "flag": True, "nanish": float("nan"),
+        "verdict": "PASS", "bins": [1, 2, 3], "long_str": "x" * 300,
+    })
+    by_metric = {r[2]: r for r in rows}
+    assert by_metric["n"][3] == 7.0 and by_metric["rate"][3] == 0.25
+    assert by_metric["flag"][3] == 1.0
+    assert by_metric["nanish"][3] is None
+    assert by_metric["verdict"][4] == "PASS"
+    assert "bins" not in by_metric and "long_str" not in by_metric

@@ -94,7 +94,9 @@ def test_documents_suite_drift_check(spark, docs):
                                    run_id="nb"))
     drift_rows = [r for r in no_base.report.results
                   if r.section == "4.10 drift"]
-    assert [r.status for r in drift_rows] == [WARNING]
+    # both the numeric (doc_len) and categorical (lang mix) drift checks
+    # WARNING-skip without a baseline
+    assert [r.status for r in drift_rows] == [WARNING, WARNING]
 
     base = build_baseline(docs, expr="length(text)",
                           metric="doc_len_chars", scale="log",
@@ -103,7 +105,9 @@ def test_documents_suite_drift_check(spark, docs):
                                 suite=get_suite("documents_v1"),
                                 run_id="sb", baseline_df=base))
     dr = [r for r in same.report.results if r.section == "4.10 drift"]
-    assert [r.status for r in dr] == [PASS], [r.detail for r in dr]
+    # doc_len PASSes against its self-baseline; lang mix still skips
+    # (its baseline metric is not in this snapshot)
+    assert [r.status for r in dr] == [PASS, WARNING], [r.detail for r in dr]
 
     shifted = docs.withColumn(
         "text", F.concat(F.col("text"), F.repeat(F.lit("x"), 4000)))
@@ -348,3 +352,30 @@ def test_cli_content_index_flag(spark, sf_dir, tmp_path):
     assert len(dups) == 1 and dups[0]["n_copies"] == 2
     assert dups[0]["min_id"] == 0
     assert idx.count() == docs.count()  # one row per distinct content
+
+
+def test_documents_lang_mix_drift(spark, docs):
+    """Categorical lang-mix drift in documents_v1: self-baseline PASSes;
+    collapsing every doc to one language FAILs with the worst category
+    named."""
+    from pyspark.sql import functions as F
+
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_categorical_baseline,
+    )
+    from mlcast_sourcedata_validator_spark.plans.documents_v1 import LANGS
+
+    base = build_categorical_baseline(
+        docs, expr="lang", categories=list(LANGS), metric="lang_dist")
+    res = run_suite(RunContext(spark=spark, df=docs,
+                               suite=get_suite("documents_v1"),
+                               run_id="lm", baseline_df=base))
+    rows = [r for r in res.report.results if "lang_dist" in r.detail]
+    assert rows and rows[0].status == PASS
+
+    shifted = docs.withColumn("lang", F.lit(LANGS[0]))
+    res2 = run_suite(RunContext(spark=spark, df=shifted,
+                                suite=get_suite("documents_v1"),
+                                run_id="lm2", baseline_df=base))
+    rows2 = [r for r in res2.report.results if "lang_dist" in r.detail]
+    assert rows2 and rows2[0].status == FAIL and "worst=" in rows2[0].detail
