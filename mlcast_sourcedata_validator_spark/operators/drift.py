@@ -311,3 +311,74 @@ def build_categorical_baseline(
         .count()
         .select(F.lit(metric).alias("metric"), "bin", "count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental baseline maintenance (rollup-machinery backed).
+# ---------------------------------------------------------------------------
+
+def baseline_bucket_expr(
+    *, expr: str, scale: str = "log", lo: float = 1.0, hi: float = 10000.0,
+    n_bins: int = 32, categories: list[str] | None = None,
+):
+    """The bin Column a drift metric's baseline snapshot counts over —
+    shared by the whole-table builders above and the incremental path."""
+    if categories is not None:
+        return categorical_bucket(F.expr(expr), list(categories))
+    f = log_width_bucket if scale == "log" else linear_bucket
+    return f(F.expr(expr), lo, hi, n_bins)
+
+
+def maintain_baseline(
+    spark,
+    table_path: str,
+    store_path: str,
+    *,
+    metric: str,
+    expr: str,
+    scale: str = "log",
+    lo: float = 1.0,
+    hi: float = 10000.0,
+    n_bins: int = 32,
+    categories: list[str] | None = None,
+    partition_key: str = "date",
+    resume: bool = True,
+    storage_options: dict | None = None,
+) -> list[str]:
+    """Maintain a drift-baseline histogram INCREMENTALLY: per-partition
+    bin-count deltas via the rollup machinery (checkpoint.maintain_rollup,
+    keys=["bin"], merge = sum) — at 10^12 rows the baseline over the
+    clean history is itself too big to rebuild with a full scan every
+    release, but bin counts are algebraic, so each new clean partition
+    adds one partition-pruned scan and the snapshot is the O(n_bins)
+    merge of deltas. Read it back with :func:`read_baseline`; the result
+    is row-identical to :func:`build_baseline` /
+    :func:`build_categorical_baseline` over the whole table.
+    """
+    from ..checkpoint import maintain_rollup
+
+    bucket = baseline_bucket_expr(expr=expr, scale=scale, lo=lo, hi=hi,
+                                  n_bins=n_bins, categories=categories)
+    return maintain_rollup(
+        spark, table_path, store_path, ["bin"],
+        {"count": (F.count(F.lit(1)), F.sum("count"))},
+        rollup_id=f"baseline_{metric}", partition_key=partition_key,
+        resume=resume, derive={"bin": bucket},
+        storage_options=storage_options,
+    )
+
+
+def read_baseline(
+    spark, store_path: str, *, metric: str,
+    storage_options: dict | None = None,
+) -> DataFrame:
+    """(metric, bin, count) snapshot merged from the incremental store —
+    drop-in for RunContext.baseline_df (union several metrics' reads)."""
+    from ..checkpoint import read_rollup
+
+    merged = read_rollup(
+        spark, store_path, ["bin"],
+        {"count": (F.count(F.lit(1)), F.sum("count"))},
+        rollup_id=f"baseline_{metric}", storage_options=storage_options,
+    )
+    return merged.select(F.lit(metric).alias("metric"), "bin", "count")

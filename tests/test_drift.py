@@ -167,3 +167,66 @@ def test_categorical_drift_verdicts(spark):
     res = run_suite(RunContext(spark=spark, df=df, suite=suite,
                                run_id="c3", baseline_df=None))
     assert [r.status for r in res.report.results] == [WARNING]
+
+
+def test_incremental_baseline_equals_whole_table_build(spark, tmp_path):
+    """maintain_baseline/read_baseline over per-partition deltas is
+    row-identical to the whole-table builders, for both drift families,
+    and feeds run_suite as baseline_df directly."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_partitioned_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_categorical_baseline,
+        maintain_baseline,
+        read_baseline,
+    )
+    from mlcast_sourcedata_validator_spark.report import FAIL, PASS
+    from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
+    from mlcast_sourcedata_validator_spark.synth import (
+        generate_conversations_registry,
+    )
+
+    df = generate_transcripts(spark, n_convs=120, seed=37).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(4)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "base")
+    write_partitioned_transcripts(df, table)
+
+    # numeric family
+    maintain_baseline(spark, table, store, metric="turn_len_chars",
+                      expr="length(text)", scale="log",
+                      lo=1.0, hi=10000.0, n_bins=32)
+    inc = read_baseline(spark, store, metric="turn_len_chars")
+    direct = build_baseline(spark.read.parquet(table).drop("date"),
+                            expr="length(text)", metric="turn_len_chars",
+                            scale="log", lo=1.0, hi=10000.0, n_bins=32)
+    assert inc.exceptAll(direct).count() == 0
+    assert direct.exceptAll(inc).count() == 0
+
+    # categorical family, same store
+    maintain_baseline(spark, table, store, metric="role_dist", expr="role",
+                      categories=["system", "user", "assistant", "tool"])
+    inc_cat = read_baseline(spark, store, metric="role_dist")
+    direct_cat = build_categorical_baseline(
+        spark.read.parquet(table).drop("date"), expr="role",
+        categories=["system", "user", "assistant", "tool"],
+        metric="role_dist")
+    assert inc_cat.exceptAll(direct_cat).count() == 0
+    assert direct_cat.exceptAll(inc_cat).count() == 0
+
+    # the merged snapshots feed the suite directly: self-baseline PASS
+    reg = generate_conversations_registry(df)
+    res = run_suite(RunContext(
+        spark=spark, df=df, suite=get_suite("transcripts_v1"), run_id="ib",
+        registry_df=reg, baseline_df=inc.unionByName(inc_cat)))
+    drift = {r.detail.split()[0]: r.status for r in res.report.results
+             if r.detail.startswith("metric=")}
+    assert drift["metric=turn_len_chars"] == PASS
+    assert drift["metric=role_dist"] == PASS
+    assert res.report.summarize()[FAIL] == 0
