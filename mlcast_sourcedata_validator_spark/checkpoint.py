@@ -257,6 +257,12 @@ def maintain_rollup(
     done = committed_partitions(
         spark, rollup_path, pseudo_suite, storage_options
     ) if resume else set()
+    # a compacted-away partition's mass lives in the base delta:
+    # re-committing it (even under resume=False) would resurrect it next
+    # to the base and double-count. Rebuilding from raw requires a fresh
+    # rollup_path — the same contract as any materialized aggregate.
+    done |= _compacted_rollup_partitions(spark, rollup_path, rollup_id,
+                                         storage_options)
 
     processed: list[str] = []
     for p in partitions:
@@ -286,34 +292,61 @@ def maintain_rollup(
     return processed
 
 
-def _active_rollup_partitions(
+def _latest_rollup_statuses(
     spark: SparkSession, rollup_path: str, rollup_id: str,
     storage_options: Optional[dict],
-) -> set[str]:
-    """Delta partitions whose LATEST lineage row is COMMITTED (not
-    COMPACTED-away). Resolution is per-partition latest-marker-wins on
-    ``committed_at`` — O(#markers) rows collected once."""
+) -> dict[str, str]:
+    """partition -> latest lineage status for a rollup store. Resolution
+    is per-partition latest-marker-wins on ``committed_at``, with
+    COMPACTED preferred at exact timestamp ties (compaction logically
+    follows the commit it supersedes; ties otherwise depend on collect
+    order). All markers for a store are written by the single
+    maintenance/compaction coordinator, so committed_at is monotone in
+    practice — cross-host clock skew would need a shared store driven
+    from multiple uncoordinated drivers, which the overwrite-then-marker
+    protocol already forbids. O(#markers) rows collected once."""
     pseudo_suite = f"__rollup__:{rollup_id}"
     lineage_dir = fs.join(rollup_path, "lineage")
     try:
         if not fs.isdir(lineage_dir, storage_options) or \
                 not fs.list_parquet_files(lineage_dir, limit=1,
                                           storage_options=storage_options):
-            return set()
+            return {}
     except fs.FsUnavailable:
-        return set()
+        return {}
     rows = (
         spark.read.parquet(lineage_dir)
         .where(F.col("suite_id") == pseudo_suite)
         .select("partition_id", "status", "committed_at")
         .collect()
     )
-    latest: dict[str, tuple[float, str]] = {}
+    latest: dict[str, tuple[float, int, str]] = {}
     for r in rows:
         key = str(r["partition_id"])
-        if key not in latest or r["committed_at"] > latest[key][0]:
-            latest[key] = (r["committed_at"], r["status"])
-    return {p for p, (_, s) in latest.items() if s == "COMMITTED"}
+        rank = (r["committed_at"], 1 if r["status"] == "COMPACTED" else 0)
+        if key not in latest or rank > latest[key][:2]:
+            latest[key] = (*rank, r["status"])
+    return {p: s for p, (_, _, s) in latest.items()}
+
+
+def _active_rollup_partitions(
+    spark: SparkSession, rollup_path: str, rollup_id: str,
+    storage_options: Optional[dict],
+) -> set[str]:
+    """Delta partitions whose LATEST lineage row is COMMITTED (not
+    COMPACTED-away)."""
+    statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
+                                       storage_options)
+    return {p for p, s in statuses.items() if s == "COMMITTED"}
+
+
+def _compacted_rollup_partitions(
+    spark: SparkSession, rollup_path: str, rollup_id: str,
+    storage_options: Optional[dict],
+) -> set[str]:
+    statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
+                                       storage_options)
+    return {p for p, s in statuses.items() if s == "COMPACTED"}
 
 
 def _active_delta_df(
@@ -369,9 +402,10 @@ def read_rollup_deltas(
     the per-partition breakdown the merged view intentionally loses.
 
     Note: a compaction base delta (partition_id ``__base-...``) pools
-    many source partitions, so per-boundary audit signal for partitions
-    compacted into it is gone — run `boundary_audit` BEFORE compacting
-    (it filters ``__``-prefixed rows out itself)."""
+    many source partitions — boundaries inside it were auditable before
+    the compaction that folded them; `boundary_audit` orders the base
+    FIRST so it serves as the historical frontier that each newer delta
+    is still checked against."""
     return _active_delta_df(spark, rollup_path, rollup_id, storage_options)
 
 

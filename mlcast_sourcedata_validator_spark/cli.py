@@ -255,6 +255,18 @@ def main(argv: list[str] | None = None) -> int:
                 max_partitions=args.max_partitions,
                 storage_options=storage_options,
             )
+            # compact FIRST when requested: the dup-group count then reads
+            # the just-written base instead of re-merging every delta —
+            # one corpus-cardinality merge per run, not two. (Unlike the
+            # conv-rollup boundary audit, the content index has no
+            # per-boundary semantics to preserve pre-compaction.)
+            if args.compact_rollup:
+                base = compact_rollup(
+                    spark, args.content_index, ["text_hash"], ispecs,
+                    rollup_id="content_index",
+                    storage_options=storage_options)
+                print(f"content index compaction: "
+                      f"{base or 'no-op (fewer than 2 active deltas)'}")
             n_dup_groups = read_rollup(
                 spark, args.content_index, ["text_hash"], ispecs,
                 rollup_id="content_index",
@@ -263,13 +275,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"content index: {len(idone)} partition deltas "
                   f"committed; {n_dup_groups} cross-partition duplicate "
                   f"groups in the merged index")
-            if args.compact_rollup:
-                base = compact_rollup(
-                    spark, args.content_index, ["text_hash"], ispecs,
-                    rollup_id="content_index",
-                    storage_options=storage_options)
-                print(f"content index compaction: "
-                      f"{base or 'no-op (fewer than 2 active deltas)'}")
         return rc
     elif args.table:
         from .sources.tables import read_table

@@ -158,17 +158,33 @@ def dedup_against_index(
     content already exists in the index are dropped; among rows whose
     content is new, the min-id representative is kept.
 
-    Plan: the batch is hashed map-side; one groupBy on the hash picks the
-    batch representative; an anti-join against the index (broadcast if
-    the planner can — the index side is (hash, ...) rows, prunable to the
+    NULL text is ONE content group (matching ``exact_dedup``'s groupBy
+    semantics, where NULL keys group together): a sentinel stands in for
+    md5(NULL)=NULL on both sides, so NULL-text rows dedup among
+    themselves and against a historical NULL-content entry instead of
+    silently vanishing through non-null-safe joins.
+
+    Plan: the batch is hashed map-side into an internal column (a
+    caller's own ``hash_col`` column is untouched); one groupBy on the
+    hash picks the batch representative; an anti-join against the index
+    (broadcast if the planner can — the index side is prunable to the
     hash column) removes historically-seen content; a semi-join restores
     the full-width rows. No scan of historical RAW data ever happens —
     the index stands in for the entire corpus.
+
+    ``hash_col`` names the INDEX's hash column (as produced by
+    ``maintain_rollup(derive={'text_hash': F.md5(...)})``).
     """
-    hashed = df.withColumn(hash_col, F.md5(F.col(text_col)))
-    batch_min = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
-    fresh = batch_min.join(index.select(hash_col), hash_col, "left_anti")
-    return hashed.join(fresh, [hash_col, id_col], "left_semi").drop(hash_col)
+    sentinel = F.lit("__null_content__")
+    h = F.coalesce(F.md5(F.col(text_col)), sentinel)
+    hashed = df.withColumn("__ci_hash", h)
+    batch_min = hashed.groupBy("__ci_hash").agg(F.min(id_col).alias(id_col))
+    idx = index.select(
+        F.coalesce(F.col(hash_col), sentinel).alias("__ci_hash")
+    )
+    fresh = batch_min.join(idx, "__ci_hash", "left_anti")
+    return hashed.join(fresh, ["__ci_hash", id_col], "left_semi") \
+        .drop("__ci_hash")
 
 
 def minhash_signatures(

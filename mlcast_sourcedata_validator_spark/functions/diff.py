@@ -28,8 +28,11 @@ def diff_tables(
     {'added', 'removed', 'changed'}; unchanged rows are dropped.
 
     'added' = key only in ``b``; 'removed' = only in ``a``; 'changed' =
-    key in both with any ``compare_cols`` value differing (NULL-safe:
-    the canonical-JSON hash distinguishes NULL from every value).
+    key in both with any ``compare_cols`` value differing. NULL-safe on
+    BOTH axes: the canonical-JSON hash distinguishes NULL from every
+    value, and the join matches NULL key components to each other
+    (eqNullSafe), so a NULL-keyed row present unchanged in both
+    snapshots reports nothing instead of a phantom removed+added pair.
     ``compare_cols`` defaults to the non-key columns the two snapshots
     share, sorted by name so column order differences don't register.
     """
@@ -42,9 +45,17 @@ def diff_tables(
 
     def slim(df: DataFrame, tag: str) -> DataFrame:
         h = F.md5(F.to_json(F.struct(*[F.col(c) for c in compare_cols])))
-        return df.select(*keys, h.alias(f"__h_{tag}"))
+        return df.select(
+            *[F.col(k).alias(f"__k_{tag}_{k}") for k in keys],
+            h.alias(f"__h_{tag}"),
+        )
 
-    joined = slim(a, "a").join(slim(b, "b"), on=keys, how="full_outer")
+    sa, sb = slim(a, "a"), slim(b, "b")
+    cond = None
+    for k in keys:
+        c = F.col(f"__k_a_{k}").eqNullSafe(F.col(f"__k_b_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = sa.join(sb, cond, "full_outer")
     change = (
         F.when(F.col("__h_a").isNull(), F.lit("added"))
         .when(F.col("__h_b").isNull(), F.lit("removed"))
@@ -53,5 +64,9 @@ def diff_tables(
     return (
         joined.withColumn("change", change)
         .where(F.col("change").isNotNull())
-        .select(*keys, "change")
+        .select(
+            *[F.coalesce(F.col(f"__k_a_{k}"), F.col(f"__k_b_{k}")).alias(k)
+              for k in keys],
+            "change",
+        )
     )

@@ -85,13 +85,24 @@ def tail_by_budget(
     doubt for oracle comparison). A single row heavier than the budget
     is dropped — the contract is "suffix whose total fits", not "at
     least one row".
+
+    Weights MUST be non-negative — a negative weight makes the running
+    sum non-monotone and the kept set stops being a contiguous suffix —
+    so a negative weight fails the job loudly (raise_error riding the
+    same projection) instead of silently corrupting the selection.
     """
     order = [F.col(order_col).desc()] + [
         F.col(c).desc() for c in (tiebreak_cols or [])
     ]
+    checked = F.when(weight >= 0, weight).otherwise(
+        F.raise_error(F.concat(
+            F.lit("tail_by_budget: negative weight "),
+            weight.cast("string"),
+        ))
+    )
     w = Window.partitionBy(*key_cols).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    running = F.sum(weight.cast("decimal(18,2)")).over(w)
+    running = F.sum(checked.cast("decimal(18,2)")).over(w)
     return (
         df.withColumn("__running", running)
         .where(F.col("__running") <= budget)

@@ -185,19 +185,29 @@ def boundary_audit(
     raw-table scan. Partitions are ordered by ``partition_col`` (date
     strings sort chronologically).
 
+    A compaction base delta (partition_id ``__base-...``) pools many
+    source partitions, so boundaries INSIDE it are gone (they were
+    auditable before the compaction that folded them) — but its per-conv
+    max_turn_idx / last_ts are exactly the historical FRONTIER, so the
+    base is ordered FIRST and serves as the predecessor of the earliest
+    uncompacted delta: a new partition that interleaves with or
+    time-regresses against compacted history is still caught across
+    runs.
+
     Together: local window checks + contiguity_audit + boundary_audit
     decide the full global ordering contract with one raw scan per NEW
     partition, ever.
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(conv_col).orderBy(partition_col)
+    # base rows sort before every real partition id (empty sort key)
+    order_key = F.when(F.col(partition_col).startswith("__"), F.lit("")) \
+        .otherwise(F.col(partition_col))
+    w = W.partitionBy(conv_col).orderBy(order_key)
     lag_max_turn = F.lag("max_turn_idx").over(w)
     lag_last_ts = F.lag("last_ts").over(w)
     return (
-        # compaction base deltas (partition_id '__base-...') pool many
-        # source partitions — no boundary semantics; audit only real ones
-        deltas.where(~F.col(partition_col).startswith("__"))
+        deltas
         .select(conv_col, partition_col, "min_turn_idx",
                 "max_turn_idx", "first_ts", "last_ts")
         .withColumn(

@@ -329,6 +329,13 @@ def baseline_bucket_expr(
     return f(F.expr(expr), lo, hi, n_bins)
 
 
+def _baseline_specs():
+    """The write-side and read-side of the incremental baseline MUST use
+    the structurally identical (partial, merge) pair for the merge to
+    reproduce the whole-table builders — one constructor, two callers."""
+    return {"count": (F.count(F.lit(1)), F.sum("count"))}
+
+
 def maintain_baseline(
     spark,
     table_path: str,
@@ -360,8 +367,7 @@ def maintain_baseline(
     bucket = baseline_bucket_expr(expr=expr, scale=scale, lo=lo, hi=hi,
                                   n_bins=n_bins, categories=categories)
     return maintain_rollup(
-        spark, table_path, store_path, ["bin"],
-        {"count": (F.count(F.lit(1)), F.sum("count"))},
+        spark, table_path, store_path, ["bin"], _baseline_specs(),
         rollup_id=f"baseline_{metric}", partition_key=partition_key,
         resume=resume, derive={"bin": bucket},
         storage_options=storage_options,
@@ -377,8 +383,7 @@ def read_baseline(
     from ..checkpoint import read_rollup
 
     merged = read_rollup(
-        spark, store_path, ["bin"],
-        {"count": (F.count(F.lit(1)), F.sum("count"))},
+        spark, store_path, ["bin"], _baseline_specs(),
         rollup_id=f"baseline_{metric}", storage_options=storage_options,
     )
     return merged.select(F.lit(metric).alias("metric"), "bin", "count")

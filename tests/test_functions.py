@@ -823,3 +823,55 @@ def test_diff_tables_classifies_and_ignores_column_order(spark):
     # no comparable columns -> explicit error, not an empty diff
     with _pytest.raises(ValueError):
         diff_tables(a.select("id"), b.select("id"), ["id"])
+
+
+def test_dedup_against_index_null_text_and_hash_col_safety(spark):
+    """NULL-text rows form ONE content group (exact_dedup's groupBy
+    semantics) instead of vanishing through non-null-safe joins; a
+    caller's own text_hash column passes through untouched."""
+    from mlcast_sourcedata_validator_spark.functions.dedup import (
+        dedup_against_index,
+    )
+
+    index = spark.createDataFrame(
+        [("somehash", 2, 0)], "text_hash string, n_copies long, min_id long")
+    batch = spark.createDataFrame(
+        [(10, None, "keepme"), (11, None, "keepme2"), (12, "fresh", "x")],
+        "doc_id long, text string, text_hash string")
+    kept = dedup_against_index(batch, index, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    # one representative of the NULL-content group + the fresh doc
+    assert sorted(rows) == [10, 12]
+    assert "text_hash" in kept.columns and rows[10]["text_hash"] == "keepme"
+
+    # a historical NULL-content entry suppresses new NULL-text rows
+    index2 = spark.createDataFrame(
+        [(None, 1, 0)], "text_hash string, n_copies long, min_id long")
+    kept2 = dedup_against_index(batch.drop("text_hash"), index2,
+                                "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [12]
+
+
+def test_diff_tables_null_keys_match_null_safely(spark):
+    from mlcast_sourcedata_validator_spark.functions.diff import diff_tables
+
+    a = spark.createDataFrame([(None, "same"), (1, "x")], "id long, v string")
+    b = spark.createDataFrame([(None, "same"), (1, "y")], "id long, v string")
+    got = [(r["id"], r["change"]) for r in diff_tables(a, b, ["id"]).collect()]
+    # the NULL-keyed unchanged row reports NOTHING; only id=1 changed
+    assert got == [(1, "changed")]
+
+
+def test_tail_by_budget_rejects_negative_weights(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mlcast_sourcedata_validator_spark.functions.packing import (
+        tail_by_budget,
+    )
+
+    df = spark.createDataFrame([("a", 0, 5.0), ("a", 1, -1.0)],
+                               "k string, o int, w double")
+    with _pytest.raises((Py4JJavaError, Exception)) as e:
+        tail_by_budget(df, ["k"], "o", F.col("w"), 10.0).collect()
+    assert "negative weight" in str(e.value)

@@ -489,3 +489,56 @@ def test_rollup_plans_keep_partial_aggregation(spark):
     # the merge itself adds exactly one more exchange over the union
     assert merge_plan.count("Exchange") <= 3
     assert "HashAggregate" in merge_plan
+
+
+def test_compaction_survives_no_resume_and_base_is_boundary_frontier(
+    spark, tmp_path
+):
+    """(a) resume=False must NOT resurrect compacted partitions next to
+    the base (their mass lives there); (b) a NEW partition that
+    interleaves with compacted history is still caught — the base delta
+    is the boundary chain's head."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+        read_rollup_deltas,
+    )
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        boundary_audit,
+    )
+
+    rows = [("c", i, "user", "t", None, f"2024-06-0{d} 12:00:{i:02d}")
+            for d, i in [(1, 0), (1, 1), (2, 2), (2, 3)]]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    table = str(tmp_path / "tbl")
+    df.withColumn("date", F.to_date("ts")).write.partitionBy("date") \
+        .parquet(table)
+    store = str(tmp_path / "roll")
+    specs = transcript_rollup_specs()
+    maintain_rollup(spark, table, store, ["conv_id"], specs)
+    compact_rollup(spark, store, ["conv_id"], specs)
+
+    # (a) resume=False: nothing to redo — compacted partitions stay folded
+    assert maintain_rollup(spark, table, store, ["conv_id"], specs,
+                           resume=False) == []
+    merged = read_rollup(spark, store, ["conv_id"], specs).collect()
+    assert len(merged) == 1 and merged[0]["n_turns"] == 4  # not doubled
+
+    # (b) day 3 arrives with turns 2,3 AGAIN (interleaves with history
+    # that now lives only in the base delta)
+    late = spark.createDataFrame(
+        [("c", 2, "user", "t", None, "2024-06-03 12:00:02"),
+         ("c", 3, "user", "t", None, "2024-06-03 12:00:03")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late.write.parquet(f"{table}/date=2024-06-03")
+    assert maintain_rollup(spark, table, store, ["conv_id"], specs) == \
+        ["2024-06-03"]
+    out = boundary_audit(read_rollup_deltas(spark, store)).collect()
+    assert [(r["conv_id"], r["partition_id"], r["reason"]) for r in out] == \
+        [("c", "2024-06-03", "turn_overlap")]
