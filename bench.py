@@ -62,6 +62,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "streaming_hourly_counts_events",
     "streaming_dedup_events",
+    # round-3 additions (new keys are additive — cross-round per-query
+    # comparisons on the original names are unaffected)
+    "categorical_drift_events",
+    "incremental_rollup_events",
+    "incremental_dedup_documents",
+    "table_diff_events",
+    "budget_tail_events",
 ]
 
 
