@@ -254,15 +254,17 @@ def maintain_rollup(
                                       storage_options=storage_options)
     if not partitions:
         raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
-    done = committed_partitions(
-        spark, rollup_path, pseudo_suite, storage_options
-    ) if resume else set()
-    # a compacted-away partition's mass lives in the base delta:
-    # re-committing it (even under resume=False) would resurrect it next
-    # to the base and double-count. Rebuilding from raw requires a fresh
-    # rollup_path — the same contract as any materialized aggregate.
-    done |= _compacted_rollup_partitions(spark, rollup_path, rollup_id,
-                                         storage_options)
+    statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
+                                       storage_options)
+    if resume:
+        # every marker-bearing partition was committed at some point
+        done = set(statuses)
+    else:
+        # a compacted-away partition's mass lives in the base delta:
+        # re-committing it (even under resume=False) would resurrect it
+        # next to the base and double-count. Rebuilding from raw requires
+        # a fresh rollup_path — the contract of any materialized aggregate.
+        done = {p for p, s in statuses.items() if s == "COMPACTED"}
 
     processed: list[str] = []
     for p in partitions:
@@ -338,15 +340,6 @@ def _active_rollup_partitions(
     statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
                                        storage_options)
     return {p for p, s in statuses.items() if s == "COMMITTED"}
-
-
-def _compacted_rollup_partitions(
-    spark: SparkSession, rollup_path: str, rollup_id: str,
-    storage_options: Optional[dict],
-) -> set[str]:
-    statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
-                                       storage_options)
-    return {p for p, s in statuses.items() if s == "COMPACTED"}
 
 
 def _active_delta_df(
