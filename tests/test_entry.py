@@ -42,7 +42,7 @@ def test_two_fast_query_oracle_pairs_match(spark, sf_dir):
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     for name in ("stats_events", "refint_events_registry",
-                 "conv_text_equality_events", "json_extract_events"):
+                 "conv_text_equality_events", "table_diff_events"):
         sdf = q[name](spark, sf_dir)
         srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
         orows = sorted(tuple(str(v) for v in r) for r in con.sql(o[name]).fetchall())
