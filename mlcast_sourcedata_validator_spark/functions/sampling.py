@@ -167,18 +167,81 @@ def shuffle_into_shards_sql(
 
 
 def stratified_cap(
-    df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    hot_threshold: int | None = None,
+    oversample: float = 8.0,
 ) -> DataFrame:
     """At most ``k`` rows per stratum, chosen deterministically: rank by
-    (u(id), id) within each key and keep rank <= k. One shuffle on the
-    stratum key; a heavily skewed stratum concentrates its sort in one
-    task — for strata beyond ~10^7 rows prefer a two-step
-    (:func:`deterministic_sample` down to ~2k then cap), which keeps the
-    windowed volume bounded at identical determinism."""
+    (u(id), id) within each key and keep rank <= k.
+
+    Default form: one shuffle on the stratum key. A heavily skewed
+    stratum concentrates its sort in one task — pass ``hot_threshold``
+    (rows) to enable the exact two-step for strata above it:
+
+    1. one cheap ``groupBy(key).count()`` (map-side partial agg; output
+       is one row per stratum, tiny),
+    2. strata with ``n_s > hot_threshold`` get a broadcast per-stratum
+       pre-filter ``u(id) < t_s`` with ``t_s = min(1, oversample*k/n_s)``
+       — a MAP-SIDE filter that bounds the windowed volume to ~
+       ``oversample*k`` rows per hot stratum before the shuffle,
+    3. the same (u, id) window over the pre-filtered rows.
+
+    Exactness: the k smallest (u, id) rows of a stratum all satisfy
+    ``u < t_s`` iff at least ``min(k, n_s)`` rows do, so the window pass
+    also counts survivors per hot stratum (same shuffle, a second
+    unordered window) and any stratum that fell short — probability
+    ~exp(-k*oversample/4) per stratum, negligible at oversample=8 —
+    is recomputed with the plain window and unioned back. Output is
+    therefore IDENTICAL to the single-window form for every input, and
+    the recompute branch is driver-observable (one tiny collect of the
+    short keys, expected empty)."""
     u = hash_uniform(F.col(id_col), seed)
     w = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
+    out_cols = df.columns
+
+    def plain(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select(*out_cols)
+        )
+
+    if hot_threshold is None:
+        return plain(df)
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    hot = counts.where(F.col("_n_s") > F.lit(int(hot_threshold))).select(
+        key_col,
+        F.col("_n_s"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(oversample) * k) / F.col("_n_s").cast("double"),
+        ).alias("_t_s"),
     )
+    joined = df.join(F.broadcast(hot), on=key_col, how="left")
+    pre = joined.where(F.col("_t_s").isNull() | (u < F.col("_t_s")))
+    w_all = Window.partitionBy(key_col)
+    ranked = pre.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_m_s", F.count(F.lit(1)).over(w_all)
+    )
+    # short stratum = pre-filter applied AND fewer survivors than the
+    # exact answer needs; expected empty, checked with one tiny job
+    short_keys = [
+        r[0]
+        for r in ranked.where(
+            F.col("_t_s").isNotNull()
+            & (F.col("_m_s") < F.least(F.lit(k), F.col("_n_s")))
+        )
+        .select(key_col)
+        .distinct()
+        .collect()
+    ]
+    capped = ranked.where(F.col("_rk") <= k).select(*out_cols)
+    if not short_keys:
+        return capped
+    redo = plain(df.where(F.col(key_col).isin(short_keys)))
+    return capped.where(~F.col(key_col).isin(short_keys)).unionByName(redo)

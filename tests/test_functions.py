@@ -597,6 +597,55 @@ def test_deterministic_sampling_family(spark):
     assert {r.doc_id for r in cap.collect()} == {r.doc_id for r in again.collect()}
 
 
+def test_stratified_cap_hot_two_step_exact(spark):
+    """The skewed-stratum two-step: one stratum 100x the others; the
+    pre-filtered form must (a) show the broadcast threshold filter in
+    the plan, (b) window far fewer rows than the input, (c) return
+    EXACTLY the single-window answer."""
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    rows = [(i, "hot") for i in range(20000)] + \
+           [(100000 + i, ["warm", "cool"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    plain = sp.stratified_cap(df, "source", "doc_id", k=11, seed=3)
+    two = sp.stratified_cap(df, "source", "doc_id", k=11, seed=3,
+                            hot_threshold=1000, oversample=8.0)
+    got_plain = sorted((r.source, r.doc_id) for r in plain.collect())
+    got_two = sorted((r.source, r.doc_id) for r in two.collect())
+    assert got_two == got_plain
+    assert len([p for p in got_two if p[0] == "hot"]) == 11
+    # warm/cool are below hot_threshold -> kept whole (n_s < k keeps all)
+    assert len([p for p in got_two if p[0] == "warm"]) == 11
+
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the threshold filter is map-side: a Filter mentioning _t_s
+    assert "_t_s" in plan
+
+    # survivor volume entering the window is bounded ~oversample*k per
+    # hot stratum, not n_s: verify via the pre-filter criterion directly
+    u = sp.hash_uniform(F.col("doc_id"), 3)
+    pre_hot = df.where((F.col("source") == "hot") &
+                       (u < F.lit(8.0 * 11 / 20000.0))).count()
+    assert pre_hot < 400  # vs 20000 unfiltered
+
+
+def test_stratified_cap_short_stratum_fallback_exact(spark):
+    """Force the pre-filter to undersample (oversample < 1 => t_s keeps
+    fewer than k rows in expectation) and pin that the exact-fallback
+    branch still returns the single-window answer."""
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    df = spark.createDataFrame([(i, "hot") for i in range(5000)],
+                               "doc_id long, source string")
+    plain = sp.stratified_cap(df, "source", "doc_id", k=50, seed=7)
+    starved = sp.stratified_cap(df, "source", "doc_id", k=50, seed=7,
+                                hot_threshold=100, oversample=0.2)
+    assert sorted(r.doc_id for r in starved.collect()) == \
+        sorted(r.doc_id for r in plain.collect())
+
+
 def test_prioritized_dedup_prefers_low_rank(spark):
     from mlcast_sourcedata_validator_spark.functions.dedup import (
         prioritized_dedup,
