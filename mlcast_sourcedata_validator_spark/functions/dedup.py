@@ -689,9 +689,26 @@ def simhash64_banded_pairs(
                                  max_hamming, max_bucket_size)
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on whatever Hadoop filesystem owns it
+    (local, HDFS, s3a, ...) — the cluster-portable existence probe."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _fs_touch(spark, path: str) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jpath, True).close()
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected (id_a, id_b) pair table:
     (node, cluster_id) where cluster_id = min node id in the component.
@@ -703,34 +720,73 @@ def connected_components(
     so this terminates in 2-4 rounds in practice; ``max_iter`` bounds
     pathological chains. Each round is one equi-join + one groupBy (both
     shuffle on node id — at scale, same-key partitioning is reused), and
-    lineage is cut per round with localCheckpoint so the plan does not
-    grow exponentially. Raises if not converged within ``max_iter``.
+    lineage is cut per round so the plan does not grow exponentially.
+    Raises if not converged within ``max_iter``.
+
+    Lineage-cut durability: the default ``localCheckpoint`` pins round
+    state to executor storage — losing an executor mid-iteration kills
+    the job (truncated lineage cannot recompute). For long chains pass
+    ``checkpoint_dir`` (a job-private path on shared storage): edges and
+    every round's labels are committed there as parquet (atomicity =
+    parquet's ``_SUCCESS`` marker), a re-run with the same dir RESUMES
+    from the latest committed round instead of restarting, and once
+    converged a ``_CONVERGED`` marker makes re-runs return the final
+    labels without any further jobs. The dir is keyed to one input —
+    reuse across different pair tables is on the caller.
     """
+    spark = pairs.sparkSession
+    use_dir = checkpoint_dir is not None
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        if not use_dir:
+            return df.localCheckpoint()
+        path = f"{checkpoint_dir}/{name}"
+        if not _fs_exists(spark, path + "/_SUCCESS"):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+    edges = cut(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        "edges",
     )
-    for _ in range(max_iter):
+    start = 0
+    labels = None
+    if use_dir:
+        for i in range(max_iter, 0, -1):
+            if _fs_exists(spark,
+                          f"{checkpoint_dir}/round_{i:04d}/_SUCCESS"):
+                labels = spark.read.parquet(
+                    f"{checkpoint_dir}/round_{i:04d}")
+                start = i
+                break
+        if labels is not None and _fs_exists(
+                spark, f"{checkpoint_dir}/_CONVERGED"):
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    if labels is None:
+        labels = cut(
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node")),
+            "round_0000",
+        )
+    for round_i in range(start + 1, max_iter + 1):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = cut(
             labels.join(neigh_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            f"round_{round_i:04d}",
         )
         changed = (
             new_labels.alias("n")
@@ -741,6 +797,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if use_dir:
+                _fs_touch(spark, f"{checkpoint_dir}/_CONVERGED")
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -754,9 +812,12 @@ def dedup_clusters(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     n_bands: int = N_BANDS,
     band_size: int = BAND_SIZE,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: LSH-verified pairs -> connected
     components -> (doc_id, cluster_id, cluster_size, is_representative).
+    ``checkpoint_dir`` passes through to :func:`connected_components`
+    for executor-loss-durable, resumable label propagation.
 
     The representative is the min-id member (stable under retries). Docs
     in no near-dup pair are singleton clusters of themselves and are NOT
@@ -768,7 +829,7 @@ def dedup_clusters(
     pairs = lsh_verified_near_dups(df, id_col, text_col, n, threshold,
                                    max_bucket_size=max_bucket_size,
                                    n_bands=n_bands, band_size=band_size)
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     w_size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return (
         cc.select(F.col("node").alias(id_col), "cluster_id")

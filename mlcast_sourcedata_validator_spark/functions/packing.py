@@ -20,6 +20,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import _estimated_bytes
+
+#: Catalyst size estimate above which the GLOBAL (partition_col=None)
+#: form refuses to run: one unpartitioned window = ONE task sorting the
+#: whole corpus, and past ~this volume that task is a silent
+#: hours-long straggler rather than a layout choice. 256 MiB of input
+#: is far beyond any oracle/small-corpus use and far below where the
+#: single task becomes pathological — callers who truly want a bigger
+#: global stream opt in explicitly with allow_global_over_estimate.
+GLOBAL_PACK_MAX_BYTES = 256 << 20
+
 
 def pack_sequences(
     df: DataFrame,
@@ -28,6 +39,7 @@ def pack_sequences(
     budget: int,
     order_col: str | None = None,
     partition_col: str | None = None,
+    allow_global_over_estimate: bool = False,
 ) -> DataFrame:
     """(id, [partition_col], n_tokens, start_offset, pack_id,
     pack_offset, straddles_boundary) under the concat-then-chunk layout.
@@ -35,10 +47,28 @@ def pack_sequences(
     ``order_col`` defaults to ``id_col`` (any deterministic total order
     works — determinism is what makes the layout reproducible across
     retries). ``partition_col`` packs within shards (the scale path);
-    ``None`` packs one global stream.
+    ``None`` packs one global stream and RAISES when Catalyst's size
+    estimate exceeds :data:`GLOBAL_PACK_MAX_BYTES` (the global window is
+    one task — at corpus scale that's a scale-killer that must not be
+    invokable silently; pass ``allow_global_over_estimate=True`` or a
+    ``partition_col`` to proceed).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if partition_col is None and not allow_global_over_estimate:
+        est = _estimated_bytes(df)
+        # Long.MaxValue is Catalyst's "unknown" sentinel (e.g. python-
+        # local relations) — only a REAL estimate (file scans propagate
+        # actual sizes) can prove the input too big to sort in one task
+        if est is not None and est != (1 << 63) - 1 \
+                and est > GLOBAL_PACK_MAX_BYTES:
+            raise ValueError(
+                f"pack_sequences(partition_col=None) would sort an input "
+                f"estimated at {est} bytes (> {GLOBAL_PACK_MAX_BYTES}) in "
+                f"ONE window task; pass partition_col to pack within "
+                f"shards, or allow_global_over_estimate=True to accept "
+                f"the single-task global stream"
+            )
     order = order_col or id_col
     w = (Window.partitionBy(partition_col) if partition_col
          else Window.partitionBy()).orderBy(F.col(order).asc())

@@ -142,6 +142,45 @@ def test_connected_components_chain_and_clusters(spark, docs):
         dd.connected_components(pairs, max_iter=1)
 
 
+def test_connected_components_reliable_checkpoint_resume(spark, tmp_path):
+    """checkpoint_dir makes label propagation durable + resumable: a run
+    killed by max_iter leaves committed round parquet behind; a re-run
+    with the same dir resumes from the last committed round (round_0001
+    is NOT recomputed — pinned via its _SUCCESS mtime) and converges to
+    the localCheckpoint answer; a third run short-circuits on the
+    _CONVERGED marker with zero new round dirs."""
+    import os
+
+    # 8-node chain: diameter 7 -> needs several hash-min rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
+    expect = {r.node: r.cluster_id
+              for r in dd.connected_components(pairs).collect()}
+    ckpt = str(tmp_path / "cc")
+
+    with pytest.raises(RuntimeError, match="converge"):
+        dd.connected_components(pairs, max_iter=2, checkpoint_dir=ckpt)
+    assert os.path.exists(f"{ckpt}/round_0002/_SUCCESS")
+    assert not os.path.exists(f"{ckpt}/_CONVERGED")
+    mtime_r1 = os.path.getmtime(f"{ckpt}/round_0001/_SUCCESS")
+
+    got = {r.node: r.cluster_id
+           for r in dd.connected_components(
+               pairs, max_iter=25, checkpoint_dir=ckpt).collect()}
+    assert got == expect
+    assert os.path.getmtime(f"{ckpt}/round_0001/_SUCCESS") == mtime_r1
+    assert os.path.exists(f"{ckpt}/_CONVERGED")
+
+    rounds_before = sorted(d for d in os.listdir(ckpt)
+                           if d.startswith("round_"))
+    again = {r.node: r.cluster_id
+             for r in dd.connected_components(
+                 pairs, max_iter=25, checkpoint_dir=ckpt).collect()}
+    assert again == expect
+    assert sorted(d for d in os.listdir(ckpt)
+                  if d.startswith("round_")) == rounds_before
+
+
 def test_dedup_clusters_on_planted_dups(spark, docs):
     out = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_representative)
            for r in dd.dedup_clusters(docs, "doc_id", "text",
@@ -696,6 +735,30 @@ def test_pack_sequences_concat_then_chunk(spark):
     assert per[(1, 3)] == 100 and per[(0, 4)] == 100
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "n_toks", budget=0)
+
+
+def test_pack_sequences_global_form_guarded_at_scale(spark):
+    """The global (partition_col=None) form is ONE window task; it must
+    refuse big inputs instead of silently serializing. spark.range gives
+    a large Catalyst size estimate without materializing anything."""
+    from mlcast_sourcedata_validator_spark.functions.packing import (
+        GLOBAL_PACK_MAX_BYTES,
+        pack_sequences,
+    )
+
+    big = spark.range((GLOBAL_PACK_MAX_BYTES // 8) * 2) \
+        .select(F.col("id").alias("doc_id"),
+                F.lit(10).alias("n_toks"))
+    with pytest.raises(ValueError, match="ONE window task"):
+        pack_sequences(big, "doc_id", "n_toks", budget=256)
+    # sharded and opt-in forms still construct (plans only, no execution)
+    pack_sequences(big.withColumn("shard", F.col("doc_id") % 64),
+                   "doc_id", "n_toks", budget=256, partition_col="shard")
+    pack_sequences(big, "doc_id", "n_toks", budget=256,
+                   allow_global_over_estimate=True)
+    # small-corpus behavior unchanged: global form below the estimate
+    small = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, n_toks int")
+    assert pack_sequences(small, "doc_id", "n_toks", budget=8).count() == 2
 
 
 def test_upsample_mixture_weights(spark):
