@@ -994,6 +994,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "rank")
     q["prioritized_dedup_documents"] = prioritized_dedup_documents
 
+    def token_count_stage_documents(spark, sf):
+        """Tokenizer-faithful counting stage (functions/text.py
+        count_tokens): one Arrow mapInPandas pass resolving a pluggable
+        tokenizer factory per task. Uses the deterministic ~4-chars/
+        token stub (no real tokenizer in this container — the PIL-
+        pattern degrade) so the DuckDB oracle can mirror the count
+        formula exactly; a real tiktoken/HF factory changes only the
+        closure, not the Spark plumbing under test here."""
+        from mlcast_sourcedata_validator_spark.functions import text as tx
+
+        def stub_factory():
+            return lambda texts: [0 if not t else max(1, (len(t) + 3) // 4)
+                                  for t in texts]
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        return tx.count_tokens(d, "text", tokenizer_factory=stub_factory) \
+                 .select("doc_id", "n_tokens")
+    q["token_count_stage_documents"] = token_count_stage_documents
+
     def shuffle_shards_documents(spark, sf):
         """Deterministic global shuffle: every doc gets a pseudo-random
         shard in [0, 8) and a contiguous 1-based position within it —
@@ -1970,6 +1989,13 @@ def _all_oracles() -> dict[str, str]:
         SELECT doc_id, lang, unnest(range(0, nc))::INT AS copy_idx
         FROM n WHERE nc > 0"""
 
+    o["token_count_stage_documents"] = """
+        SELECT doc_id,
+               (CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                     ELSE greatest(1, (length(text) + 3) // 4)
+                END)::INT AS n_tokens
+        FROM documents"""
+
     o["pack_sequences_documents"] = """
         WITH t AS (
           SELECT doc_id, source,
@@ -2221,6 +2247,10 @@ _EXTRA_ORDER = [
     "upsample_mixture_documents",
     # cross-source preference dedup (window-arithmetic oracle)
     "prioritized_dedup_documents",
+    # Arrow mapInPandas tokenizer stage (stub factory — the count
+    # formula is mirrored exactly in SQL; a real tokenizer swaps only
+    # the executor-side closure)
+    "token_count_stage_documents",
     # primitive twins demoted in the round-4 window rotation (each is a
     # strict primitive/sub-shape of an in-window query; still verified by
     # tests/test_extra_oracles.py with the driver's exact compare)

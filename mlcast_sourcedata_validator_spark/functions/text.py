@@ -204,3 +204,110 @@ def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.round(F.max("_c") / F.sum("_c"), 6).alias("top_token_ratio"))
     )
     return base.join(toks, id_col)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-faithful token counts (optional Arrow stage)
+# ---------------------------------------------------------------------------
+
+def default_tokenizer_factory():
+    """Build a batch token counter from whatever real tokenizer the
+    environment offers — tried in order: ``tiktoken`` (cl100k_base),
+    ``transformers``' GPT-2 ``AutoTokenizer``. Raises
+    ``NotImplementedError`` when neither is importable, exactly like the
+    media-decode degrade (multimodal.py ``decode_image``; reference
+    analog: the GDAL-absence pattern,
+    /root/reference/mlcast_dataset_validator/checks/tool_compatibility/gdal.py:21-36).
+
+    Returned interface: ``counter(list[str]) -> list[int]`` — batch
+    form, so per-call tokenizer overhead amortizes over an Arrow batch.
+    """
+    try:
+        import tiktoken  # type: ignore
+
+        enc = tiktoken.get_encoding("cl100k_base")
+        return lambda texts: [len(ids) for ids in
+                              enc.encode_ordinary_batch(list(texts))]
+    except ImportError:
+        pass
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+
+        tok = AutoTokenizer.from_pretrained("gpt2")
+        return lambda texts: [len(ids) for ids in
+                              tok(list(texts))["input_ids"]]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "tokenizer-faithful counting requires tiktoken or "
+            "transformers; neither is importable — use the heuristic "
+            "bpe_ish_token_count / ws_token_count columns instead"
+        ) from exc
+
+
+def tokenizer_available() -> bool:
+    """Driver-side probe: can :func:`default_tokenizer_factory` build a
+    real tokenizer here? (Import check only — cheap.)"""
+    try:
+        import tiktoken  # type: ignore # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    try:
+        from transformers import AutoTokenizer  # type: ignore # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def count_tokens(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "n_tokens",
+    tokenizer_factory=None,
+) -> DataFrame:
+    """Append a TOKENIZER-FAITHFUL token count column via one Arrow
+    ``mapInPandas`` stage — the optional replacement for the heuristic
+    :func:`bpe_ish_token_count` when pack boundaries must match training
+    reality (sequence packing and context budgets consume ``out_col``).
+
+    ``tokenizer_factory`` is a zero-arg callable returning a batch
+    counter ``list[str] -> list[int]``; it is resolved ONCE PER TASK on
+    the executor (tokenizers are not picklable; the factory is). Default
+    = :func:`default_tokenizer_factory`, whose availability is probed
+    DRIVER-SIDE first so an absent tokenizer fails fast with
+    ``NotImplementedError`` instead of a mid-job executor crash.
+
+    Scale: Arrow-batched (no per-row Python), schema = input + one int
+    column, no shuffle — the stage pipelines with the scan. NULL text
+    counts 0 tokens.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    if tokenizer_factory is None:
+        if not tokenizer_available():
+            # raise the factory's own error, driver-side
+            default_tokenizer_factory()
+        tokenizer_factory = default_tokenizer_factory
+
+    # StructType.add mutates in place — never call it on df.schema (the
+    # session caches that object); build a fresh copy instead
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def _count(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        counter = tokenizer_factory()
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").astype(str).tolist()
+            counts = counter(texts)
+            out = pdf.copy()
+            out[out_col] = pd.Series(counts, index=pdf.index,
+                                     dtype="int32")
+            yield out
+
+    return df.mapInPandas(_count, schema=out_schema)

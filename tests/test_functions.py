@@ -987,3 +987,42 @@ def test_tail_by_budget_rejects_negative_weights(spark):
     with _pytest.raises((Py4JJavaError, Exception)) as e:
         tail_by_budget(df, ["k"], "o", F.col("w"), 10.0).collect()
     assert "negative weight" in str(e.value)
+
+
+def test_count_tokens_pluggable_tokenizer_stage(spark):
+    """count_tokens: one Arrow mapInPandas stage appending a tokenizer-
+    faithful count; pack boundaries then follow the plugged tokenizer,
+    and the PIL-pattern degrade raises fast when no tokenizer exists."""
+    from mlcast_sourcedata_validator_spark.functions import text as tx
+    from mlcast_sourcedata_validator_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    def stub_tokenizer_factory():
+        # deterministic stand-in for a real BPE tokenizer (~4 chars/token);
+        # defined in-closure so cloudpickle ships it by value (a module-
+        # level test function pickles by reference, which workers can't
+        # import)
+        return lambda texts: [0 if not t else max(1, (len(t) + 3) // 4)
+                              for t in texts]
+
+    df = spark.createDataFrame(
+        [(1, "a" * 40), (2, "b" * 100), (3, None), (4, "xy")],
+        "doc_id long, text string",
+    )
+    out = tx.count_tokens(df, "text",
+                          tokenizer_factory=stub_tokenizer_factory)
+    assert out.columns == ["doc_id", "text", "n_tokens"]
+    got = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert got == {1: 10, 2: 25, 3: 0, 4: 1}
+
+    packed = {r.doc_id: r.pack_id for r in
+              pack_sequences(out, "doc_id", "n_tokens", budget=16).collect()}
+    # stream offsets 0,10,35,35 -> packs 0,0,2,2
+    assert packed == {1: 0, 2: 0, 3: 2, 4: 2}
+
+    # no tiktoken/transformers in this container: the default factory
+    # degrades loudly, DRIVER-side (no job launched)
+    assert not tx.tokenizer_available()
+    with pytest.raises(NotImplementedError, match="tokenizer"):
+        tx.count_tokens(df, "text")
