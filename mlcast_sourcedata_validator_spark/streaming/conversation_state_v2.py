@@ -120,6 +120,26 @@ class ConversationProcessor(StatefulProcessor):
         pass
 
 
+def v2_runtime_gate() -> tuple[bool, str]:
+    """Explicit PLATFORM GATE for the transformWithStateInPandas path:
+    (available, reason-if-not). PySpark's TWS driver worker imports
+    ``google.protobuf`` at runtime — without it the query fails deep
+    inside the streaming harness, so availability is probed here,
+    driver-side and cheap, and both the operator entry point and the
+    e2e test consume THIS gate (the test skip is a declared platform
+    condition, not a dangling importorskip)."""
+    try:
+        import google.protobuf  # type: ignore # noqa: F401
+    except ImportError:
+        return False, (
+            "python 'protobuf' package not importable — PySpark's "
+            "transformWithStateInPandas driver worker requires it; "
+            "use the v1 applyInPandasWithState operator "
+            "(conversation_state.py) on this platform"
+        )
+    return True, ""
+
+
 def conversation_state_stream_v2(
     stream_df,
     inactivity_ms: int = 60_000,
@@ -129,7 +149,12 @@ def conversation_state_stream_v2(
 ):
     """Attach the StatefulProcessor to a streaming transcripts DataFrame
     (append mode, event-time timers). Late rows are dropped by Spark via
-    ``eventTimeColumnName`` before reaching the processor."""
+    ``eventTimeColumnName`` before reaching the processor. Raises
+    ``NotImplementedError`` (fail-fast, driver-side) when
+    :func:`v2_runtime_gate` reports the platform cannot run it."""
+    ok, reason = v2_runtime_gate()
+    if not ok:
+        raise NotImplementedError(f"conversation_state_stream_v2: {reason}")
     from pyspark.sql import functions as F
 
     wm = stream_df.withColumn(

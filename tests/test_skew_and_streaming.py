@@ -125,19 +125,31 @@ def test_stateful_conversation_stream(spark, tmp_path):
 def test_stateful_conversation_stream_v2(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 StatefulProcessor): same
     operator as v1 on typed ValueState + explicit timers; requires the
-    RocksDB state store provider AND the python protobuf package (the
-    TWS driver worker imports google.protobuf — absent in this sandbox,
-    so this skips here and runs on a full cluster image)."""
+    RocksDB state store provider AND the python protobuf package. The
+    skip condition is the OPERATOR'S OWN platform gate
+    (v2_runtime_gate) — the same probe that makes the production entry
+    point fail fast — so this is a declared platform condition, and the
+    gate's fail-fast raise is itself pinned below when the gate is
+    closed."""
     import os
     import time as _time
 
     import pytest as _pytest
 
-    _pytest.importorskip("google.protobuf")
-
     from mlcast_sourcedata_validator_spark.streaming.conversation_state_v2 import (
         conversation_state_stream_v2,
+        v2_runtime_gate,
     )
+
+    ok, reason = v2_runtime_gate()
+    if not ok:
+        # the gate must also fail-fast the production entry point
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            conversation_state_stream_v2(
+                spark.readStream.schema(
+                    "conv_id string, turn_idx int, ts timestamp"
+                ).parquet(str(tmp_path)))
+        _pytest.skip(f"platform gate: {reason}")
 
     src = str(tmp_path / "feed2")
     os.makedirs(src)
