@@ -50,6 +50,146 @@ METRICS_SCHEMA = (
 )
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """Platform gate: is an Iceberg runtime on the session's JVM
+    classpath? (Class probe only — no catalog configuration check.)
+    This sandbox has no iceberg-spark-runtime jar and no network to
+    fetch one (attempts documented in BENCH/BASELINE.md), so here this
+    is always False and :class:`CatalogResultsStore` runs its
+    parquet-session-table branch; on a cluster image with the jar the
+    SAME store code commits through Iceberg."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+class CatalogResultsStore:
+    """Results/violations/lineage/metrics as CATALOG TABLES — the
+    north_star's "checkpoints per-partition lineage and metrics to an
+    Iceberg results table", expressed so the same code is exercisable
+    without the Iceberg jar:
+
+    - table format = ``iceberg`` when :func:`iceberg_runtime_available`
+      (every write below is then an Iceberg snapshot commit), else the
+      session catalog's ``parquet`` tables — identical statements,
+      identical tests, weaker (directory-level) atomicity,
+    - per-partition idempotency = dynamic partition overwrite of the
+      ``partition_id`` partition (Iceberg: ``overwritePartitions`` on
+      the v2 writer — one atomic snapshot replacing just that
+      partition),
+    - the lineage "marker" = an append to the lineage table, committed
+      AFTER the partition's data tables (same crash contract as the
+      path store: data-without-lineage is re-done and overwritten).
+
+    ``prefix`` is a catalog identifier (optionally db-qualified); the
+    four tables are ``<prefix>_results``, ``<prefix>_violations``,
+    ``<prefix>_lineage``, ``<prefix>_metrics``.
+    """
+
+    def __init__(self, spark: SparkSession, prefix: str,
+                 table_format: Optional[str] = None):
+        self.spark = spark
+        self.prefix = prefix
+        self.format = table_format or (
+            "iceberg" if iceberg_runtime_available(spark) else "parquet")
+
+    def _tbl(self, kind: str) -> str:
+        return f"{self.prefix}_{kind}"
+
+    def _create_table(self, df: DataFrame, tbl: str,
+                      partitioned: bool) -> None:
+        writer = df.write.format(self.format)
+        if partitioned:
+            writer = writer.partitionBy("partition_id")
+        try:
+            writer.saveAsTable(tbl)
+        except Exception as exc:
+            if "LOCATION_ALREADY_EXISTS" not in str(exc):
+                raise
+            # orphaned managed location: a previous run (or process —
+            # the session catalog is per-process, the warehouse dir is
+            # not) died between writing the location and committing the
+            # catalog entry. The catalog says the table does not exist,
+            # so the location holds no committed data — remove it and
+            # retry. Iceberg's catalog commit is atomic, so only the
+            # parquet fallback can hit this.
+            wh = self.spark.conf.get("spark.sql.warehouse.dir")
+            parts = tbl.lower().split(".")
+            loc = (f"{wh}/{parts[0]}" if len(parts) == 1
+                   else f"{wh}/{parts[-2]}.db/{parts[-1]}")
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(loc)
+            jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            ).delete(jpath, True)
+            writer.saveAsTable(tbl)
+
+    def _write_partition(self, kind: str, df: DataFrame,
+                         partition_id: str) -> None:
+        tbl = self._tbl(kind)
+        full = df.withColumn("partition_id", F.lit(partition_id))
+        if not self.spark.catalog.tableExists(tbl):
+            self._create_table(full, tbl, partitioned=True)
+            return
+        # overwrite ONLY this partition (retry-idempotent)
+        full = full.select(*self.spark.table(tbl).columns)
+        if self.format == "iceberg":
+            full.writeTo(tbl).overwritePartitions()
+        else:
+            # the per-writer option is not reliably honored by
+            # insertInto — set the session conf for the statement
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "STATIC")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                full.write.insertInto(tbl, overwrite=True)
+            finally:
+                self.spark.conf.set(conf, prev)
+
+    def write_partition_results(self, res: SuiteRunResult, suite_id: str,
+                                run_id: str, partition_id: str) -> None:
+        self._write_partition(
+            "violations", res.violations.drop("partition_id"), partition_id)
+        self._write_partition(
+            "results",
+            res.report.to_df(self.spark, suite_id, run_id, partition_id)
+            .drop("partition_id"),
+            partition_id,
+        )
+        mrows = _metrics_rows(suite_id, run_id, res.metrics)
+        if mrows:
+            self._write_partition(
+                "metrics",
+                self.spark.createDataFrame(mrows, schema=METRICS_SCHEMA),
+                partition_id,
+            )
+
+    def append_lineage(self, marker: DataFrame) -> None:
+        tbl = self._tbl("lineage")
+        if not self.spark.catalog.tableExists(tbl):
+            self._create_table(marker, tbl, partitioned=False)
+        else:
+            marker.select(*self.spark.table(tbl).columns) \
+                .write.mode("append").insertInto(tbl)
+
+    def committed(self, suite_id: str) -> set[str]:
+        tbl = self._tbl("lineage")
+        if not self.spark.catalog.tableExists(tbl):
+            return set()
+        rows = (
+            self.spark.table(tbl)
+            .where((F.col("suite_id") == suite_id)
+                   & (F.col("status") == "COMMITTED"))
+            .select("partition_id").distinct().collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def read(self, kind: str) -> DataFrame:
+        return self.spark.table(self._tbl(kind))
+
+
 def _metrics_rows(suite_id: str, run_id: str, metrics: dict) -> list[tuple]:
     """Flatten a run's scalar metrics for the metrics store. Numeric
     scalars land in ``value``; short non-numeric strings (verdict labels)
@@ -150,9 +290,20 @@ def run_partitioned(
                                       storage_options=storage_options)
     if not partitions:
         raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
-    done = committed_partitions(
-        spark, results_path, suite.suite_id, storage_options
-    ) if resume else set()
+    # results destination: a filesystem path (parquet dirs + marker
+    # files) or a catalog identifier (catalog tables; Iceberg snapshot
+    # commits when the runtime is present)
+    from .sources.catalog import is_table_identifier
+
+    store = (CatalogResultsStore(spark, results_path)
+             if is_table_identifier(results_path) else None)
+    if not resume:
+        done: set[str] = set()
+    elif store is not None:
+        done = store.committed(suite.suite_id)
+    else:
+        done = committed_partitions(
+            spark, results_path, suite.suite_id, storage_options)
 
     for p in partitions:
         if p in done:
@@ -171,20 +322,23 @@ def run_partitioned(
         res = run_suite(ctx)
 
         # idempotent per-partition data writes, THEN the commit marker
-        res.violations.drop("partition_id").write.mode("overwrite").parquet(
-            fs.join(results_path, "violations", f"partition_id={p}")
-        )
-        res.report.to_df(spark, suite.suite_id, run_id, p).drop(
-            "partition_id"
-        ).write.mode("overwrite").parquet(
-            fs.join(results_path, "results", f"partition_id={p}")
-        )
-        mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
-        if mrows:
-            spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
-                .write.mode("overwrite").parquet(
-                    fs.join(results_path, "metrics", f"partition_id={p}")
-                )
+        if store is not None:
+            store.write_partition_results(res, suite.suite_id, run_id, p)
+        else:
+            res.violations.drop("partition_id").write.mode("overwrite").parquet(
+                fs.join(results_path, "violations", f"partition_id={p}")
+            )
+            res.report.to_df(spark, suite.suite_id, run_id, p).drop(
+                "partition_id"
+            ).write.mode("overwrite").parquet(
+                fs.join(results_path, "results", f"partition_id={p}")
+            )
+            mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
+            if mrows:
+                spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
+                    .write.mode("overwrite").parquet(
+                        fs.join(results_path, "metrics", f"partition_id={p}")
+                    )
         if fail_injector is not None:
             fail_injector(p)
         s = res.report.summarize()
@@ -195,7 +349,11 @@ def run_partitioned(
               s["FAIL"], s["WARNING"], s["PASS"], res.wall_sec, time.time())],
             schema=LINEAGE_SCHEMA,
         )
-        marker.write.mode("append").parquet(fs.join(results_path, "lineage"))
+        if store is not None:
+            store.append_lineage(marker)
+        else:
+            marker.write.mode("append").parquet(
+                fs.join(results_path, "lineage"))
 
         summary.processed.append(p)
         summary.results[p] = res
@@ -205,17 +363,34 @@ def run_partitioned(
     return summary
 
 
+def _maybe_store(spark: SparkSession,
+                 results_path: str) -> Optional[CatalogResultsStore]:
+    from .sources.catalog import is_table_identifier
+
+    return (CatalogResultsStore(spark, results_path)
+            if is_table_identifier(results_path) else None)
+
+
 def read_results(spark: SparkSession, results_path: str) -> DataFrame:
+    store = _maybe_store(spark, results_path)
+    if store is not None:
+        return store.read("results")
     return spark.read.schema(RESULTS_SCHEMA).parquet(
         fs.join(results_path, "results")
     )
 
 
 def read_violations(spark: SparkSession, results_path: str) -> DataFrame:
+    store = _maybe_store(spark, results_path)
+    if store is not None:
+        return store.read("violations")
     return spark.read.parquet(fs.join(results_path, "violations"))
 
 
 def read_lineage(spark: SparkSession, results_path: str) -> DataFrame:
+    store = _maybe_store(spark, results_path)
+    if store is not None:
+        return store.read("lineage")
     return spark.read.parquet(fs.join(results_path, "lineage"))
 
 
@@ -457,6 +632,9 @@ def read_metrics(spark: SparkSession, results_path: str) -> DataFrame:
     """Per-partition scalar metrics (suite_id, run_id, metric, value,
     value_str, partition_id) — the queryable metrics history the
     north_star mandates alongside lineage."""
+    store = _maybe_store(spark, results_path)
+    if store is not None:
+        return store.read("metrics")
     return spark.read.parquet(fs.join(results_path, "metrics"))
 
 

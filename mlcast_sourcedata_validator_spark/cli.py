@@ -46,8 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "are unordered; Spark sorts inferred fields)")
     p.add_argument("--registry", help="conversations registry parquet path")
     p.add_argument("--baseline", help="drift baseline histogram parquet path")
-    p.add_argument("--results", help="results store path (enables per-partition "
-                                     "checkpointed runs)")
+    p.add_argument("--results", help="results store (enables per-partition "
+                                     "checkpointed runs): a filesystem path "
+                                     "(parquet dirs + lineage markers) or a "
+                                     "catalog identifier (results/violations/"
+                                     "lineage/metrics as catalog tables — "
+                                     "Iceberg snapshot commits when the "
+                                     "runtime is on the classpath)")
     p.add_argument("--no-resume", action="store_true",
                    help="reprocess already-committed partitions")
     p.add_argument("--max-partitions", type=int, default=None,
