@@ -147,7 +147,7 @@ class SuiteRunResult:
 
 #: kinds whose default semantics differ between a whole-table run and a
 #: single-partition batch (properties that are not locally decidable)
-_PARTITION_SCOPED_KINDS = {"turn_contiguity"}
+_PARTITION_SCOPED_KINDS = {"turn_contiguity", "role_transitions"}
 
 
 def compile_suite(

@@ -190,7 +190,9 @@ def role_code_expr(column: str, roles: list[str]):
     return (out.otherwise(expr) if out is not None else expr).cast("int")
 
 
-def compile_role_transitions(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+def compile_role_transitions(
+    spec: CheckSpec, suite: CheckSuite, partition_scoped: bool = False
+) -> list[RowCheck]:
     """Conversation GRAMMAR check: within each conversation (ordered by
     turn), every (previous role -> role) transition must be in the
     allowed set, and the first turn's role must be in ``start_roles``.
@@ -204,6 +206,13 @@ def compile_role_transitions(spec: CheckSpec, suite: CheckSuite) -> list[RowChec
     Rides the SHARED conversation window: the compiler ships a tiny-int
     role code through the slim projection and lags it next to
     lag(ts)/lag(turn) — no second window, no extra shuffle.
+
+    Partition-scoped batches apply the start-role rule only when the
+    batch actually HOLDS the conversation's first turn (turn_idx == 0):
+    a conversation continuing from the previous date partition starts
+    mid-grammar, exactly the turn_contiguity start-at-0 situation, and
+    its boundary transition (lag is NULL here) is owned by the rollup
+    boundary audit.
     """
     roles: list[str] = spec.params["roles"]
     allowed = {(f, t) for f, t in
@@ -222,6 +231,8 @@ def compile_role_transitions(spec: CheckSpec, suite: CheckSuite) -> list[RowChec
         c = cur == code[r]
         ok_start = c if ok_start is None else (ok_start | c)
     bad_start = (F.col(RN) == 1) & ~F.coalesce(ok_start, F.lit(False))
+    if partition_scoped:
+        bad_start = bad_start & (F.col(suite.turn_col) == 0)
     pred = bad_transition | bad_start
 
     def _name(c):

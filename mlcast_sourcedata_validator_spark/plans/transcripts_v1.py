@@ -74,6 +74,20 @@ def suite() -> CheckSuite:
             {"strict": False},
         ),
         CheckSpec(
+            "role_grammar", "role_transitions", "3.4 grammar",
+            "Conversations MUST follow the role grammar: start with "
+            "system|user; user speaks to the assistant; tool turns only "
+            "follow an assistant turn and return to the assistant.",
+            # alphabet + allowed transitions of the well-formed transcript
+            # shape (matches the synthetic generator's clean output); a
+            # role outside the alphabet violates every transition
+            {"column": "role", "roles": ROLES,
+             "allowed": [["system", "user"], ["system", "assistant"],
+                         ["user", "assistant"], ["assistant", "user"],
+                         ["assistant", "tool"], ["tool", "assistant"]],
+             "start_roles": ["system", "user"]},
+        ),
+        CheckSpec(
             "variable_timestep", "variable_timestep", "3.4 timesteps",
             "Conversations MAY have variable time between turns.",
             {"allow_variable_timestep": True},

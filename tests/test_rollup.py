@@ -155,18 +155,18 @@ def test_contiguity_audit_catches_cross_partition_gap(spark, tmp_path):
     # conv "ok": turns 0-5 split 0-2 / 3-5 across two days — contiguous
     for i in range(6):
         day = "2024-06-01" if i < 3 else "2024-06-02"
-        rows.append(("ok", i, "user" if i % 2 else "assistant", "t", None,
+        rows.append(("ok", i, "assistant" if i % 2 else "user", "t", None,
                      f"{day} 12:00:{i:02d}"))
     # conv "gap": day 1 has 0-2, day 2 resumes at 4 (turn 3 lost at the
     # boundary) — each day is INTERNALLY contiguous
     for i in [0, 1, 2, 4, 5]:
         day = "2024-06-01" if i < 3 else "2024-06-02"
-        rows.append(("gap", i, "user" if i % 2 else "assistant", "t", None,
+        rows.append(("gap", i, "assistant" if i % 2 else "user", "t", None,
                      f"{day} 12:00:{i:02d}"))
     # conv "dup": turn 2 appears on BOTH days
     for day, i in [("2024-06-01", 0), ("2024-06-01", 1), ("2024-06-01", 2),
                    ("2024-06-02", 2), ("2024-06-02", 3)]:
-        rows.append(("dup", i, "user" if i % 2 else "assistant", "t", None,
+        rows.append(("dup", i, "assistant" if i % 2 else "user", "t", None,
                      f"{day} 12:00:{i:02d}"))
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, "
