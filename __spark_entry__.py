@@ -178,6 +178,65 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["timestep_analysis_events"] = timestep_analysis_events
 
+    def role_grammar_violations_events(spark, sf):
+        """Role-transition GRAMMAR over the events stream: per user
+        (ordered by event_id) every (prev event_type -> event_type)
+        pair must be in the allowed set, and a user's first event must
+        be a session opener. Exercises the operators/ordering.py
+        compile_role_transitions predicate shape — map-side tiny-int
+        role coding via role_code_expr (~1 byte through the window
+        shuffle instead of the type string), lag over ONE key window —
+        against a plain lag() SQL oracle. 'error' is outside the
+        alphabet (code -1): it violates every transition, like an
+        unknown role in a transcript."""
+        from mlcast_sourcedata_validator_spark.operators.ordering import (
+            role_code_expr,
+        )
+
+        roles = ["click", "view", "purchase", "signup"]
+        code = {r: i for i, r in enumerate(roles)}
+        allowed = [("signup", "view"), ("signup", "click"),
+                   ("view", "view"), ("view", "click"),
+                   ("click", "view"), ("click", "click"),
+                   ("click", "purchase"),
+                   ("purchase", "view"), ("purchase", "click")]
+        start = ["signup", "view", "click"]
+
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("event_id")
+        cur = role_code_expr("event_type", roles)
+        lagged = ev.select(
+            "user_id", "event_id", "event_type", cur.alias("_c"),
+        ).select(
+            "user_id", "event_type", F.col("_c").alias("cur"),
+            F.lag("_c").over(w).alias("prev"),
+            F.row_number().over(w).alias("rn"),
+        )
+        ok_pairs = None
+        for fr, to in allowed:
+            c = (F.col("prev") == code[fr]) & (F.col("cur") == code[to])
+            ok_pairs = c if ok_pairs is None else (ok_pairs | c)
+        bad_transition = F.col("prev").isNotNull() & ~ok_pairs
+        ok_start = None
+        for r in start:
+            c = F.col("cur") == code[r]
+            ok_start = c if ok_start is None else (ok_start | c)
+        bad_start = (F.col("rn") == 1) & ~ok_start
+        name = None
+        for r, i in code.items():
+            cond = F.col("prev") == i
+            name = (F.when(cond, F.lit(r)) if name is None
+                    else name.when(cond, F.lit(r)))
+        from_type = F.when(F.col("rn") == 1, F.lit("<start>")) \
+                     .otherwise(name.otherwise(F.lit("error")))
+        return (
+            lagged.where(bad_transition | bad_start)
+            .groupBy(from_type.alias("from_type"),
+                     F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["role_grammar_violations_events"] = role_grammar_violations_events
+
     # --- histogram + drift (north_rule KS/PSI shape) ------------------------
     def hist_value_events(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1370,6 +1429,29 @@ def _all_oracles() -> dict[str, str]:
                (count(DISTINCT dt) > 1) AS has_variable
         FROM lagged WHERE dt IS NOT NULL GROUP BY user_id"""
 
+    o["role_grammar_violations_events"] = """
+        WITH lagged AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events)
+        SELECT CASE WHEN rn = 1 THEN '<start>'
+                    WHEN prev_type IN ('click','view','purchase','signup')
+                      THEN prev_type
+                    ELSE 'error' END AS from_type,
+               event_type AS to_type,
+               count(*)::BIGINT AS n
+        FROM lagged
+        WHERE (rn = 1 AND event_type NOT IN ('signup','view','click'))
+           OR (rn > 1 AND NOT (
+                (prev_type = 'signup'   AND event_type IN ('view','click')) OR
+                (prev_type = 'view'     AND event_type IN ('view','click')) OR
+                (prev_type = 'click'    AND event_type IN ('view','click','purchase')) OR
+                (prev_type = 'purchase' AND event_type IN ('view','click'))))
+        GROUP BY 1, 2"""
+
     o["hist_value_events"] = """
         SELECT least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25)::INT
                  AS bucket,
@@ -2229,6 +2311,7 @@ _EXTRA_ORDER = [
     "embedding_near_dup_pairs",       # == embedding_lsh_near_dup_pairs
     # primitive twins of in-window queries
     "ordering_regressions_events",    # lag-window ~ timestep_analysis
+    "role_grammar_violations_events",  # compile_role_transitions predicate
     "top_customers_revenue",          # broadcast-join top-k ~ q3
     "lineitem_top_line_per_order",    # window row_number ~ running_revenue
     "intersect_clickers_and_buyers",  # INTERSECT ~ setop EXCEPT

@@ -36,6 +36,7 @@ from mlcast_sourcedata_validator_spark.suite import (  # noqa: E402
 )
 
 ADDED_IN_R3 = ["schema_drift", "drift_role_dist", "drift_tool_dist"]
+ADDED_IN_R4 = ["role_grammar"]
 
 
 def main() -> int:
@@ -55,9 +56,12 @@ def main() -> int:
         )
 
     variants: dict[str, CheckSuite] = {"full": full}
-    for name in ADDED_IN_R3:
-        variants[f"-{name}"] = variant([name], f"ab_minus_{name}")
-    variants["r2set"] = variant(ADDED_IN_R3, "ab_r2set")
+    for name in ADDED_IN_R3 + ADDED_IN_R4:
+        if any(c.check_id == name for c in full.checks):
+            variants[f"-{name}"] = variant([name], f"ab_minus_{name}")
+    variants["r2set"] = variant(
+        [n for n in ADDED_IN_R3 + ADDED_IN_R4
+         if any(c.check_id == n for c in full.checks)], "ab_r2set")
 
     def run_once(suite: CheckSuite) -> float:
         t0 = time.time()
@@ -80,7 +84,8 @@ def main() -> int:
 
     med = {k: round(statistics.median(v), 3) for k, v in walls.items()}
     marginal = {name: round(med["full"] - med[f"-{name}"], 3)
-                for name in ADDED_IN_R3}
+                for name in ADDED_IN_R3 + ADDED_IN_R4
+                if f"-{name}" in med}
     out = {
         "metric": "suite_check_marginal_cost",
         "unit": "sec",
