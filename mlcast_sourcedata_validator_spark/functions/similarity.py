@@ -124,8 +124,22 @@ def cosine_topk_batch(
     from .dedup import _ensure_parallelism
 
     df = _ensure_parallelism(df)  # |Q| x dot products per corpus row
-    cos = (cosine_expanded(F.col(vec_col), F.col(qvec_col), dim)
-           if dim is not None else cosine(F.col(vec_col), F.col(qvec_col)))
+    if dim is not None:
+        # norms per ROW / per QUERY, not per (row, query) combination:
+        # O(n + |Q|) sqrts instead of O(n x |Q|), and the join stage's
+        # expanded tree shrinks from 3 x dim to dim products (the full
+        # 3x tree in a join doConsume trips janino method limits at
+        # dim=64 — see embedding_lsh_near_dup_pairs). Bit-identical:
+        # sqrt(dot_expanded(v, v)) is the same expression either side
+        # of the join boundary.
+        df = df.withColumn(
+            "_nv", F.sqrt(dot_expanded(F.col(vec_col), F.col(vec_col), dim)))
+        queries_df = queries_df.withColumn(
+            "_nq", F.sqrt(dot_expanded(F.col(qvec_col), F.col(qvec_col), dim)))
+        cos = (dot_expanded(F.col(vec_col), F.col(qvec_col), dim)
+               / (F.col("_nv") * F.col("_nq")))
+    else:
+        cos = cosine(F.col(vec_col), F.col(qvec_col))
     scored = df.crossJoin(F.broadcast(queries_df)).select(
         F.col(qid_col),
         F.col(id_col),
@@ -295,16 +309,28 @@ def embedding_lsh_near_dup_pairs(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms are per-ROW quantities: compute them on the n-row side
+    # projections, not per candidate PAIR — O(n) instead of O(#pairs)
+    # sqrt(dot), and the join stage's expression tree shrinks from
+    # 3 x dim to dim products (the full 3x tree inlined into the join's
+    # whole-stage doConsume blew past janino's method limits at dim=64,
+    # silently degrading the hot verify stage to interpreted eval).
+    # sqrt(dot_expanded(v, v)) evaluates identically here or per-pair,
+    # so cosine stays bit-identical to cosine_expanded / cosine.
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                   F.sqrt(dot_expanded(F.col(vec_col), F.col(vec_col),
+                                       dim)).alias("_na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                   F.sqrt(dot_expanded(F.col(vec_col), F.col(vec_col),
+                                       dim)).alias("_nb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        # expanded (codegen'd) cosine: the verify stage scores every
-        # candidate pair — with a dense candidate set the interpreted
-        # higher-order form dominated the whole pipeline (measured ~10s
-        # of a 12s wall at sf0.1)
+        # expanded (codegen'd) cross-dot: the verify stage scores every
+        # candidate pair — the interpreted higher-order form dominated
+        # the whole pipeline (measured ~10s of a 12s wall at sf0.1)
         .withColumn("cosine",
-                    F.round(cosine_expanded(F.col("_va"), F.col("_vb"), dim), 6))
+                    F.round(dot_expanded(F.col("_va"), F.col("_vb"), dim)
+                            / (F.col("_na") * F.col("_nb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
