@@ -285,6 +285,31 @@ def test_embedding_lsh_near_dup_recall_and_precision(spark):
     assert len(lsh) / len(brute) >= 0.8
 
 
+def test_pair_verify_join_stage_compiles_at_dim64(spark):
+    """The verify join's generated code must COMPILE at the production
+    dim=64: the 3 x dim expanded cosine inlined into the join's
+    whole-stage doConsume used to trip janino method limits and silently
+    degrade the hot verify stage to interpreted eval (fixed by
+    precomputing per-row norms before the join). codegen.fallback=false
+    turns any compile failure back into a hard error, so this pins the
+    plan's compilability, not just its answer."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        pairs = sim.embedding_lsh_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, dim=64)
+        assert pairs.count() >= 0
+        qs = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        topk = sim.cosine_topk_batch(emb, "vec_id", "embedding", qs,
+                                     k=5, dim=64)
+        assert topk.count() == 15
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_ivf_topk_probe_all_equals_brute_force(spark):
     import math
     rows = []
