@@ -229,6 +229,47 @@ def write_partitioned_transcripts(
     out.write.mode("overwrite").partitionBy("date").parquet(table_path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key: str = "conv_id",
+    n_buckets: int = 64,
+    sort_cols: Optional[list] = None,
+) -> None:
+    """Catalog-table layout bucketed by ``key`` — the zero-shuffle input
+    layout for repeated validation runs.
+
+    The fused suite plan's ONLY shuffle is the conv_id hash Exchange
+    feeding the per-conversation window (compiler.py ``build_suite_plan``).
+    A table bucketed by conv_id already satisfies that clustering straight
+    off the scan, so the Exchange is elided — and when the registry is
+    bucketed with the SAME bucket count, the refint sort-merge join goes
+    shuffle-free on both sides too (pinned:
+    tests/test_plan_shape.py::test_suite_plan_zero_exchange_on_bucketed_table).
+    At 10^12 turns this turns the suite's per-run shuffle (the dominant
+    network cost; ~40 B/row x 10^12 = tens of TB of shuffle I/O) into a
+    ONE-TIME layout decision paid at ingest.
+
+    ``repartition(n_buckets, key)`` before the write uses the same
+    murmur3 hash as the bucketing spec, so every bucket's rows land in
+    exactly one task -> exactly one file per bucket; with
+    ``sort_cols=(key, turn)`` the scan then also reports a per-bucket
+    sort order, letting Spark drop the window's per-partition Sort when
+    the one-file-per-bucket condition holds.
+
+    Iceberg analog: ``bucket(N, conv_id)`` partition transform + a
+    sorted write — same contract, engine-enforced at commit time.
+    """
+    writer = (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("overwrite").saveAsTable(table_name)
+
+
 def committed_partitions(
     spark: SparkSession, results_path: str, suite_id: str,
     storage_options: Optional[dict] = None,

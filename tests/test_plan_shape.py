@@ -188,3 +188,59 @@ def test_parallelism_guard_gated_by_input_size(spark, sf_dir):
     media = mm.attach_fake_media(docs, "text")
     assert not rr(mm.extract_media_meta(media, "doc_id", "media"))
     assert rr(dd.minhash_signatures(docs, "doc_id", "text"))
+
+
+def test_suite_plan_zero_exchange_on_bucketed_table(spark, tmp_path_factory):
+    """Bucketed-layout scale path (checkpoint.write_bucketed_table): with
+    transcripts AND registry bucketed by conv_id at the same bucket count,
+    the fused suite plan has ZERO Exchange nodes — the window's clustering
+    and the refint join's distribution are both satisfied straight off the
+    scan. The suite's only per-run shuffle becomes a one-time layout
+    decision at ingest; verdicts and violations stay identical to the
+    plain-parquet run."""
+    from pyspark.sql import functions as F
+
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_bucketed_table,
+    )
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+
+    df = generate_transcripts(spark, n_convs=120, seed=7).localCheckpoint()
+    reg = generate_conversations_registry(df).localCheckpoint()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the registry join exercises the bucketed
+        # co-location (AQE would otherwise broadcast this tiny fixture)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(df, "bkt_suite_t", "conv_id", 8,
+                             ["conv_id", "turn_idx"])
+        write_bucketed_table(reg, "bkt_suite_reg", "conv_id", 8, ["conv_id"])
+        suite = get_suite("transcripts_v1")
+        ctx_b = RunContext(spark=spark, df=spark.table("bkt_suite_t"),
+                           suite=suite, run_id="bkt",
+                           registry_df=spark.table("bkt_suite_reg"))
+        plan = build_suite_plan(ctx_b, compile_suite(suite))
+        pstr = plan.violations._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in pstr, pstr[:3000]
+        # exactly one file per bucket (repartition aligned with the bucket
+        # hash), the precondition for the scan reporting sorted output
+        files = [f for f in spark.table("bkt_suite_t").inputFiles()]
+        assert len(files) == 8, files
+
+        res_b = run_suite(ctx_b)
+        ctx_p = RunContext(spark=spark, df=df, suite=suite, run_id="plain",
+                           registry_df=reg)
+        res_p = run_suite(ctx_p)
+        assert res_b.report.summarize() == res_p.report.summarize()
+        assert res_b.n_violations == res_p.n_violations
+        assert res_b.n_input_rows == res_p.n_input_rows == df.count()
+        viol_cmp = (
+            res_b.violations.select("check_id", "conv_id", "turn_idx")
+            .exceptAll(res_p.violations.select("check_id", "conv_id",
+                                               "turn_idx"))
+        )
+        assert viol_cmp.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_suite_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_suite_reg")
