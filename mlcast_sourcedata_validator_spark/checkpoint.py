@@ -235,6 +235,7 @@ def write_bucketed_table(
     key: str = "conv_id",
     n_buckets: int = 64,
     sort_cols: Optional[list] = None,
+    path: Optional[str] = None,
 ) -> None:
     """Catalog-table layout bucketed by ``key`` — the zero-shuffle input
     layout for repeated validation runs.
@@ -252,13 +253,22 @@ def write_bucketed_table(
 
     ``repartition(n_buckets, key)`` before the write uses the same
     murmur3 hash as the bucketing spec, so every bucket's rows land in
-    exactly one task -> exactly one file per bucket; with
-    ``sort_cols=(key, turn)`` the scan then also reports a per-bucket
-    sort order, letting Spark drop the window's per-partition Sort when
-    the one-file-per-bucket condition holds.
+    exactly one task -> exactly one file per bucket — the precondition
+    for the scan reporting its ``sort_cols`` order. Spark >=3.0 only
+    propagates that order under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (measured here: elides the refint sort-merge join's BIG-side sort;
+    the window's sort survives either way because SMJ guarantees key
+    order only). The remaining sorts are per-bucket and in-memory —
+    the exchange is the cost that matters at 10^12 rows.
 
     Iceberg analog: ``bucket(N, conv_id)`` partition transform + a
     sorted write — same contract, engine-enforced at commit time.
+
+    ``path`` makes the table EXTERNAL (files survive the session). The
+    bucket id is encoded in each file name, so a later session — or a
+    session-scoped in-memory catalog — re-attaches the layout with
+    :func:`register_bucketed_table`; the data is never rewritten.
     """
     writer = (
         df.repartition(n_buckets, F.col(key))
@@ -267,7 +277,37 @@ def write_bucketed_table(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.mode("overwrite").saveAsTable(table_name)
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    schema,
+    key: str = "conv_id",
+    n_buckets: int = 64,
+    sort_cols: Optional[list] = None,
+) -> None:
+    """(Re-)attach an existing bucketed parquet directory as a catalog
+    table. Bucketing lives in table METADATA, not the files — a plain
+    ``spark.read.parquet(path)`` forgets the layout and the suite plan
+    grows its Exchange back. ``schema`` is a StructType (pass
+    ``df.schema`` from the writing side or read one file's footer)."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    sort_clause = (
+        f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) {sort_clause}INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def committed_partitions(
@@ -323,6 +363,7 @@ def run_partitioned(
     max_partitions: Optional[int] = None,
     fail_injector=None,  # test hook: fn(partition_id) called pre-commit
     storage_options: Optional[dict] = None,
+    violations_limit: Optional[int] = None,
 ) -> PartitionedRunSummary:
     """Validate every uncommitted date-partition of ``table_path``."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -359,6 +400,7 @@ def run_partitioned(
             spark=spark, df=batch, suite=suite, run_id=run_id,
             partition_id=p, registry_df=registry_df, baseline_df=baseline_df,
             table_path=table_path, storage_options=storage_options,
+            violations_limit=violations_limit,
         )
         res = run_suite(ctx)
 

@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
                         "delta (trims read-side merge fan-in)")
+    p.add_argument("--violations-limit", type=int, default=None,
+                   metavar="N",
+                   help="cap the violations sink to N example rows per "
+                        "check (verdict counts stay exact — they ride "
+                        "the fused metrics pass, not the sink). Bounds "
+                        "the output of a pathological all-rows-dirty "
+                        "batch by construction")
     p.add_argument("--quarantine", default=None,
                    help="also write the FULL-WIDTH offending rows (row/"
                         "window verdicts) to this parquet path — the "
@@ -174,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             max_partitions=args.max_partitions,
             storage_options=storage_options,
+            violations_limit=args.violations_limit,
         )
         print(
             f"run {summary.run_id}: processed {len(summary.processed)} "
@@ -306,6 +314,7 @@ def main(argv: list[str] | None = None) -> int:
         spark=spark, df=df, suite=suite, run_id=uuid.uuid4().hex[:12],
         registry_df=registry, baseline_df=baseline, table_path=args.table,
         storage_options=storage_options,
+        violations_limit=args.violations_limit,
     )
     res = run_suite(ctx)
     res.report.console_print()

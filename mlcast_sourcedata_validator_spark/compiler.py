@@ -206,6 +206,23 @@ def _with_bucket_cols(df, cs: CompiledSuite):
     return df
 
 
+def _viol_metric(check_id: str) -> str:
+    return f"__viol_{check_id}"
+
+
+def _count_exprs(checks: list[tuple[str, RowCheck]]) -> list:
+    """Exact per-check violation counters as aggregate Columns — these
+    ride the same Observation as the stats metrics, so verdict counts
+    cost zero extra jobs (and land in the metrics store as trendable
+    per-check series). The violations DataFrame is then free to be
+    capped to bounded EXAMPLES without corrupting any verdict."""
+    return [
+        F.sum(F.when(rc.pred, 1).otherwise(0)).cast("long")
+        .alias(_viol_metric(rc.check_id))
+        for _, rc in checks
+    ]
+
+
 def _agg_exprs(cs: CompiledSuite) -> list:
     exprs = [F.count(F.lit(1)).alias("__n_rows")]
     seen = {"__n_rows"}
@@ -221,6 +238,9 @@ def _agg_exprs(cs: CompiledSuite) -> list:
             exprs.append(
                 F.sum(F.when(b == i, 1).otherwise(0)).alias(f"{dc.check_id}__bin_{i}")
             )
+    exprs.extend(
+        _count_exprs([(c, rc) for c, rc in cs.row_checks if not rc.needs_window])
+    )
     return exprs
 
 
@@ -369,12 +389,21 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
         for _, pc in cs.post_agg_checks
         for name, col in pc.exprs.items()
     ]
+    if cs.row_checks or cs.post_agg_checks:
+        # window-check counters need the enrichment columns, so they ride
+        # the SECOND observation (same action, post-window plan position)
+        post_exprs = post_exprs + _count_exprs(win_checks)
     if post_exprs and enriched is not None and cs.row_checks and not ctx.exact:
         post_obs = Observation("post_metrics")
         enriched = enriched.observe(post_obs, *post_exprs)
 
     viol = None
     if cs.row_checks:
+        if ctx.violations_limit is not None and ctx.exact:
+            raise ValueError(
+                "violations_limit needs the observed per-check counters "
+                "(exact=False): in exact mode counts come from the "
+                "violations table itself, which the cap truncates")
         viol = (
             enriched.select(
                 # explicit casts: VIOLATIONS_SCHEMA is fixed across suites
@@ -396,8 +425,58 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
                 F.lit(ctx.partition_id).cast("string").alias("partition_id"),
             )
         )
+        if ctx.violations_limit is not None:
+            viol = _cap_examples(viol, ctx.violations_limit)
 
     return SuitePlan(agg_exprs, post_exprs, obs, post_obs, enriched, viol)
+
+
+def _cap_examples(viol, limit: int):
+    """Bound the violations table to at most ``limit`` EXAMPLE rows per
+    check while verdict counts stay exact (they ride the Observations,
+    not this table).
+
+    At 10^12 rows a misdeclared domain turns "violations are the
+    exception" into a violations table the size of the input; the sink
+    must be bounded by construction. Two-phase cap, the top-k shape:
+
+    1. map-side: each task passes through at most ``limit`` rows per
+       check_id (stateful counter inside one Arrow ``mapInPandas`` task
+       stream) — bounds the data to O(limit x n_tasks) BEFORE any
+       shuffle, so a pathological batch cannot concentrate billions of
+       rows into the final cap;
+    2. exact: row_number over (check_id) ordered by (conv_id, turn_idx)
+       keeps the first ``limit`` of the bounded survivors — a shuffle of
+       at most limit x n_tasks rows, trivially small.
+
+    Which examples survive phase 1 depends on task order (retry-safe but
+    not globally deterministic); phase 2 makes the FINAL pick
+    deterministic given phase-1 survivors.
+    """
+    schema = viol.schema
+
+    def cap_iter(batches):
+        seen: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = []
+            for cid in pdf["check_id"]:
+                c = seen.get(cid, 0)
+                keep = c < limit
+                if keep:
+                    seen[cid] = c + 1
+                mask.append(keep)
+            if any(mask):
+                yield pdf[mask]
+
+    capped = viol.mapInPandas(cap_iter, schema=schema)
+    w = Window.partitionBy("check_id").orderBy("conv_id", "turn_idx")
+    return (
+        capped.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= limit)
+        .drop("__rn")
+    )
 
 
 def quarantine(
@@ -418,6 +497,12 @@ def quarantine(
     """
     cs = compile_suite(ctx.suite, exact=ctx.exact,
                        partition_scoped=ctx.partition_id is not None)
+    if ctx.violations_limit is not None:
+        # the cap bounds EXAMPLES for the report sink; quarantine must
+        # split on every offending key, so it always builds uncapped
+        import dataclasses
+
+        ctx = dataclasses.replace(ctx, violations_limit=None)
     plan = build_suite_plan(ctx, cs)
     if plan.violations is None:  # no row/window checks in the suite
         return ctx.df, ctx.df.limit(0)
@@ -497,6 +582,7 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
     enriched, viol = plan.enriched, plan.violations
 
     n_input_rows = 0
+    counts: dict = {}
     if cs.row_checks:
         if violations_path:
             viol.write.mode("append").parquet(violations_path)
@@ -505,10 +591,6 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                 viol = viol.where(F.col("partition_id") == ctx.partition_id)
         else:
             viol = viol.localCheckpoint()  # materializes -> observation filled
-        counts = {
-            r["check_id"]: r["n"]
-            for r in viol.groupBy("check_id").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
         if obs is not None:
             try:
                 metrics.update(obs.get)
@@ -520,7 +602,6 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                 metrics.update(row.asDict())
             n_input_rows = metrics.get("__n_rows", 0)
     else:
-        counts = {}
         viol = spark.createDataFrame([], schema=VIOLATIONS_SCHEMA)
 
     if obs is None and (cs.agg_checks or cs.drift_checks):
@@ -538,6 +619,25 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
                 metrics.update(enriched.agg(*post_exprs).collect()[0].asDict())
         else:
             metrics.update(enriched.agg(*post_exprs).collect()[0].asDict())
+
+    # --- 3c. per-check violation counts ------------------------------------
+    # Observed path: the exact counters rode the two Observations (pre-
+    # window checks on the scan, window checks on the enriched plan) — no
+    # extra job, and the violations table may be example-capped. Exact
+    # mode has no Observations, so counts come from the (uncapped by
+    # construction) violations table itself.
+    if cs.row_checks:
+        if obs is not None:
+            counts = {
+                rc.check_id: int(metrics.get(_viol_metric(rc.check_id)) or 0)
+                for _, rc in cs.row_checks
+            }
+        else:
+            counts = {
+                r["check_id"]: r["n"]
+                for r in viol.groupBy("check_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
     # --- 4. drift baselines ------------------------------------------------
     for cid, dc in cs.drift_checks:
         if ctx.baseline_df is not None:

@@ -136,6 +136,10 @@ class RunContext:
     #: --s3-endpoint-url/--s3-anon plumbing, specs/cli.py:140-160)
     storage_options: Optional[dict] = None
     exact: bool = False  # tests: exact countDistinct instead of HLL
+    #: cap the violations table to at most this many EXAMPLE rows per
+    #: check (compiler._cap_examples). Verdict counts stay exact — they
+    #: ride the fused Observations. None = emit every violation row.
+    violations_limit: Optional[int] = None
 
 
 # --- suite registry (analog of specs/cli.py module discovery) ---------------

@@ -270,3 +270,45 @@ def test_role_transition_grammar_check(spark):
     res2 = run_suite(RunContext(spark=spark, df=clean_df, suite=suite,
                                 run_id="g2"))
     assert not res2.report.has_fails() and res2.n_violations == 0
+
+
+def test_violations_limit_caps_examples_counts_stay_exact(spark, clean,
+                                                          baseline, dirty_run):
+    """violations_limit bounds the violations SINK to example rows per
+    check; every verdict, count and the exit code must be identical to
+    the uncapped run — the counts ride the Observations, not the table."""
+    res_full, expected = dirty_run
+    dirty, _ = inject_violations(clean, k=K, seed=42)
+    reg = generate_conversations_registry(
+        dirty, drop_convs=dangling_conv_ids(expected))
+    limit = 3
+    ctx = RunContext(spark=spark, df=dirty, suite=get_suite("transcripts_v1"),
+                     run_id="t-cap", registry_df=reg, baseline_df=baseline,
+                     violations_limit=limit)
+    res = run_suite(ctx)
+    assert res.report.summarize() == res_full.report.summarize()
+    assert res.n_violations == res_full.n_violations  # exact, not capped
+    assert res.exit_code() == res_full.exit_code() == 1
+    per_check = {r["check_id"]: r["n"] for r in
+                 res.violations.groupBy("check_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    full_per_check = {r["check_id"]: r["n"] for r in
+                      res_full.violations.groupBy("check_id")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_check  # the dirty fixture violates several checks
+    for cid, n in per_check.items():
+        assert n == min(limit, full_per_check[cid]), (cid, n)
+    # every surviving example is a real violation row from the full set
+    extra = (res.violations.select("check_id", "conv_id", "turn_idx")
+             .exceptAll(res_full.violations
+                        .select("check_id", "conv_id", "turn_idx")))
+    assert extra.count() == 0
+
+
+def test_violations_limit_rejected_in_exact_mode(spark, clean, baseline):
+    ctx = RunContext(spark=spark, df=clean, suite=get_suite("transcripts_v1"),
+                     run_id="t-cap-exact",
+                     registry_df=generate_conversations_registry(clean),
+                     baseline_df=baseline, exact=True, violations_limit=5)
+    with pytest.raises(ValueError, match="violations_limit"):
+        run_suite(ctx)
