@@ -33,6 +33,12 @@ BENCH_TABLE = os.path.join(REPO, ".cache", "bench_transcripts")
 BENCH_BASELINE = os.path.join(REPO, ".cache", "bench_baseline")
 BENCH_REGISTRY = os.path.join(REPO, ".cache", "bench_registry")
 BENCH_META = os.path.join(REPO, ".cache", "bench_meta.json")
+# conv_id-bucketed copy of the same rows (suite runs shuffle-free on it;
+# see checkpoint.write_bucketed_table + BENCH/ab_bucketed_r04.json)
+BUCKETED_T = os.path.join(REPO, ".cache", "bench_bucketed_t")
+BUCKETED_R = os.path.join(REPO, ".cache", "bench_bucketed_reg")
+BUCKETED_META = BUCKETED_T + "_meta.json"
+N_BUCKETS = 64
 # ~40M turns: at the previous 9.9M-turn size the suite wall at local[32]
 # was ~6s, of which ~3s is size-independent (plan analysis, driver-side
 # sampled checks, job scheduling) — Amdahl caps measured 8->32 scaling at
@@ -126,15 +132,63 @@ def ensure_bench_table(spark) -> None:
     _ = F  # keep import local-use explicit
 
 
-def run_suite_once(spark) -> tuple[float, int]:
-    """Run the full suite on the bench table; return (wall_sec, n_rows)."""
+def ensure_bucketed_table(spark) -> None:
+    """Write-once conv_id-bucketed copy of the bench rows (+ registry)."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        write_bucketed_table,
+    )
+
+    try:
+        meta = json.load(open(BUCKETED_META))
+    except Exception:
+        meta = {}
+    if (os.path.isdir(BUCKETED_T) and os.path.isdir(BUCKETED_R)
+            and meta.get("n_convs") == N_CONVS):
+        return
+    df = spark.read.parquet(BENCH_TABLE).drop("date")
+    write_bucketed_table(df, "bench_bkt_t", "conv_id", N_BUCKETS,
+                         ["conv_id", "turn_idx"], path=BUCKETED_T)
+    reg = spark.read.parquet(BENCH_REGISTRY)
+    write_bucketed_table(reg, "bench_bkt_reg", "conv_id", N_BUCKETS,
+                         ["conv_id"], path=BUCKETED_R)
+    with open(BUCKETED_META, "w") as f:
+        json.dump({"n_convs": N_CONVS}, f)
+
+
+def attach_bucketed_tables(spark) -> None:
+    """Re-attach the bucketed dirs to THIS session's catalog (bucketing
+    is table metadata; a plain parquet read forgets the layout)."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        register_bucketed_table,
+    )
+
+    register_bucketed_table(
+        spark, "bench_bkt_t", BUCKETED_T,
+        spark.read.parquet(BUCKETED_T).schema,
+        "conv_id", N_BUCKETS, ["conv_id", "turn_idx"])
+    register_bucketed_table(
+        spark, "bench_bkt_reg", BUCKETED_R,
+        spark.read.parquet(BUCKETED_R).schema,
+        "conv_id", N_BUCKETS, ["conv_id"])
+
+
+def run_suite_once(spark, layout: str = "partitioned") -> tuple[float, int]:
+    """Run the full suite on the bench table; return (wall_sec, n_rows).
+
+    ``layout='bucketed'`` reads the conv_id-bucketed catalog tables
+    (attach_bucketed_tables must have run in this session): the fused
+    plan is then Exchange-free — same checks, same verdicts."""
     from pyspark.sql import functions as F
 
     from mlcast_sourcedata_validator_spark.compiler import run_suite
     from mlcast_sourcedata_validator_spark.suite import RunContext, get_suite
 
-    df = spark.read.parquet(BENCH_TABLE).drop("date")
-    registry = spark.read.parquet(BENCH_REGISTRY)
+    if layout == "bucketed":
+        df = spark.table("bench_bkt_t")
+        registry = spark.table("bench_bkt_reg")
+    else:
+        df = spark.read.parquet(BENCH_TABLE).drop("date")
+        registry = spark.read.parquet(BENCH_REGISTRY)
     baseline = spark.read.parquet(BENCH_BASELINE)
     suite = get_suite("transcripts_v1")
     t0 = time.time()
@@ -149,7 +203,7 @@ def run_suite_once(spark) -> tuple[float, int]:
     return wall, res.n_input_rows
 
 
-def calibration_once(spark, cores: int) -> float:
+def calibration_once(spark, cores: int, layout: str = "partitioned") -> float:
     """The measured parallel-scaling ceiling: an IDEAL zero-shuffle,
     zero-Python Spark job over the SAME bench table (scan + fused agg of
     sum(length(text)) and ts min/max). This is the right comparator for
@@ -162,8 +216,9 @@ def calibration_once(spark, cores: int) -> float:
     traffic does. Protocol documented in BENCH/BASELINE.md."""
     from pyspark.sql import functions as F
 
+    src = BUCKETED_T if layout == "bucketed" else BENCH_TABLE
     t0 = time.time()
-    spark.read.parquet(BENCH_TABLE).agg(
+    spark.read.parquet(src).agg(
         F.sum(F.length("text")), F.min("ts"), F.max("ts")
     ).collect()
     return time.time() - t0
@@ -177,6 +232,7 @@ def main() -> int:
     # --- phase 1: headline queries at SF_DIR on local[CPUS] ----------------
     spark = _session(CPUS)
     ensure_bench_table(spark)
+    ensure_bucketed_table(spark)
     # headline set spans the driver window AND the demoted oracle twins
     qs = dict(entry_mod.queries())
     qs.update(entry_mod.extra_queries())
@@ -211,8 +267,13 @@ def main() -> int:
     # Interleaved rounds (hi, lo, hi, lo, ...) with min-of-2 per session and
     # min across rounds: the sandbox has heavy ambient wall-clock noise, and
     # min-of-interleaved is the least-contended sample at each level.
-    suite_walls: dict[int, list[float]] = {CPUS: [], LOW_CPUS: []}
-    calib_walls: dict[int, list[float]] = {CPUS: [], LOW_CPUS: []}
+    # Both layouts per session, interleaved: "partitioned" (the
+    # round-1..3 protocol — cross-round continuity) and "bucketed"
+    # (conv_id-bucketed catalog tables; the fused plan is Exchange-free,
+    # see checkpoint.write_bucketed_table + BENCH/ab_bucketed_r04.json).
+    LAYOUTS = ("partitioned", "bucketed")
+    suite_walls: dict = {L: {CPUS: [], LOW_CPUS: []} for L in LAYOUTS}
+    calib_walls: dict = {L: {CPUS: [], LOW_CPUS: []} for L in LAYOUTS}
     n_rows = 0
     # 3 interleaved rounds (was 2): ambient contention on this shared
     # sandbox moves walls up to ~3x; one extra round of minima measurably
@@ -220,54 +281,74 @@ def main() -> int:
     for _round in range(3):
         for cores in (CPUS, LOW_CPUS):
             s = _session(cores)
-            w1, n_rows = run_suite_once(s)
-            w2, _ = run_suite_once(s)
-            suite_walls[cores].append(min(w1, w2))
-            c1 = calibration_once(s, cores)
-            c2 = calibration_once(s, cores)
-            calib_walls[cores].append(min(c1, c2))
+            attach_bucketed_tables(s)
+            for L in LAYOUTS:
+                w1, n_rows = run_suite_once(s, L)
+                w2, _ = run_suite_once(s, L)
+                suite_walls[L][cores].append(min(w1, w2))
+                c1 = calibration_once(s, cores, L)
+                c2 = calibration_once(s, cores, L)
+                calib_walls[L][cores].append(min(c1, c2))
             s.stop()
 
-    wall_hi, wall_lo = min(suite_walls[CPUS]), min(suite_walls[LOW_CPUS])
-    cal_hi, cal_lo = min(calib_walls[CPUS]), min(calib_walls[LOW_CPUS])
-    thr_hi, thr_lo = n_rows / wall_hi, n_rows / wall_lo
-    factor = CPUS / LOW_CPUS
-    raw_eff = thr_hi / (factor * thr_lo)
-    ceiling_eff = (cal_lo / cal_hi) / factor  # calibration speedup / factor
-    norm_eff = raw_eff / ceiling_eff if ceiling_eff > 0 else float("nan")
-
-    # per-round pairing: a round's four sessions run back-to-back, so its
-    # suite/ideal-job walls saw comparable ambient load — normalizing
-    # within a round is more faithful than pairing minima that may come
-    # from different contention regimes. All rounds are reported for
-    # scrutiny; a round whose calibration walls diverge >2x from the
-    # best round's is CONTAMINATED (ambient load moved between its
-    # calibration and suite measurements) and is excluded from the
-    # headline, which is the MEDIAN of the clean rounds — never the max
-    # (round 2 headlined a max() of 5.237 from exactly such a round).
-    per_round_raw, per_round_norm, clean_rounds = [], [], []
-    for r in range(len(suite_walls[CPUS])):
-        rr = suite_walls[LOW_CPUS][r] / (factor * suite_walls[CPUS][r])
-        rc = calib_walls[LOW_CPUS][r] / (factor * calib_walls[CPUS][r])
-        per_round_raw.append(round(rr, 3))
-        per_round_norm.append(round(rr / rc, 3) if rc > 0 else float("nan"))
-        contaminated = (
-            calib_walls[CPUS][r] > 2.0 * cal_hi
-            or calib_walls[LOW_CPUS][r] > 2.0 * cal_lo
-            or suite_walls[CPUS][r] > 2.0 * wall_hi
-            or suite_walls[LOW_CPUS][r] > 2.0 * wall_lo
-        )
-        if not contaminated:
-            clean_rounds.append(per_round_norm[-1])
-    if not clean_rounds:  # all rounds contended: fall back to everything
-        clean_rounds = per_round_norm
     import statistics
-    headline_norm = statistics.median(clean_rounds)
+
+    factor = CPUS / LOW_CPUS
+
+    def _scaling(layout: str) -> dict:
+        """Headline + per-round scaling metrics for one layout.
+
+        Per-round pairing: a round's sessions run back-to-back, so its
+        suite/ideal-job walls saw comparable ambient load — normalizing
+        within a round is more faithful than pairing minima that may
+        come from different contention regimes. All rounds are reported
+        for scrutiny; a round whose calibration or suite wall diverges
+        >2x from the best round's is CONTAMINATED (ambient load moved
+        between its measurements) and is excluded from the headline,
+        which is the MEDIAN of the clean rounds — never the max (round 2
+        headlined a max() of 5.237 from exactly such a round)."""
+        sw, cw = suite_walls[layout], calib_walls[layout]
+        wall_hi, wall_lo = min(sw[CPUS]), min(sw[LOW_CPUS])
+        cal_hi, cal_lo = min(cw[CPUS]), min(cw[LOW_CPUS])
+        thr_hi, thr_lo = n_rows / wall_hi, n_rows / wall_lo
+        raw_eff = thr_hi / (factor * thr_lo)
+        ceiling_eff = (cal_lo / cal_hi) / factor
+        norm_eff = raw_eff / ceiling_eff if ceiling_eff > 0 else float("nan")
+        per_round_raw, per_round_norm, clean_rounds = [], [], []
+        for r in range(len(sw[CPUS])):
+            rr = sw[LOW_CPUS][r] / (factor * sw[CPUS][r])
+            rc = cw[LOW_CPUS][r] / (factor * cw[CPUS][r])
+            per_round_raw.append(round(rr, 3))
+            per_round_norm.append(round(rr / rc, 3) if rc > 0 else float("nan"))
+            contaminated = (
+                cw[CPUS][r] > 2.0 * cal_hi
+                or cw[LOW_CPUS][r] > 2.0 * cal_lo
+                or sw[CPUS][r] > 2.0 * wall_hi
+                or sw[LOW_CPUS][r] > 2.0 * wall_lo
+            )
+            if not contaminated:
+                clean_rounds.append(per_round_norm[-1])
+        if not clean_rounds:  # all rounds contended: fall back to everything
+            clean_rounds = per_round_norm
+        return {
+            "wall_hi": wall_hi, "wall_lo": wall_lo,
+            "cal_hi": cal_hi, "cal_lo": cal_lo,
+            "thr_hi": thr_hi, "thr_lo": thr_lo,
+            "raw_eff": raw_eff, "ceiling_eff": ceiling_eff,
+            "norm_eff": norm_eff,
+            "per_round_raw": per_round_raw,
+            "per_round_norm": per_round_norm,
+            "clean_rounds": clean_rounds,
+            "headline_norm": statistics.median(clean_rounds),
+        }
+
+    part = _scaling("partitioned")
+    bkt = _scaling("bucketed")
 
     result.update(
         {
             "metric": "full_suite_wall_sec",
-            "value": round(wall_hi, 3),
+            "value": round(part["wall_hi"], 3),
             "unit": "sec",
             # cross-round continuity: the bench table grew 4x in round 2
             # (9.88M -> 39.5M turns, see BENCH/BASELINE.md) — compare
@@ -277,25 +358,34 @@ def main() -> int:
             "queries": per_query,
             "queries_spread": query_spread,
             "suite_turns": n_rows,
-            "suite_turns_per_sec_hi": round(thr_hi, 1),
-            "suite_turns_per_sec_lo": round(thr_lo, 1),
+            "suite_turns_per_sec_hi": round(part["thr_hi"], 1),
+            "suite_turns_per_sec_lo": round(part["thr_lo"], 1),
             "cores_hi": CPUS,
             "cores_lo": LOW_CPUS,
-            "scaling_efficiency_raw": round(raw_eff, 3),
-            "hardware_ceiling_efficiency": round(ceiling_eff, 3),
+            "scaling_efficiency_raw": round(part["raw_eff"], 3),
+            "hardware_ceiling_efficiency": round(part["ceiling_eff"], 3),
             # headline = MEDIAN of non-contaminated rounds (calibration
             # wall within 2x of the best round's); min-paired kept as the
             # conservative floor, per-round list as the full evidence
-            "scaling_efficiency_normalized": round(headline_norm, 3),
-            "scaling_efficiency_normalized_minpaired": round(norm_eff, 3),
-            "scaling_per_round_raw": per_round_raw,
-            "scaling_per_round_normalized": per_round_norm,
-            "scaling_rounds_used": len(clean_rounds),
+            "scaling_efficiency_normalized": round(part["headline_norm"], 3),
+            "scaling_efficiency_normalized_minpaired": round(part["norm_eff"], 3),
+            "scaling_per_round_raw": part["per_round_raw"],
+            "scaling_per_round_normalized": part["per_round_norm"],
+            "scaling_rounds_used": len(part["clean_rounds"]),
             # raw calibration walls (ideal scan+agg over the same table):
             # lets a reader judge how contended the shared sandbox was
             # during THIS run — compare across runs
-            "calibration_wall_sec_hi": round(cal_hi, 3),
-            "calibration_wall_sec_lo": round(cal_lo, 3),
+            "calibration_wall_sec_hi": round(part["cal_hi"], 3),
+            "calibration_wall_sec_lo": round(part["cal_lo"], 3),
+            # --- conv_id-bucketed layout: same rows, same checks, the
+            # suite's only shuffle elided by table layout ---------------
+            "suite_turns_per_sec_hi_bucketed": round(bkt["thr_hi"], 1),
+            "suite_turns_per_sec_lo_bucketed": round(bkt["thr_lo"], 1),
+            "scaling_efficiency_raw_bucketed": round(bkt["raw_eff"], 3),
+            "hardware_ceiling_efficiency_bucketed": round(bkt["ceiling_eff"], 3),
+            "scaling_efficiency_normalized_bucketed": round(bkt["headline_norm"], 3),
+            "scaling_per_round_normalized_bucketed": bkt["per_round_norm"],
+            "bucketed_speedup_hi": round(part["wall_hi"] / bkt["wall_hi"], 3),
         }
     )
     print(json.dumps(result))
