@@ -1263,6 +1263,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- structured streaming (watermark + tumbling window, availableNow) ---
     _stream_seq = [0]
 
+    def _start_stream(spark, agg, qname):
+        """Start + drain an availableNow stream with state partitions
+        sized to the drain, not the batch default.
+
+        A stateful operator creates one state-store instance PER shuffle
+        partition, and that count is frozen into the checkpoint at the
+        first micro-batch; every batch then pays per-instance commit +
+        task overhead. The session default (2x cores, for batch scans) is
+        the wrong size for a bounded drain: measured at sf0.1 (3 reps,
+        medians), dedup 7.4s @64 -> 2.0s @8 and hourly 2.8s @64 -> 1.0s
+        @8 (BENCH/stream_state_partitions_r04.json). Sizing rule at real
+        scale: state partitions ~ live-key volume / executor heap, set
+        ONCE for the checkpoint's lifetime — a continuous 10^12-turn
+        stream sizes UP; these single-batch drains size down to 8."""
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q_ = (agg.writeStream.outputMode("complete").format("memory")
+                  .queryName(qname).trigger(availableNow=True).start())
+            q_.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
     def streaming_hourly_counts_events(spark, sf):
         """Hourly tumbling-window aggregate computed by Structured Streaming
         (readStream over the parquet file, 1h watermark, availableNow
@@ -1291,9 +1314,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum(F.col("value").cast("decimal(24,6)"))
                          .cast("double"), 4).alias("sum_value"))
         )
-        q_ = (agg.writeStream.outputMode("complete").format("memory")
-              .queryName(qname).trigger(availableNow=True).start())
-        q_.awaitTermination()
+        _start_stream(spark, agg, qname)
         return spark.sql(
             f"SELECT w.start AS hour_start, n_events, sum_value FROM {qname}"
         )
@@ -1346,9 +1367,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum(F.col("value").cast("decimal(24,6)"))
                     .cast("double"), 4).alias("sum_value"),
         )
-        q_ = (agg.writeStream.outputMode("complete").format("memory")
-              .queryName(qname).trigger(availableNow=True).start())
-        q_.awaitTermination()
+        _start_stream(spark, agg, qname)
         return spark.sql(
             f"SELECT event_type, n_events, sum_value FROM {qname}"
         )
