@@ -92,6 +92,7 @@ _COMPILERS = {
     "turn_contiguity": ordering.compile_turn_contiguity,
     "ts_monotonic": ordering.compile_ts_monotonic,
     "variable_timestep": ordering.compile_variable_timestep,
+    "max_conv_turns": ordering.compile_max_conv_turns,
     "role_transitions": ordering.compile_role_transitions,
     "refint": refint.compile_refint,
     # drift

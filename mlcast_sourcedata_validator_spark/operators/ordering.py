@@ -136,6 +136,48 @@ def compile_ts_monotonic(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
     return [RowCheck(spec.check_id, regressed, detail, verdict, needs_window=True)]
 
 
+def compile_max_conv_turns(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """Bound conversation length: > ``max_turns`` turns is a violation.
+
+    This is the suite's OWN skew guard made explicit: the fused plan's
+    only shuffle is the per-conversation window, and the compiler's
+    scale argument (compiler.py header) is that hot conv_ids cannot
+    create a straggler partition because per-key volume is bounded by
+    conversation length. This check ENFORCES that bound as a data
+    invariant instead of assuming it — a runaway logger stitching
+    millions of turns onto one conv_id surfaces as a FAIL with the
+    offending conv_id, not as a silent straggler task.
+
+    Zero extra cost: fires on exactly the (max_turns+1)-th row of an
+    offending conversation using the row_number the shared window
+    already computes — one violation row per overlong conversation, no
+    per-conv aggregate, no second window.
+
+    Partition-scoped batches apply the bound to the LOCAL row_number —
+    a conversation split across date partitions can only under-count,
+    never false-FAIL; the cross-partition total is the conv rollup's
+    territory (functions/rollup.py per-conv turn counts).
+
+    params: max_turns: int (required).
+    """
+    max_turns = int(spec.params["max_turns"])
+    pred = F.col(RN) == max_turns + 1
+    detail = F.lit(f"conversation exceeds max_turns={max_turns}")
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} conversations longer than "
+                       f"{max_turns} turns")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"every conversation within {max_turns} turns")
+        return stamp(report, _MOD, "compile_max_conv_turns")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+
+
 def compile_variable_timestep(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
     """Per-conversation variable-timestep detection.
 

@@ -93,6 +93,13 @@ def suite() -> CheckSuite:
             {"allow_variable_timestep": True},
         ),
         CheckSpec(
+            "max_conv_turns", "max_conv_turns", "3.4 grammar",
+            "A conversation MUST NOT exceed 10000 turns (also the bound "
+            "the engine's per-conversation window shuffle relies on for "
+            "skew-free execution).",
+            {"max_turns": 10000},
+        ),
+        CheckSpec(
             "temporal_coverage", "temporal_coverage", "3.5 temporal",
             "The table SHOULD span a non-trivial time range.",
             {"min_years": 0.0},

@@ -312,3 +312,36 @@ def test_violations_limit_rejected_in_exact_mode(spark, clean, baseline):
                      baseline_df=baseline, exact=True, violations_limit=5)
     with pytest.raises(ValueError, match="violations_limit"):
         run_suite(ctx)
+
+
+def test_max_conv_turns_guard(spark, clean, baseline):
+    """The skew-guard check: an overlong conversation yields exactly ONE
+    violation row (on the (max+1)-th turn) and a FAIL; clean data PASSes
+    under the suite's 10000-turn bound."""
+    from mlcast_sourcedata_validator_spark.suite import CheckSpec, CheckSuite
+
+    suite = CheckSuite(suite_id="maxlen", checks=[
+        CheckSpec("max_conv_turns", "max_conv_turns", "3.4 grammar",
+                  "bound", {"max_turns": 50}),
+    ])
+    # clean fixture: generator caps conversations at 512 turns -> some
+    # convs exceed 50, so craft a tight case instead: bound 50 over a
+    # table whose longest conversation has exactly 50 turns
+    short = clean.where(F.col("turn_idx") < 50)
+    reg = generate_conversations_registry(short)
+    res = run_suite(RunContext(spark=spark, df=short, suite=suite,
+                               run_id="ml-ok", registry_df=reg))
+    assert res.exit_code() == 0 and res.n_violations == 0
+
+    # one conversation one turn over the bound
+    over = clean.where(F.col("turn_idx") < 51)
+    n_over = (over.groupBy("conv_id").count()
+              .where(F.col("count") > 50).count())
+    assert n_over > 0
+    res2 = run_suite(RunContext(spark=spark, df=over, suite=suite,
+                                run_id="ml-bad", registry_df=reg))
+    assert res2.exit_code() == 1
+    assert res2.n_violations == n_over
+    rows = res2.violations.collect()
+    assert all(r["check_id"] == "max_conv_turns" and r["turn_idx"] == 50
+               for r in rows)
