@@ -350,6 +350,107 @@ class PartitionedRunSummary:
         return 1 if self.n_fails else 0
 
 
+def _latest_check_rates(metrics_df: DataFrame, lineage_df: DataFrame,
+                        suite_id: str) -> DataFrame:
+    """(partition_id, check_id, run_id, n_viol, rate) from the LATEST
+    committed run of each partition: per-check violation counters
+    (``__viol_<check_id>`` metrics rows, compiler._count_exprs) joined
+    to lineage for the row volume, rate = count / n_input_rows."""
+    from pyspark.sql import Window
+
+    lin = (
+        lineage_df.where((F.col("suite_id") == suite_id)
+                         & (F.col("status") == "COMMITTED"))
+        .select("run_id", "partition_id", "n_input_rows", "committed_at")
+    )
+    w = Window.partitionBy("partition_id") \
+        .orderBy(F.col("committed_at").desc(), F.col("run_id"))
+    lin = lin.withColumn("_k", F.row_number().over(w)) \
+        .where(F.col("_k") == 1).drop("_k", "committed_at")
+    met = (
+        metrics_df.where((F.col("suite_id") == suite_id)
+                         & F.col("metric").startswith("__viol_"))
+        .select(
+            "run_id", "partition_id",
+            F.expr("substring(metric, 8)").alias("check_id"),
+            F.col("value").alias("n_viol"),
+        )
+    )
+    return met.join(lin, ["run_id", "partition_id"]).withColumn(
+        "rate", F.col("n_viol") / F.greatest(F.col("n_input_rows"), F.lit(1))
+    )
+
+
+def violation_trend_audit(
+    prev_metrics: DataFrame,
+    prev_lineage: DataFrame,
+    cur_metrics: DataFrame,
+    cur_lineage: DataFrame,
+    suite_id: str,
+    min_ratio: float = 2.0,
+    min_count: int = 10,
+) -> DataFrame:
+    """Flag checks whose violation RATE jumped between two results
+    stores (previous corpus release vs current) on the same partition —
+    drift detection on the CHECK OUTCOMES themselves, riding the
+    per-check counters the suite writes to the metrics store.
+
+    A check that fires 2x more often between two releases usually means
+    the upstream producer changed, even when every run still "passes"
+    its absolute thresholds. Rates (count / lineage ``n_input_rows``)
+    make releases with different row volumes comparable; ``min_count``
+    suppresses small-number noise, and a previous rate of zero flags on
+    any >= min_count recurrence. Cross-store comparison matches the
+    engine's other drift machinery (baseline snapshot vs current): each
+    store's per-partition overwrite idempotency is untouched, and on
+    Iceberg the "previous store" can be a snapshot time-travel read of
+    the same table.
+
+    All four inputs are store tables — O(partitions x checks) rows,
+    never O(data) — so the audit is two small joins + one tiny window
+    regardless of table size. Pass ``read_metrics(...)`` /
+    ``spark.read.parquet(<results>/lineage)`` (path store) or
+    ``store.read("metrics"/"lineage")`` (catalog store).
+
+    Returns (partition_id, check_id, prev_run_id, cur_run_id, prev_rate,
+    cur_rate, prev_n, cur_n, ratio), one row per flagged (partition,
+    check), ratio NULL when prev_rate was zero.
+    """
+    prev = _latest_check_rates(prev_metrics, prev_lineage, suite_id).select(
+        "partition_id", "check_id",
+        F.col("run_id").alias("prev_run_id"),
+        F.col("rate").alias("prev_rate"),
+        F.col("n_viol").alias("prev_n"),
+    )
+    cur = _latest_check_rates(cur_metrics, cur_lineage, suite_id).select(
+        "partition_id", "check_id",
+        F.col("run_id").alias("cur_run_id"),
+        F.col("rate").alias("cur_rate"),
+        F.col("n_viol").alias("cur_n"),
+    )
+    both = cur.join(prev, ["partition_id", "check_id"])
+    return (
+        both.where(
+            (F.col("cur_n") >= min_count)
+            & (
+                (F.col("prev_rate") == 0)
+                | (F.col("cur_rate") >= min_ratio * F.col("prev_rate"))
+            )
+            & (F.col("cur_rate") > F.col("prev_rate"))
+        )
+        .select(
+            "partition_id", "check_id", "prev_run_id", "cur_run_id",
+            F.round("prev_rate", 8).alias("prev_rate"),
+            F.round("cur_rate", 8).alias("cur_rate"),
+            F.col("prev_n").cast("long").alias("prev_n"),
+            F.col("cur_n").cast("long").alias("cur_n"),
+            F.when(F.col("prev_rate") > 0,
+                   F.round(F.col("cur_rate") / F.col("prev_rate"), 3))
+            .alias("ratio"),
+        )
+    )
+
+
 def run_partitioned(
     spark: SparkSession,
     suite: CheckSuite,

@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
                         "delta (trims read-side merge fan-in)")
+    p.add_argument("--trend-baseline", default=None, metavar="STORE",
+                   help="previous release's results store: after the "
+                        "partitioned run, flag checks whose violation "
+                        "rate jumped >=2x (or recurred from zero) vs "
+                        "that store's latest committed runs")
     p.add_argument("--violations-limit", type=int, default=None,
                    metavar="N",
                    help="cap the violations sink to N example rows per "
@@ -249,6 +254,33 @@ def main(argv: list[str] | None = None) -> int:
                           f"partition(s): {detail}")
                 else:
                     print(f"metric audit [{metric}]: no outliers")
+        if args.trend_baseline:
+            from .checkpoint import (
+                read_lineage,
+                read_metrics,
+                violation_trend_audit,
+            )
+
+            flags = violation_trend_audit(
+                read_metrics(spark, args.trend_baseline),
+                read_lineage(spark, args.trend_baseline),
+                read_metrics(spark, args.results),
+                read_lineage(spark, args.results),
+                suite.suite_id,
+            ).collect()
+            if flags:
+                detail = "; ".join(
+                    f"{r['check_id']}@{r['partition_id']} "
+                    f"{r['prev_rate']:g}->{r['cur_rate']:g}"
+                    f" (x{r['ratio']:g})" if r["ratio"] is not None else
+                    f"{r['check_id']}@{r['partition_id']} "
+                    f"0->{r['cur_rate']:g} ({r['cur_n']} rows)"
+                    for r in flags)
+                print(f"trend audit vs {args.trend_baseline}: "
+                      f"{len(flags)} check-rate jump(s): {detail}")
+            else:
+                print(f"trend audit vs {args.trend_baseline}: "
+                      f"no check-rate jumps")
         if args.content_index:
             from pyspark.sql import functions as F
 

@@ -302,3 +302,53 @@ def test_catalog_results_store_commit_resume_parity(spark, table, registry):
     for t in ("valstore_results", "valstore_violations",
               "valstore_lineage", "valstore_metrics"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_violation_trend_audit_flags_jumped_check(spark, table, registry,
+                                                  tmp_path):
+    """Cross-release check-outcome drift: release 2 rewrites some roles
+    to an out-of-domain value on every partition; the audit comparing
+    the two results stores flags role_domain (rate jump from zero) on
+    the affected partitions and nothing else."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        read_metrics,
+        violation_trend_audit,
+    )
+
+    suite = get_suite("transcripts_v1")
+    store1 = str(tmp_path / "rel1")
+    run_partitioned(spark, suite, table, store1, registry_df=registry)
+
+    # release 2: same rows, but ~5% of turns get an out-of-domain role
+    table2 = str(tmp_path / "tbl2")
+    df = spark.read.parquet(table).drop("date")
+    df2 = df.withColumn(
+        "role",
+        F.when(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(20)) == 0,
+               F.lit("robot")).otherwise(F.col("role")),
+    )
+    write_partitioned_transcripts(df2, table2)
+    write_table_properties(table2, {"license": "CC-BY-4.0",
+                                    "consistent_timestep_start": "true"})
+    store2 = str(tmp_path / "rel2")
+    run_partitioned(spark, suite, table2, store2, registry_df=registry)
+
+    out = violation_trend_audit(
+        read_metrics(spark, store1), read_lineage(spark, store1),
+        read_metrics(spark, store2), read_lineage(spark, store2),
+        suite.suite_id, min_ratio=2.0, min_count=5,
+    ).collect()
+    assert out, "the planted role-domain jump must be flagged"
+    flagged_checks = {r["check_id"] for r in out}
+    assert "role_domain" in flagged_checks
+    for r in out:
+        assert r["cur_n"] >= 5 and r["cur_rate"] > r["prev_rate"]
+        # prev release was clean for role_domain -> zero-rate recurrence
+        if r["check_id"] == "role_domain":
+            assert r["prev_n"] == 0 and r["ratio"] is None
+
+    # identical stores -> nothing flagged (no self-drift)
+    assert violation_trend_audit(
+        read_metrics(spark, store2), read_lineage(spark, store2),
+        read_metrics(spark, store2), read_lineage(spark, store2),
+        suite.suite_id).count() == 0
