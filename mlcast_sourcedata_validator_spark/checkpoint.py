@@ -58,8 +58,21 @@ def iceberg_runtime_available(spark: SparkSession) -> bool:
     is always False and :class:`CatalogResultsStore` runs its
     parquet-session-table branch; on a cluster image with the jar the
     SAME store code commits through Iceberg."""
+    cls = "org.apache.iceberg.catalog.Catalog"
+    jvm = spark._jvm
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        # the context classloader sees jars added via --packages /
+        # spark.jars (Spark's MutableURLClassLoader); a bare
+        # Class.forName reflects through py4j's root loader and would
+        # miss them, silently degrading to the parquet store on exactly
+        # the clusters where Iceberg IS available
+        jvm.java.lang.Thread.currentThread().getContextClassLoader() \
+            .loadClass(cls)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False
@@ -476,10 +489,7 @@ def run_partitioned(
     # results destination: a filesystem path (parquet dirs + marker
     # files) or a catalog identifier (catalog tables; Iceberg snapshot
     # commits when the runtime is present)
-    from .sources.catalog import is_table_identifier
-
-    store = (CatalogResultsStore(spark, results_path)
-             if is_table_identifier(results_path) else None)
+    store = _maybe_store(spark, results_path)
     if not resume:
         done: set[str] = set()
     elif store is not None:
@@ -549,10 +559,27 @@ def run_partitioned(
 
 def _maybe_store(spark: SparkSession,
                  results_path: str) -> Optional[CatalogResultsStore]:
-    from .sources.catalog import is_table_identifier
+    """Route a results destination: catalog store for a bare table
+    identifier, path store (``None``) for anything path-like.
 
-    return (CatalogResultsStore(spark, results_path)
-            if is_table_identifier(results_path) else None)
+    An ALREADY-CREATED catalog store is sticky: ``is_table_identifier``
+    lets an existing local path win over the catalog (right for input
+    tables), but for the results store that rule would let an unrelated
+    file appearing in the driver's CWD silently flip a live store's
+    routing between runs — resume would then see zero committed
+    partitions and write to a second store. If the catalog holds this
+    name's lineage table, it IS the store, regardless of local paths."""
+    from .sources.catalog import _IDENT_RE, is_table_identifier
+
+    if is_table_identifier(results_path):
+        return CatalogResultsStore(spark, results_path)
+    if (results_path and "://" not in results_path
+            and "/" not in results_path and "\\" not in results_path
+            and _IDENT_RE.fullmatch(results_path)):
+        store = CatalogResultsStore(spark, results_path)
+        if spark.catalog.tableExists(store._tbl("lineage")):
+            return store
+    return None
 
 
 def read_results(spark: SparkSession, results_path: str) -> DataFrame:

@@ -134,6 +134,23 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import get_spark
 
+    # flags that only act inside the checkpointed partitioned-run branch
+    # must not be ACCEPTED-then-dropped: a user who passes --trend-baseline
+    # with --whole-table would otherwise believe the audit ran clean
+    if not (args.table and not args.whole_table and args.results):
+        ignored = [flag for flag, val in (
+            ("--trend-baseline", args.trend_baseline),
+            ("--audit-metric", args.audit_metric),
+            ("--conv-rollup", args.conv_rollup),
+            ("--content-index", args.content_index),
+        ) if val]
+        if ignored:
+            print(
+                f"warning: {', '.join(ignored)} only take effect in "
+                "checkpointed partitioned runs (--table + --results, "
+                "without --whole-table); ignored in this mode",
+                file=sys.stderr)
+
     # fsspec-style storage options for DRIVER-side metadata I/O (sidecar
     # properties, footer sampling, partition listing); Spark's own scans
     # resolve remote schemes through Hadoop FileSystems independently

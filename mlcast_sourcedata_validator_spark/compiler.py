@@ -390,9 +390,12 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
         for _, pc in cs.post_agg_checks
         for name, col in pc.exprs.items()
     ]
-    if cs.row_checks or cs.post_agg_checks:
+    if (cs.row_checks or cs.post_agg_checks) and not ctx.exact:
         # window-check counters need the enrichment columns, so they ride
-        # the SECOND observation (same action, post-window plan position)
+        # the SECOND observation (same action, post-window plan position).
+        # Exact mode takes its counts from the violations table instead
+        # (run_suite 3c) — appending them there would manufacture an
+        # otherwise-unneeded full window-agg job just to discard them
         post_exprs = post_exprs + _count_exprs(win_checks)
     if post_exprs and enriched is not None and cs.row_checks and not ctx.exact:
         post_obs = Observation("post_metrics")

@@ -705,6 +705,28 @@ def _fs_touch(spark, path: str) -> None:
     fs.create(jpath, True).close()
 
 
+def _fs_latest_round(spark, checkpoint_dir: str) -> int:
+    """Highest ``round_NNNN`` under ``checkpoint_dir`` with a committed
+    ``_SUCCESS`` marker (0 = none beyond the init labels). Listed from
+    the filesystem rather than probed up to the caller's ``max_iter`` —
+    a resume MUST see every round a prior run committed, even when that
+    run used a larger ``max_iter`` than this one."""
+    jvm = spark._jvm
+    jdir = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jdir):
+        return 0
+    best = 0
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith("round_") and name[6:].isdigit():
+            i = int(name[6:])
+            if i > best and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                best = i
+    return best
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
@@ -755,13 +777,14 @@ def connected_components(
     start = 0
     labels = None
     if use_dir:
-        for i in range(max_iter, 0, -1):
-            if _fs_exists(spark,
-                          f"{checkpoint_dir}/round_{i:04d}/_SUCCESS"):
-                labels = spark.read.parquet(
-                    f"{checkpoint_dir}/round_{i:04d}")
-                start = i
-                break
+        # latest committed round from a directory listing, NOT probed up
+        # to this call's max_iter: the _CONVERGED labels may live at a
+        # round number beyond a smaller re-run's max_iter, and returning
+        # any earlier round there would be silently pre-convergence
+        start = _fs_latest_round(spark, checkpoint_dir)
+        if start > 0:
+            labels = spark.read.parquet(
+                f"{checkpoint_dir}/round_{start:04d}")
         if labels is not None and _fs_exists(
                 spark, f"{checkpoint_dir}/_CONVERGED"):
             return labels.select("node", F.col("label").alias("cluster_id"))

@@ -191,14 +191,17 @@ def stratified_cap(
     3. the same (u, id) window over the pre-filtered rows.
 
     Exactness: the k smallest (u, id) rows of a stratum all satisfy
-    ``u < t_s`` iff at least ``min(k, n_s)`` rows do, so the window pass
-    also counts survivors per hot stratum (same shuffle, a second
-    unordered window) and any stratum that fell short — probability
+    ``u < t_s`` iff at least ``min(k, n_s)`` rows do, so survivors per
+    hot stratum are counted with one SORT-FREE aggregate over the
+    pre-filtered hot rows (map-side partial agg; the windowed rank is
+    never executed twice) and any stratum that fell short — probability
     ~exp(-k*oversample/4) per stratum, negligible at oversample=8 —
-    is recomputed with the plain window and unioned back. Output is
-    therefore IDENTICAL to the single-window form for every input, and
-    the recompute branch is driver-observable (one tiny collect of the
-    short keys, expected empty)."""
+    is recomputed with the plain window and unioned back. NULL keys form
+    their own stratum and always take the plain-window path (a broadcast
+    join cannot match NULL), including when short strata are excluded.
+    Output is therefore IDENTICAL to the single-window form for every
+    input, and the recompute branch is driver-observable (one tiny
+    collect of the short keys, expected empty)."""
     u = hash_uniform(F.col(id_col), seed)
     w = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
     out_cols = df.columns
@@ -224,24 +227,30 @@ def stratified_cap(
     )
     joined = df.join(F.broadcast(hot), on=key_col, how="left")
     pre = joined.where(F.col("_t_s").isNull() | (u < F.col("_t_s")))
-    w_all = Window.partitionBy(key_col)
-    ranked = pre.withColumn("_rk", F.row_number().over(w)).withColumn(
-        "_m_s", F.count(F.lit(1)).over(w_all)
-    )
     # short stratum = pre-filter applied AND fewer survivors than the
-    # exact answer needs; expected empty, checked with one tiny job
+    # exact answer needs; expected empty, detected with one SORT-FREE
+    # map-side-partial aggregate over just the pre-filtered hot rows
+    # (the windowed rank job itself runs only once, on the caller's
+    # action — detection must not pay the sort twice)
     short_keys = [
         r[0]
-        for r in ranked.where(
-            F.col("_t_s").isNotNull()
-            & (F.col("_m_s") < F.least(F.lit(k), F.col("_n_s")))
-        )
+        for r in pre.where(F.col("_t_s").isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_m_s"), F.first("_n_s").alias("_n"))
+        .where(F.col("_m_s") < F.least(F.lit(k), F.col("_n")))
         .select(key_col)
-        .distinct()
         .collect()
     ]
-    capped = ranked.where(F.col("_rk") <= k).select(*out_cols)
+    capped = (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(*out_cols)
+    )
     if not short_keys:
         return capped
+    # NULL keys form their own stratum (never hot: the broadcast join
+    # can't match NULL, so they always take the plain-window path) —
+    # keep them when excluding the short strata: NOT IN is NULL for NULL
+    keep = F.col(key_col).isNull() | ~F.col(key_col).isin(short_keys)
     redo = plain(df.where(F.col(key_col).isin(short_keys)))
-    return capped.where(~F.col(key_col).isin(short_keys)).unionByName(redo)
+    return capped.where(keep).unionByName(redo)

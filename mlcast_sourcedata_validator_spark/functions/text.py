@@ -225,40 +225,48 @@ def default_tokenizer_factory():
     try:
         import tiktoken  # type: ignore
 
+        # get_encoding may FETCH the BPE table on first use — any
+        # failure (offline container, no cache) must surface here, not
+        # as a mid-job executor crash, so catch broadly and fall through
         enc = tiktoken.get_encoding("cl100k_base")
         return lambda texts: [len(ids) for ids in
                               enc.encode_ordinary_batch(list(texts))]
-    except ImportError:
+    except Exception:
         pass
     try:
         from transformers import AutoTokenizer  # type: ignore
 
+        # from_pretrained resolves from network/disk cache — same deal
         tok = AutoTokenizer.from_pretrained("gpt2")
         return lambda texts: [len(ids) for ids in
                               tok(list(texts))["input_ids"]]
-    except ImportError as exc:
+    except Exception as exc:
         raise NotImplementedError(
-            "tokenizer-faithful counting requires tiktoken or "
-            "transformers; neither is importable — use the heuristic "
-            "bpe_ish_token_count / ws_token_count columns instead"
+            "tokenizer-faithful counting requires a constructible "
+            "tiktoken or transformers tokenizer (importable AND its "
+            "vocab resolvable from cache/network); neither is — use "
+            "the heuristic bpe_ish_token_count / ws_token_count "
+            "columns instead"
         ) from exc
 
 
 def tokenizer_available() -> bool:
     """Driver-side probe: can :func:`default_tokenizer_factory` build a
-    real tokenizer here? (Import check only — cheap.)"""
-    try:
-        import tiktoken  # type: ignore # noqa: F401
+    WORKING tokenizer here? Constructs one and counts a probe string —
+    an import-only check would pass on a container where the vocab
+    download then fails inside every executor task (the exact mid-job
+    crash this gate exists to prevent). Result cached per process."""
+    global _TOKENIZER_PROBE
+    if _TOKENIZER_PROBE is None:
+        try:
+            counter = default_tokenizer_factory()
+            _TOKENIZER_PROBE = counter(["probe"])[0] >= 0
+        except Exception:
+            _TOKENIZER_PROBE = False
+    return _TOKENIZER_PROBE
 
-        return True
-    except ImportError:
-        pass
-    try:
-        from transformers import AutoTokenizer  # type: ignore # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+_TOKENIZER_PROBE: bool | None = None
 
 
 def count_tokens(

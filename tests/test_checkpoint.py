@@ -304,6 +304,39 @@ def test_catalog_results_store_commit_resume_parity(spark, table, registry):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_results_store_routing_sticky_against_cwd_paths(
+        spark, tmp_path, monkeypatch):
+    """An existing catalog results store must stay the store even when
+    an unrelated same-named file later appears in the driver's CWD —
+    otherwise resume silently sees zero committed partitions and writes
+    to a second store."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        LINEAGE_SCHEMA,
+        CatalogResultsStore,
+        _maybe_store,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    # fresh bare name, no local path -> catalog store
+    assert _maybe_store(spark, "stickystore") is not None
+    # path-like refs always route to the path store
+    assert _maybe_store(spark, str(tmp_path / "x")) is None
+
+    # create the store's lineage table (one committed marker)
+    store = CatalogResultsStore(spark, "stickystore")
+    store.append_lineage(spark.createDataFrame(
+        [("transcripts_v1", "r1", "2024-01-01", "COMMITTED",
+          10, 0, 0, 0, 5, 0.1, 1.0)], schema=LINEAGE_SCHEMA))
+    try:
+        # a same-named file appears in CWD between runs -> still sticky
+        (tmp_path / "stickystore").mkdir()
+        routed = _maybe_store(spark, "stickystore")
+        assert routed is not None
+        assert routed.committed("transcripts_v1") == {"2024-01-01"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stickystore_lineage")
+
+
 def test_violation_trend_audit_flags_jumped_check(spark, table, registry,
                                                   tmp_path):
     """Cross-release check-outcome drift: release 2 rewrites some roles

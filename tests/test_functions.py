@@ -180,6 +180,18 @@ def test_connected_components_reliable_checkpoint_resume(spark, tmp_path):
     assert sorted(d for d in os.listdir(ckpt)
                   if d.startswith("round_")) == rounds_before
 
+    # a converged dir re-run with a SMALLER max_iter than the converged
+    # round number must still return the CONVERGED labels (the committed
+    # rounds are discovered by listing, not probed up to max_iter —
+    # otherwise an earlier round's pre-convergence labels come back
+    # silently)
+    n_rounds = len(rounds_before) - 1  # minus round_0000
+    assert n_rounds > 2
+    small = {r.node: r.cluster_id
+             for r in dd.connected_components(
+                 pairs, max_iter=2, checkpoint_dir=ckpt).collect()}
+    assert small == expect
+
 
 def test_dedup_clusters_on_planted_dups(spark, docs):
     out = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_representative)
@@ -708,6 +720,26 @@ def test_stratified_cap_short_stratum_fallback_exact(spark):
                                 hot_threshold=100, oversample=0.2)
     assert sorted(r.doc_id for r in starved.collect()) == \
         sorted(r.doc_id for r in plain.collect())
+
+
+def test_stratified_cap_null_stratum_survives_short_redo(spark):
+    """NULL keys form their own stratum; when a short hot stratum takes
+    the redo branch, the NOT-IN exclusion must not silently drop the
+    NULL stratum (NOT IN is NULL for NULL keys)."""
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    rows = ([(i, "hot") for i in range(5000)]
+            + [(100000 + i, None) for i in range(120)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sp.stratified_cap(df, "source", "doc_id", k=50, seed=7)
+    # oversample=0.2 starves the hot stratum -> redo branch taken
+    starved = sp.stratified_cap(df, "source", "doc_id", k=50, seed=7,
+                                hot_threshold=100, oversample=0.2)
+    key = lambda p: (p[0] is None, p[0] or "", p[1])  # noqa: E731
+    got = sorted(((r.source, r.doc_id) for r in starved.collect()), key=key)
+    assert got == sorted(
+        ((r.source, r.doc_id) for r in plain.collect()), key=key)
+    assert len([p for p in got if p[0] is None]) == 50
 
 
 def test_prioritized_dedup_prefers_low_rank(spark):
