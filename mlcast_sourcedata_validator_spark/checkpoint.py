@@ -24,6 +24,7 @@ overwrite + append-only marker files.
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -478,8 +479,24 @@ def run_partitioned(
     fail_injector=None,  # test hook: fn(partition_id) called pre-commit
     storage_options: Optional[dict] = None,
     violations_limit: Optional[int] = None,
+    max_concurrent: int = 1,
 ) -> PartitionedRunSummary:
-    """Validate every uncommitted date-partition of ``table_path``."""
+    """Validate every uncommitted date-partition of ``table_path``.
+
+    ``max_concurrent > 1`` pipelines that many partition validations
+    through the shared SparkSession from driver threads. A single
+    partition's plan tapers (wide stages -> small collects), leaving a
+    large cluster idle at every stage tail; concurrent independent
+    jobs fill those gaps (Spark's scheduler interleaves at stage
+    granularity under FIFO and fairly under FAIR — each thread tags a
+    ``spark.scheduler.pool``). Only the heavy compute runs in
+    parallel: commits stay serialized under one driver lock, because
+    the lineage sink is a shared append target (two concurrent append
+    jobs would race on its ``_temporary`` staging dir) and the catalog
+    store's dynamic-overwrite flips a session conf. Per-partition
+    overwrite targets are distinct directories, so crash semantics are
+    unchanged: a partition is committed iff its marker was appended.
+    """
     run_id = run_id or uuid.uuid4().hex[:12]
     summary = PartitionedRunSummary(run_id=run_id)
     partitions = list_date_partitions(table_path, key=partition_key,
@@ -498,61 +515,102 @@ def run_partitioned(
         done = committed_partitions(
             spark, results_path, suite.suite_id, storage_options)
 
+    todo: list[str] = []
     for p in partitions:
         if p in done:
             summary.skipped.append(p)
+        else:
+            todo.append(p)
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
+
+    commit_lock = threading.Lock()
+
+    def _process(p: str) -> tuple[SuiteRunResult, dict]:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"validate_{p}")
+        try:
+            batch = spark.read.option("basePath", table_path).parquet(
+                fs.join(table_path, f"{partition_key}={p}")
+            ).drop(partition_key)
+            ctx = RunContext(
+                spark=spark, df=batch, suite=suite, run_id=run_id,
+                partition_id=p, registry_df=registry_df,
+                baseline_df=baseline_df, table_path=table_path,
+                storage_options=storage_options,
+                violations_limit=violations_limit,
+            )
+            res = run_suite(ctx)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+        # idempotent per-partition data writes, THEN the commit marker —
+        # serialized across partitions (see docstring)
+        with commit_lock:
+            if store is not None:
+                store.write_partition_results(res, suite.suite_id, run_id, p)
+            else:
+                res.violations.drop("partition_id").write.mode(
+                    "overwrite"
+                ).parquet(
+                    fs.join(results_path, "violations", f"partition_id={p}")
+                )
+                res.report.to_df(spark, suite.suite_id, run_id, p).drop(
+                    "partition_id"
+                ).write.mode("overwrite").parquet(
+                    fs.join(results_path, "results", f"partition_id={p}")
+                )
+                mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
+                if mrows:
+                    spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
+                        .write.mode("overwrite").parquet(
+                            fs.join(results_path, "metrics",
+                                    f"partition_id={p}")
+                        )
+            if fail_injector is not None:
+                fail_injector(p)
+            s = res.report.summarize()
+            # counts were collected during the run — no second pass
+            marker = spark.createDataFrame(
+                [(suite.suite_id, run_id, p, "COMMITTED", res.n_input_rows,
+                  res.n_violations, s["FAIL"], s["WARNING"], s["PASS"],
+                  res.wall_sec, time.time())],
+                schema=LINEAGE_SCHEMA,
+            )
+            if store is not None:
+                store.append_lineage(marker)
+            else:
+                marker.write.mode("append").parquet(
+                    fs.join(results_path, "lineage"))
+        return res, s
+
+    outcomes: dict[str, tuple[SuiteRunResult, dict]] = {}
+    if max_concurrent <= 1:
+        for p in todo:
+            outcomes[p] = _process(p)
+    else:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        pool = ThreadPoolExecutor(max_workers=max_concurrent,
+                                  thread_name_prefix="validate")
+        try:
+            futs = {pool.submit(_process, p): p for p in todo}
+            for f in as_completed(futs):
+                outcomes[futs[f]] = f.result()  # re-raises the first error
+        finally:
+            # on error: drop queued partitions, let running ones finish
+            # (their commits are independent and resume-safe)
+            pool.shutdown(wait=True, cancel_futures=True)
+
+    # summary in deterministic partition order, regardless of completion
+    for p in todo:
+        if p not in outcomes:
             continue
-        if max_partitions is not None and len(summary.processed) >= max_partitions:
-            break
-        batch = spark.read.option("basePath", table_path).parquet(
-            fs.join(table_path, f"{partition_key}={p}")
-        ).drop(partition_key)
-        ctx = RunContext(
-            spark=spark, df=batch, suite=suite, run_id=run_id,
-            partition_id=p, registry_df=registry_df, baseline_df=baseline_df,
-            table_path=table_path, storage_options=storage_options,
-            violations_limit=violations_limit,
-        )
-        res = run_suite(ctx)
-
-        # idempotent per-partition data writes, THEN the commit marker
-        if store is not None:
-            store.write_partition_results(res, suite.suite_id, run_id, p)
-        else:
-            res.violations.drop("partition_id").write.mode("overwrite").parquet(
-                fs.join(results_path, "violations", f"partition_id={p}")
-            )
-            res.report.to_df(spark, suite.suite_id, run_id, p).drop(
-                "partition_id"
-            ).write.mode("overwrite").parquet(
-                fs.join(results_path, "results", f"partition_id={p}")
-            )
-            mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
-            if mrows:
-                spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
-                    .write.mode("overwrite").parquet(
-                        fs.join(results_path, "metrics", f"partition_id={p}")
-                    )
-        if fail_injector is not None:
-            fail_injector(p)
-        s = res.report.summarize()
-        # counts were collected during the run — no second pass
-        n_viol = res.n_violations
-        marker = spark.createDataFrame(
-            [(suite.suite_id, run_id, p, "COMMITTED", res.n_input_rows, n_viol,
-              s["FAIL"], s["WARNING"], s["PASS"], res.wall_sec, time.time())],
-            schema=LINEAGE_SCHEMA,
-        )
-        if store is not None:
-            store.append_lineage(marker)
-        else:
-            marker.write.mode("append").parquet(
-                fs.join(results_path, "lineage"))
-
+        res, s = outcomes[p]
         summary.processed.append(p)
         summary.results[p] = res
         summary.n_fails += s["FAIL"]
-        summary.n_violations += n_viol
+        summary.n_violations += res.n_violations
 
     return summary
 

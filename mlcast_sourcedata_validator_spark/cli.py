@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "partitioned run, flag checks whose violation "
                         "rate jumped >=2x (or recurred from zero) vs "
                         "that store's latest committed runs")
+    p.add_argument("--max-concurrent", type=int, default=1, metavar="N",
+                   help="validate up to N partitions concurrently from "
+                        "driver threads (commits stay serialized): fills "
+                        "a large cluster's stage-tail idle time; on FAIR "
+                        "scheduling each partition gets its own pool")
     p.add_argument("--violations-limit", type=int, default=None,
                    metavar="N",
                    help="cap the violations sink to N example rows per "
@@ -204,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             max_partitions=args.max_partitions,
             storage_options=storage_options,
             violations_limit=args.violations_limit,
+            max_concurrent=args.max_concurrent,
         )
         print(
             f"run {summary.run_id}: processed {len(summary.processed)} "

@@ -64,6 +64,36 @@ def test_full_run_commits_every_partition(spark, table, registry, tmp_path):
     assert lineage.where("status = 'COMMITTED'").count() == len(summary.processed)
 
 
+def test_concurrent_run_equals_serial(spark, table, registry, tmp_path):
+    """max_concurrent pipelines partition validations through driver
+    threads (commits serialized under the lock): same committed
+    partitions, verdict rows, violation rows and lineage counts as the
+    serial run, and the summary stays in partition order."""
+    suite = get_suite("transcripts_v1")
+    serial = str(tmp_path / "serial")
+    conc = str(tmp_path / "conc")
+    s1 = run_partitioned(spark, suite, table, serial, registry_df=registry)
+    s2 = run_partitioned(spark, suite, table, conc, registry_df=registry,
+                         max_concurrent=3)
+    assert s2.processed == s1.processed  # deterministic order
+    assert (s2.n_fails, s2.n_violations) == (s1.n_fails, s1.n_violations)
+    cols = ["partition_id", "section", "requirement", "status", "detail"]
+    a = read_results(spark, serial).select(*cols)
+    b = read_results(spark, conc).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    av = read_violations(spark, serial).select(
+        "partition_id", "check_id", "conv_id", "turn_idx")
+    bv = read_violations(spark, conc).select(
+        "partition_id", "check_id", "conv_id", "turn_idx")
+    assert av.exceptAll(bv).count() == 0 and bv.exceptAll(av).count() == 0
+    assert read_lineage(spark, conc).where("status = 'COMMITTED'").count() \
+        == len(s2.processed)
+    # resume skips everything on a second concurrent run
+    s3 = run_partitioned(spark, suite, table, conc, registry_df=registry,
+                         max_concurrent=3)
+    assert not s3.processed and set(s3.skipped) == set(s2.processed)
+
+
 def test_interrupted_run_resumes_and_matches_uninterrupted(
     spark, table, registry, tmp_path
 ):
