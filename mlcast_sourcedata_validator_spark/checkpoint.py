@@ -676,6 +676,7 @@ def maintain_rollup(
     max_partitions: Optional[int] = None,
     derive: Optional[dict] = None,
     storage_options: Optional[dict] = None,
+    max_concurrent: int = 1,
 ) -> list[str]:
     """Incrementally maintain a keyed rollup over a date-partitioned
     table: each uncommitted partition is rolled up ALONE (one
@@ -686,6 +687,11 @@ def maintain_rollup(
     idempotent overwrite-then-marker protocol as the validation store.
     The full-history recompute never happens after day one — at 10^12
     turns the daily maintenance cost is one scan of the new day.
+
+    ``max_concurrent > 1`` pipelines that many partition rollups through
+    driver threads, same rationale as ``run_partitioned``: delta writes
+    target DISTINCT directories (each job stages under its own target's
+    ``_temporary``), so only the shared lineage append serializes.
 
     Returns the partitions processed this call. Reuses the validation
     lineage contract with ``suite_id = "__rollup__:<rollup_id>"`` so a
@@ -710,12 +716,12 @@ def maintain_rollup(
         # a fresh rollup_path — the contract of any materialized aggregate.
         done = {p for p, s in statuses.items() if s == "COMPACTED"}
 
-    processed: list[str] = []
-    for p in partitions:
-        if p in done:
-            continue
-        if max_partitions is not None and len(processed) >= max_partitions:
-            break
+    todo = [p for p in partitions if p not in done]
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
+    commit_lock = threading.Lock()
+
+    def _one(p: str) -> None:
         t0 = time.time()
         batch = spark.read.option("basePath", table_path).parquet(
             fs.join(table_path, f"{partition_key}={p}")
@@ -733,8 +739,29 @@ def maintain_rollup(
               time.time() - t0, time.time())],
             schema=LINEAGE_SCHEMA,
         )
-        marker.write.mode("append").parquet(fs.join(rollup_path, "lineage"))
-        processed.append(p)
+        with commit_lock:
+            marker.write.mode("append").parquet(
+                fs.join(rollup_path, "lineage"))
+
+    processed: list[str] = []
+    if max_concurrent <= 1:
+        for p in todo:
+            _one(p)
+            processed.append(p)
+    else:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        finished: set[str] = set()
+        pool = ThreadPoolExecutor(max_workers=max_concurrent,
+                                  thread_name_prefix="rollup")
+        try:
+            futs = {pool.submit(_one, p): p for p in todo}
+            for f in as_completed(futs):
+                f.result()  # re-raises the first error
+                finished.add(futs[f])
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+        processed = [p for p in todo if p in finished]
     return processed
 
 

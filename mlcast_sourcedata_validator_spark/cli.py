@@ -237,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
                 max_partitions=args.max_partitions,
                 storage_options=storage_options,
+                max_concurrent=args.max_concurrent,
             )
             print(f"conv rollup: {len(rolled)} partition deltas committed "
                   f"at {args.conv_rollup}")
@@ -322,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
                 max_partitions=args.max_partitions,
                 storage_options=storage_options,
+                max_concurrent=args.max_concurrent,
             )
             # compact FIRST when requested: the dup-group count then reads
             # the just-written base instead of re-merging every delta —

@@ -135,6 +135,17 @@ def test_maintained_rollup_matches_direct_and_resumes(spark, tmp_path):
     # idempotent: nothing left to do
     assert maintain_rollup(spark, table, store, ["conv_id"], specs) == []
 
+    # concurrent maintenance of a fresh store == the serial store's state
+    store2 = str(tmp_path / "roll_conc")
+    conc = maintain_rollup(spark, table, store2, ["conv_id"], specs,
+                           max_concurrent=3)
+    assert sorted(conc) == sorted(first + second)
+    merged2 = read_rollup(spark, store2, ["conv_id"], specs)
+    assert merged2.exceptAll(merged).count() == 0
+    assert merged.exceptAll(merged2).count() == 0
+    assert maintain_rollup(spark, table, store2, ["conv_id"], specs,
+                           max_concurrent=3) == []
+
 
 def test_contiguity_audit_catches_cross_partition_gap(spark, tmp_path):
     """A turn gap at a date-partition boundary is invisible to the
