@@ -465,6 +465,61 @@ def violation_trend_audit(
     )
 
 
+def _concurrent_map(spark: SparkSession, todo: list[str], fn,
+                    max_concurrent: int, prefix: str) -> list[str]:
+    """Run ``fn(p)`` for each item: serially when ``max_concurrent <= 1``,
+    else from a bounded driver thread pool. Returns the completed subset
+    of ``todo`` IN TODO ORDER.
+
+    Every invocation (serial included) is tagged with a per-item
+    ``spark.scheduler.pool`` (fair-share isolation when FAIR scheduling
+    is on) and an interrupt-on-cancel job group; the caller's pool
+    assignment is saved and RESTORED, never clobbered. On the first
+    error (or Ctrl-C): queued items are dropped and the in-flight
+    items' Spark job groups are CANCELLED so the pool drains promptly —
+    their partitions stay uncommitted and are redone on resume, which
+    is exactly the overwrite-then-marker crash contract.
+    """
+    sc = spark.sparkContext
+
+    def _tagged(p: str) -> None:
+        prev = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", f"{prefix}_{p}")
+        sc.setJobGroup(f"{prefix}_{p}", f"{prefix} partition {p}",
+                       interruptOnCancel=True)
+        try:
+            fn(p)
+        finally:
+            sc.setJobGroup(None, None)
+            sc.setLocalProperty("spark.scheduler.pool", prev)
+
+    done: set[str] = set()
+    if max_concurrent <= 1:
+        for p in todo:
+            _tagged(p)
+            done.add(p)
+        return [p for p in todo if p in done]
+
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    pool = ThreadPoolExecutor(max_workers=max_concurrent,
+                              thread_name_prefix=prefix)
+    futs: dict = {}
+    try:
+        futs = {pool.submit(_tagged, p): p for p in todo}
+        for f in as_completed(futs):
+            f.result()  # re-raises the first error
+            done.add(futs[f])
+    except BaseException:
+        for f, p in futs.items():
+            if not f.done():
+                sc.cancelJobGroup(f"{prefix}_{p}")
+        raise
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
+    return [p for p in todo if p in done]
+
+
 def run_partitioned(
     spark: SparkSession,
     suite: CheckSuite,
@@ -489,13 +544,17 @@ def run_partitioned(
     large cluster idle at every stage tail; concurrent independent
     jobs fill those gaps (Spark's scheduler interleaves at stage
     granularity under FIFO and fairly under FAIR — each thread tags a
-    ``spark.scheduler.pool``). Only the heavy compute runs in
-    parallel: commits stay serialized under one driver lock, because
-    the lineage sink is a shared append target (two concurrent append
-    jobs would race on its ``_temporary`` staging dir) and the catalog
-    store's dynamic-overwrite flips a session conf. Per-partition
-    overwrite targets are distinct directories, so crash semantics are
-    unchanged: a partition is committed iff its marker was appended.
+    ``spark.scheduler.pool``). Compute AND the path store's data writes
+    run in parallel (their overwrite targets are distinct
+    ``partition_id=<p>`` directories, each staging under its own
+    ``_temporary``); only the commit section serializes under one
+    driver lock, because the lineage sink is a shared append target
+    (two concurrent append jobs would race on its staging dir) and the
+    catalog store's dynamic-overwrite flips a session conf. Crash
+    semantics are unchanged: a partition is committed iff its marker
+    was appended; on error or Ctrl-C the in-flight partitions' job
+    groups are cancelled and resume redoes them (see
+    :func:`_concurrent_map`).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     summary = PartitionedRunSummary(run_id=run_id)
@@ -525,48 +584,47 @@ def run_partitioned(
         todo = todo[:max_partitions]
 
     commit_lock = threading.Lock()
+    outcomes: dict[str, tuple[SuiteRunResult, dict]] = {}
 
-    def _process(p: str) -> tuple[SuiteRunResult, dict]:
-        sc = spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", f"validate_{p}")
-        try:
-            batch = spark.read.option("basePath", table_path).parquet(
-                fs.join(table_path, f"{partition_key}={p}")
-            ).drop(partition_key)
-            ctx = RunContext(
-                spark=spark, df=batch, suite=suite, run_id=run_id,
-                partition_id=p, registry_df=registry_df,
-                baseline_df=baseline_df, table_path=table_path,
-                storage_options=storage_options,
-                violations_limit=violations_limit,
+    def _process(p: str) -> None:
+        batch = spark.read.option("basePath", table_path).parquet(
+            fs.join(table_path, f"{partition_key}={p}")
+        ).drop(partition_key)
+        ctx = RunContext(
+            spark=spark, df=batch, suite=suite, run_id=run_id,
+            partition_id=p, registry_df=registry_df,
+            baseline_df=baseline_df, table_path=table_path,
+            storage_options=storage_options,
+            violations_limit=violations_limit,
+        )
+        res = run_suite(ctx)
+
+        # idempotent per-partition data writes: the path store's targets
+        # are DISTINCT partition_id=<p> directories (each write job
+        # stages under its own target's _temporary), so they run
+        # concurrently; only the catalog store (session-conf flip,
+        # shared tables) and the shared lineage append serialize
+        if store is None:
+            res.violations.drop("partition_id").write.mode(
+                "overwrite"
+            ).parquet(
+                fs.join(results_path, "violations", f"partition_id={p}")
             )
-            res = run_suite(ctx)
-        finally:
-            sc.setLocalProperty("spark.scheduler.pool", None)
-
-        # idempotent per-partition data writes, THEN the commit marker —
-        # serialized across partitions (see docstring)
+            res.report.to_df(spark, suite.suite_id, run_id, p).drop(
+                "partition_id"
+            ).write.mode("overwrite").parquet(
+                fs.join(results_path, "results", f"partition_id={p}")
+            )
+            mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
+            if mrows:
+                spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
+                    .write.mode("overwrite").parquet(
+                        fs.join(results_path, "metrics",
+                                f"partition_id={p}")
+                    )
         with commit_lock:
             if store is not None:
                 store.write_partition_results(res, suite.suite_id, run_id, p)
-            else:
-                res.violations.drop("partition_id").write.mode(
-                    "overwrite"
-                ).parquet(
-                    fs.join(results_path, "violations", f"partition_id={p}")
-                )
-                res.report.to_df(spark, suite.suite_id, run_id, p).drop(
-                    "partition_id"
-                ).write.mode("overwrite").parquet(
-                    fs.join(results_path, "results", f"partition_id={p}")
-                )
-                mrows = _metrics_rows(suite.suite_id, run_id, res.metrics)
-                if mrows:
-                    spark.createDataFrame(mrows, schema=METRICS_SCHEMA) \
-                        .write.mode("overwrite").parquet(
-                            fs.join(results_path, "metrics",
-                                    f"partition_id={p}")
-                        )
             if fail_injector is not None:
                 fail_injector(p)
             s = res.report.summarize()
@@ -582,30 +640,12 @@ def run_partitioned(
             else:
                 marker.write.mode("append").parquet(
                     fs.join(results_path, "lineage"))
-        return res, s
+        outcomes[p] = (res, s)
 
-    outcomes: dict[str, tuple[SuiteRunResult, dict]] = {}
-    if max_concurrent <= 1:
-        for p in todo:
-            outcomes[p] = _process(p)
-    else:
-        from concurrent.futures import ThreadPoolExecutor, as_completed
-
-        pool = ThreadPoolExecutor(max_workers=max_concurrent,
-                                  thread_name_prefix="validate")
-        try:
-            futs = {pool.submit(_process, p): p for p in todo}
-            for f in as_completed(futs):
-                outcomes[futs[f]] = f.result()  # re-raises the first error
-        finally:
-            # on error: drop queued partitions, let running ones finish
-            # (their commits are independent and resume-safe)
-            pool.shutdown(wait=True, cancel_futures=True)
-
+    completed = _concurrent_map(spark, todo, _process, max_concurrent,
+                                "validate")
     # summary in deterministic partition order, regardless of completion
-    for p in todo:
-        if p not in outcomes:
-            continue
+    for p in completed:
         res, s = outcomes[p]
         summary.processed.append(p)
         summary.results[p] = res
@@ -743,26 +783,7 @@ def maintain_rollup(
             marker.write.mode("append").parquet(
                 fs.join(rollup_path, "lineage"))
 
-    processed: list[str] = []
-    if max_concurrent <= 1:
-        for p in todo:
-            _one(p)
-            processed.append(p)
-    else:
-        from concurrent.futures import ThreadPoolExecutor, as_completed
-
-        finished: set[str] = set()
-        pool = ThreadPoolExecutor(max_workers=max_concurrent,
-                                  thread_name_prefix="rollup")
-        try:
-            futs = {pool.submit(_one, p): p for p in todo}
-            for f in as_completed(futs):
-                f.result()  # re-raises the first error
-                finished.add(futs[f])
-        finally:
-            pool.shutdown(wait=True, cancel_futures=True)
-        processed = [p for p in todo if p in finished]
-    return processed
+    return _concurrent_map(spark, todo, _one, max_concurrent, "rollup")
 
 
 def _latest_rollup_statuses(

@@ -94,6 +94,23 @@ def test_concurrent_run_equals_serial(spark, table, registry, tmp_path):
     assert not s3.processed and set(s3.skipped) == set(s2.processed)
 
 
+def test_run_preserves_caller_scheduler_pool(spark, table, registry,
+                                             tmp_path):
+    """run_partitioned tags per-partition scheduler pools but must
+    RESTORE the caller's pool assignment (serial path runs on the
+    caller's own thread — clobbering it to None would strip a FAIR
+    application's pool from every job submitted afterwards)."""
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "caller_pool")
+    try:
+        run_partitioned(spark, get_suite("transcripts_v1"), table,
+                        str(tmp_path / "s"), registry_df=registry,
+                        max_partitions=1)
+        assert sc.getLocalProperty("spark.scheduler.pool") == "caller_pool"
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+
+
 def test_interrupted_run_resumes_and_matches_uninterrupted(
     spark, table, registry, tmp_path
 ):
