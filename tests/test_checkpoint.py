@@ -160,6 +160,49 @@ def test_interrupted_run_resumes_and_matches_uninterrupted(
     assert av.exceptAll(bv).count() == 0 and bv.exceptAll(av).count() == 0
 
 
+def test_concurrent_crash_then_resume_converges(spark, table, registry,
+                                                tmp_path):
+    """A crash mid-CONCURRENT-run propagates, leaves only marker-bearing
+    partitions committed (the in-flight ones are cancelled/uncommitted),
+    and a concurrent resume converges to the uninterrupted final state."""
+    suite = get_suite("transcripts_v1")
+    ref_store = str(tmp_path / "cref")
+    run_partitioned(spark, suite, table, ref_store, registry_df=registry)
+
+    store = str(tmp_path / "cres")
+
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def injector(p):
+        # injector runs inside the serialized commit section
+        calls.append(p)
+        if len(calls) == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        run_partitioned(spark, suite, table, store, registry_df=registry,
+                        fail_injector=injector, max_concurrent=3)
+    done = committed_partitions(spark, store, suite.suite_id)
+    # exactly the pre-crash committed set has markers: at least the one
+    # partition whose commit completed, never the crashed one's
+    assert 1 <= len(done) < 4
+
+    summary2 = run_partitioned(spark, suite, table, store,
+                               registry_df=registry, max_concurrent=3)
+    assert sorted(summary2.skipped) == sorted(done)
+    assert committed_partitions(spark, store, suite.suite_id) \
+        == set(summary2.skipped) | set(summary2.processed)
+
+    a = read_results(spark, ref_store).select(
+        "partition_id", "section", "requirement", "status", "detail")
+    b = read_results(spark, store).select(
+        "partition_id", "section", "requirement", "status", "detail")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_no_resume_reprocesses(spark, table, registry, tmp_path):
     store = str(tmp_path / "nores")
     suite = get_suite("transcripts_v1")
