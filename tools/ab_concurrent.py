@@ -8,7 +8,7 @@ large fraction of each job — the regime a 10^12-turn table's
 stage-tail idle; commits stay serialized (the engine's lock), so the
 win measured here is pure compute overlap.
 
-Usage: python tools/ab_concurrent.py [rounds] [n_partitions] [conc]
+Usage: python tools/ab_concurrent.py [rounds] [n_partitions] [conc] [cores]
 Prints one JSON line.
 """
 from __future__ import annotations
@@ -33,9 +33,10 @@ def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     conc = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     suite = get_suite("transcripts_v1")
 
-    spark = bench._session(8)
+    spark = bench._session(cores)
     bench.ensure_bench_table(spark)
     registry = spark.read.parquet(bench.BENCH_REGISTRY).localCheckpoint()
     baseline = spark.read.parquet(bench.BENCH_BASELINE).localCheckpoint()
@@ -71,7 +72,7 @@ def main() -> int:
     med_c = statistics.median(walls["concurrent"])
     print(json.dumps({
         "metric": "partitioned_run_concurrency_ab", "unit": "sec",
-        "cores": 8, "n_partitions": n_parts, "max_concurrent": conc,
+        "cores": cores, "n_partitions": n_parts, "max_concurrent": conc,
         "serial_walls": [round(w, 2) for w in walls["serial"]],
         "concurrent_walls": [round(w, 2) for w in walls["concurrent"]],
         "median_serial": round(med_s, 2),
