@@ -259,7 +259,8 @@ class SuitePlan:
     violations: Any
 
 
-def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
+def build_suite_plan(ctx: RunContext, cs: CompiledSuite,
+                     observe: bool = True) -> SuitePlan:
     """Assemble the single fused Spark plan for the suite.
 
     Payload predicates (domain/nullness/...) are evaluated MAP-SIDE, before
@@ -287,9 +288,11 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
 
     df = _with_bucket_cols(ctx.df, cs)
     obs: Optional[Observation] = None
-    if cs.row_checks and not ctx.exact:
+    if observe and cs.row_checks and not ctx.exact:
         # stats ride the violations action via CollectMetrics (observe);
         # exact mode (count_distinct) is not observable -> separate agg.
+        # observe=False builds the same violations plan WITHOUT metric
+        # accumulators for callers that discard metrics (quarantine)
         obs = Observation("suite_metrics")
         df = df.observe(obs, *agg_exprs)
 
@@ -322,9 +325,18 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
             _hits_array(pre_checks).alias("_row_hits"),
         ]
         # role-transition grammar: ship a tiny-int role code through the
-        # shuffle (not the role string) only when the check is declared
-        role_spec = next(
-            (s for s in suite.checks if s.kind == "role_transitions"), None)
+        # shuffle (not the role string) only when the check is declared.
+        # The code/lag columns are shared plan state keyed to ONE spec's
+        # (column, alphabet) — a second spec would silently read the
+        # first's codes, so reject it loudly
+        role_specs = [s for s in suite.checks if s.kind == "role_transitions"]
+        if len(role_specs) > 1:
+            raise ValueError(
+                "at most one role_transitions check per suite: the role-code "
+                "window columns are shared plan state bound to one "
+                "(column, roles) pair; a second spec would be evaluated "
+                f"against the first's codes (got {[s.check_id for s in role_specs]})")
+        role_spec = role_specs[0] if role_specs else None
         if role_spec is not None:
             slim_cols.append(
                 ordering.role_code_expr(
@@ -397,7 +409,8 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite) -> SuitePlan:
         # (run_suite 3c) — appending them there would manufacture an
         # otherwise-unneeded full window-agg job just to discard them
         post_exprs = post_exprs + _count_exprs(win_checks)
-    if post_exprs and enriched is not None and cs.row_checks and not ctx.exact:
+    if (observe and post_exprs and enriched is not None and cs.row_checks
+            and not ctx.exact):
         post_obs = Observation("post_metrics")
         enriched = enriched.observe(post_obs, *post_exprs)
 
@@ -484,20 +497,32 @@ def _cap_examples(viol, limit: int):
 
 
 def quarantine(
-    ctx: RunContext, broadcast_keys: bool = True
+    ctx: RunContext, broadcast_keys: bool = True, fail_only: bool = False,
+    materialize_keys: bool = True,
 ):
     """Split the input into (clean_df, flagged_df) by the suite's ROW and
     WINDOW verdicts — the pipeline-stage form of the validator: feed
     ``clean_df`` downstream, route ``flagged_df`` to a quarantine sink.
 
-    Both outputs are LAZY full-width plans: the fused violations plan's
-    distinct offending (conv, turn) keys are anti-/semi-joined back to
-    the input. Violations are the exception by construction at 10^12
-    rows, so the key set is tiny and broadcasts (``broadcast_keys=False``
-    drops the hint for pathological all-rows-dirty batches, letting AQE
-    pick a shuffle join). Driver/aggregate checks don't identify
-    individual rows and therefore don't quarantine — run
-    :func:`run_suite` for the full report and exit code.
+    The fused violations plan's distinct offending (conv, turn) keys are
+    anti-/semi-joined back to the input. Violations are the exception by
+    construction at 10^12 rows, so the key set is tiny and broadcasts
+    (``broadcast_keys=False`` drops the hint for pathological
+    all-rows-dirty batches, letting AQE pick a shuffle join). Driver/
+    aggregate checks don't identify individual rows and therefore don't
+    quarantine — run :func:`run_suite` for the full report and exit code.
+
+    ``fail_only=True`` splits on FAIL-severity row checks only: advisory
+    checks (``RowCheck.severity == WARNING`` — non-canonical spellings,
+    PII screens) then flag rows in the REPORT without evicting them from
+    the clean path. The default quarantines every flagged row, which is
+    what a training-data pipeline usually wants for PII.
+
+    ``materialize_keys`` (default) localCheckpoints the tiny key set
+    eagerly, so the full scan + window plan that derives it executes
+    ONCE instead of once per downstream action on clean/flagged (the
+    plan is built without metric accumulators either way — quarantine
+    discards metrics). Pass ``False`` to keep both outputs fully lazy.
     """
     cs = compile_suite(ctx.suite, exact=ctx.exact,
                        partition_scoped=ctx.partition_id is not None)
@@ -507,14 +532,22 @@ def quarantine(
         import dataclasses
 
         ctx = dataclasses.replace(ctx, violations_limit=None)
-    plan = build_suite_plan(ctx, cs)
+    plan = build_suite_plan(ctx, cs, observe=False)
     if plan.violations is None:  # no row/window checks in the suite
         return ctx.df, ctx.df.limit(0)
     conv, turn = ctx.suite.conv_col, ctx.suite.turn_col
-    keys = plan.violations.select(
+    viols = plan.violations
+    if fail_only:
+        advisory = [rc.check_id for _, rc in cs.row_checks
+                    if rc.severity != "FAIL"]
+        if advisory:
+            viols = viols.where(~F.col("check_id").isin(advisory))
+    keys = viols.select(
         F.col("conv_id").alias("__q_conv"),
         F.col("turn_idx").alias("__q_turn"),
     ).distinct()
+    if materialize_keys:
+        keys = keys.localCheckpoint()
     if broadcast_keys:
         keys = F.broadcast(keys)
     # same casts the violations plan applied, so the join key roundtrips
@@ -549,21 +582,25 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
     # report row.
     schema_failed = any(
         spec.kind == "required_columns"
-        and cid in reports
-        and reports[cid].has_fails()
+        and spec.check_id in reports
+        and reports[spec.check_id].has_fails()
         for spec in suite.checks
-        for cid in [spec.check_id]
     )
     if schema_failed:
         final = ValidationReport()
         skipped = {cid for cid, _ in cs.agg_checks}
         skipped |= {rc.check_id for _, rc in cs.row_checks}
         skipped |= {cid for cid, _ in cs.drift_checks}
+        skipped |= {cid for cid, _ in cs.post_agg_checks}
         for spec in suite.checks:
             if spec.check_id in reports:
                 final += reports[spec.check_id]
             elif spec.check_id in skipped or any(
-                c.startswith(spec.check_id) for c in skipped
+                # sub-checks append a '_suffix' to their spec's id; a bare
+                # startswith would cross-match a spec whose id is a prefix
+                # of another spec's sub-check (e.g. 'role' vs
+                # 'role_domain_canonical')
+                c.startswith(spec.check_id + "_") for c in skipped
             ):
                 final.add(spec.section, spec.requirement, "FAIL",
                           "skipped: schema validation failed",
@@ -589,10 +626,24 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
     counts: dict = {}
     if cs.row_checks:
         if violations_path:
-            viol.write.mode("append").parquet(violations_path)
-            viol = spark.read.parquet(violations_path)
+            # per-run OVERWRITE, never append: a retry must REPLACE its
+            # previous attempt's rows, not double them — appended stale
+            # rows would inflate exact-mode verdict counts and
+            # n_violations (the same idempotency rule as checkpoint.py's
+            # per-partition writes; partition-scoped runs overwrite only
+            # their own partition_id subdirectory)
+            from .sources import fs as _fs
+
             if ctx.partition_id is not None:
-                viol = viol.where(F.col("partition_id") == ctx.partition_id)
+                tgt = _fs.join(violations_path,
+                               f"partition_id={ctx.partition_id}")
+                viol.drop("partition_id").write.mode("overwrite").parquet(tgt)
+                viol = spark.read.parquet(tgt).withColumn(
+                    "partition_id",
+                    F.lit(ctx.partition_id).cast("string"))
+            else:
+                viol.write.mode("overwrite").parquet(violations_path)
+                viol = spark.read.parquet(violations_path)
         else:
             viol = viol.localCheckpoint()  # materializes -> observation filled
         if obs is not None:
@@ -612,6 +663,12 @@ def run_suite(ctx: RunContext, violations_path: Optional[str] = None) -> SuiteRu
         row = _with_bucket_cols(ctx.df, cs).agg(*agg_exprs).collect()[0]
         metrics.update(row.asDict())
         n_input_rows = metrics.get("__n_rows", 0)
+    elif obs is None and cs.row_checks:
+        # exact mode with only row checks still must report the input
+        # volume (lineage records n_input_rows); count(*) reads no
+        # payload columns
+        n_input_rows = ctx.df.count()
+        metrics["__n_rows"] = n_input_rows
 
     # --- 3b. shared post-aggregates (explicit analog of the reference's
     # memoized shared timestep analysis, variable_timestep.py:12,35-44) ----

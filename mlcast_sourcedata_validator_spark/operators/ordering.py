@@ -188,6 +188,12 @@ def compile_variable_timestep(spec: CheckSpec, suite: CheckSuite) -> list[RowChe
     at variable_timestep.py:100-110); otherwise each variable conversation
     yields one violation row, flagged on the conversation's last turn so the
     check costs no extra aggregation beyond the shared window pass.
+
+    The ``allow`` form is a constant-false predicate that must NOT claim
+    the window (``needs_window=False``): in a suite where it would be the
+    only window check, ``needs_window=True`` would compel the compiler to
+    build the conv_id shuffle + enrichment — the plan's single most
+    expensive stage — solely to evaluate ``lit(False)``.
     """
     allow = spec.params.get("allow_variable_timestep", True)
     if allow:
@@ -213,7 +219,8 @@ def compile_variable_timestep(spec: CheckSpec, suite: CheckSuite) -> list[RowChe
                        "constant timestep in every conversation")
         return stamp(report, _MOD, "compile_variable_timestep")
 
-    return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+    return [RowCheck(spec.check_id, pred, detail, verdict,
+                     needs_window=not allow)]
 
 
 ROLE_CODE = "_rolec"

@@ -345,3 +345,86 @@ def test_max_conv_turns_guard(spark, clean, baseline):
     rows = res2.violations.collect()
     assert all(r["check_id"] == "max_conv_turns" and r["turn_idx"] == 50
                for r in rows)
+
+
+def test_compiler_edge_contracts(spark, clean, baseline, tmp_path):
+    """Round-4 review fixes, pinned:
+
+    1. two role_transitions specs are rejected loudly (shared role-code
+       plan state is bound to one (column, alphabet) pair),
+    2. quarantine(fail_only=True) keeps rows flagged only by advisory
+       (WARNING-severity) checks in the clean path,
+    3. a failed schema gate emits a 'skipped' row for post-aggregate
+       (conditional_property) checks too — the report covers every check,
+    4. exact mode with only row checks still reports n_input_rows,
+    5. run_suite(violations_path=...) is overwrite-idempotent: a retry
+       must not double the persisted rows or the exact counts.
+    """
+    from mlcast_sourcedata_validator_spark.compiler import quarantine
+    from mlcast_sourcedata_validator_spark.suite import CheckSpec, CheckSuite
+
+    # 1. duplicate role_transitions -> ValueError at plan build
+    grammar = dict(column="role",
+                   roles=["system", "user", "assistant", "tool"],
+                   allowed=[["user", "assistant"], ["assistant", "user"]],
+                   start_roles=["system", "user"])
+    dup = CheckSuite(suite_id="dup_grammar", checks=[
+        CheckSpec("g1", "role_transitions", "3", "grammar one", dict(grammar)),
+        CheckSpec("g2", "role_transitions", "3", "grammar two", dict(grammar)),
+    ])
+    with pytest.raises(ValueError, match="role_transitions"):
+        run_suite(RunContext(spark=spark, df=clean, suite=dup, run_id="d"))
+
+    # 2. advisory-only rows stay clean under fail_only: a PII hit is the
+    # canonical advisory-only case (pii_screen is WARNING severity; the
+    # doc violates no FAIL-severity row check)
+    import os
+    docs = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+    pii_doc = spark.createDataFrame(
+        [(9_900_077, "contact me at alice@example.com thanks", "en",
+          "web", 38)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    with_pii = docs.unionByName(pii_doc)
+    dctx = RunContext(spark=spark, df=with_pii,
+                      suite=get_suite("documents_v1"), run_id="q")
+    _, flagged_all = quarantine(dctx)
+    clean_fo, flagged_fo = quarantine(dctx, fail_only=True)
+    flagged_ids = {r.doc_id for r in flagged_all.select("doc_id").collect()}
+    fo_ids = {r.doc_id for r in flagged_fo.select("doc_id").collect()}
+    assert 9_900_077 in flagged_ids      # default: PII quarantined
+    assert 9_900_077 not in fo_ids       # fail_only: advisory stays clean
+    assert clean_fo.count() + flagged_fo.count() == with_pii.count()
+    suite = get_suite("transcripts_v1")
+    reg = generate_conversations_registry(clean)
+
+    # 3. schema gate covers post-agg checks
+    res = run_suite(RunContext(spark=spark, df=clean.drop("tool"),
+                               suite=suite, run_id="s", registry_df=reg,
+                               baseline_df=baseline))
+    cond_rows = [r for r in res.report.results
+                 if "consistent_timestep_start" in r.requirement]
+    assert cond_rows and all("skipped" in r.detail for r in cond_rows)
+
+    # 4. exact mode, row checks only -> n_input_rows populated
+    rows_only = CheckSuite(suite_id="rows_only", checks=[
+        CheckSpec("role_dom", "domain", "4", "role domain",
+                  {"column": "role",
+                   "allowed": ["system", "user", "assistant", "tool"],
+                   "nullable": False}),
+    ])
+    r4 = run_suite(RunContext(spark=spark, df=clean, suite=rows_only,
+                              run_id="x", exact=True))
+    assert r4.n_input_rows == clean.count()
+
+    # 5. violations_path retry is overwrite-idempotent
+    vp = str(tmp_path / "viols")
+    dirty, _ = inject_violations(clean, k=K, seed=42)
+    reg_d = generate_conversations_registry(dirty)
+    ctx_v = RunContext(spark=spark, df=dirty, suite=suite, run_id="v",
+                       registry_df=reg_d, baseline_df=baseline,
+                       partition_id="p1")
+    n1 = run_suite(ctx_v, violations_path=vp).n_violations
+    n2 = run_suite(ctx_v, violations_path=vp).n_violations
+    assert n1 == n2 > 0
+    assert spark.read.parquet(vp).count() == n1
