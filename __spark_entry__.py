@@ -870,6 +870,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
+    def semantic_dedup_embeddings(spark, sf):
+        """SemDeDup (Abbas et al. 2023) with n_lists=1 (single cluster):
+        equals the global brute-force smaller-id-neighbor keep rule
+        exactly, so the O(n^2) SQL is an exact oracle. The scale
+        parameterization (n_lists sized to the corpus, KMeans fit on a
+        sample, map-side assignment) is pinned as a survivor-superset in
+        tests/test_functions.py."""
+        e = _t(spark, sf, "embeddings")
+        return sim.semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.4, n_lists=1, dim=64
+        ).select("vec_id", "label")
+    q["semantic_dedup_embeddings"] = semantic_dedup_embeddings
+
     def embedding_lsh_near_dup_pairs_q(spark, sf):
         """Multi-table RHP-LSH near-dup pairs; every emitted pair is
         exact-cosine-verified, so the oracle is the brute-force SQL with
@@ -965,6 +978,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         share) — the degenerate-text filter of an LLM data pipeline."""
         return tx.text_repetition(_t(spark, sf, "documents"), "doc_id", "text")
     q["text_repetition_documents"] = text_repetition_documents
+
+    def gopher_repetition_documents(spark, sf):
+        """Gopher-style repetition quality signals (Rae et al. 2021):
+        duplicate-line fractions + top-{2,3,4}-gram character coverage —
+        the published repetition-filter family for LLM training data."""
+        return tx.gopher_repetition(_t(spark, sf, "documents"), "doc_id", "text")
+    q["gopher_repetition_documents"] = gopher_repetition_documents
+
+    def vocab_topk_documents(spark, sf):
+        """Corpus-level vocabulary top-k (count desc, token asc —
+        deterministic set under ties); TakeOrdered top-k, no full sort."""
+        return tx.vocab_topk(_t(spark, sf, "documents"), "text", k=50)
+    q["vocab_topk_documents"] = vocab_topk_documents
 
     def pii_profile_documents(spark, sf):
         """Per-doc PII screen (email/ipv4/ssn/phone regexp counts) plus a
@@ -2012,6 +2038,58 @@ def _all_oracles() -> dict[str, str]:
                round(mx::DOUBLE / tot, 6) AS top_token_ratio
         FROM s JOIN tt ON s.doc_id = tt.doc_id"""
 
+    wsh2, wsh3, wsh4 = (word_shingles_sql("t", n) for n in (2, 3, 4))
+    _ng_case = "\n               ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN c * length(gm) END)::DOUBLE"
+        f" / max(nc), 0.0), 6) AS top{n}gram_char_frac,"
+        for n in (2, 3, 4)
+    ).rstrip(",")
+    o["gopher_repetition_documents"] = f"""
+        WITH d AS (
+          SELECT doc_id, length(text) AS nc,
+                 string_split(text, '. ') AS lines,
+                 string_split(text, ' ') AS t
+          FROM documents),
+        lc AS (
+          SELECT doc_id, line, count(*) AS c
+          FROM (SELECT doc_id, unnest(lines) AS line FROM d) GROUP BY 1, 2),
+        la AS (
+          SELECT doc_id,
+                 round((sum(c) - count(*))::DOUBLE / sum(c), 6)
+                   AS dup_line_frac,
+                 round(CASE WHEN sum(length(line) * c) > 0 THEN
+                       sum(length(line) * (c - 1))::DOUBLE
+                       / sum(length(line) * c) END, 6)
+                   AS dup_line_char_frac
+          FROM lc GROUP BY doc_id),
+        g AS (
+          SELECT doc_id, nc, 2 AS n, unnest({wsh2}) AS gm FROM d
+          UNION ALL SELECT doc_id, nc, 3, unnest({wsh3}) FROM d
+          UNION ALL SELECT doc_id, nc, 4, unnest({wsh4}) FROM d),
+        gc AS (SELECT doc_id, nc, n, gm, count(*) AS c FROM g GROUP BY 1,2,3,4),
+        ga AS (
+          SELECT doc_id,
+               {_ng_case}
+          FROM gc GROUP BY doc_id)
+        SELECT la.doc_id, dup_line_frac, dup_line_char_frac,
+               top2gram_char_frac, top3gram_char_frac, top4gram_char_frac
+        FROM la JOIN ga ON la.doc_id = ga.doc_id"""
+
+    o["vocab_topk_documents"] = """
+        SELECT t AS token, count(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE length(t) > 0
+        GROUP BY t ORDER BY n DESC, token ASC LIMIT 50"""
+
+    o["semantic_dedup_embeddings"] = """
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM embeddings a
+          WHERE a.vec_id < e.vec_id
+            AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]), 6)
+                >= 0.4)"""
+
     # PII patterns are restricted to syntax valid in BOTH java.util.regex
     # and RE2 (no lookaround), so the oracle runs them verbatim
     from mlcast_sourcedata_validator_spark.functions.text import PII_PATTERNS
@@ -2371,6 +2449,14 @@ _EXTRA_ORDER = [
     # (order-preserving reassembly mirrored exactly in DuckDB)
     "frequent_spans_documents",
     "boilerplate_removed_documents",
+    # Gopher repetition-filter family (dup-line fractions + top n-gram
+    # char coverage) — string/agg twin of text_repetition_documents
+    "gopher_repetition_documents",
+    # corpus vocabulary top-k (deterministic tie-break)
+    "vocab_topk_documents",
+    # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
+    # the clustered scale path is superset-pinned in tests
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -533,6 +533,89 @@ def ivf_topk_indexed(
     return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 7,
+    dim: int | None = None,
+    max_fit_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
+    paper): partition the corpus into ``n_lists`` KMeans clusters (the
+    IVF coarse quantizer), find within-cluster pairs with
+    ``round(cosine, 6) >= threshold``, and DROP every row that has a
+    smaller-id near-neighbor in its cluster. Returns the surviving rows
+    with all original columns.
+
+    The keep rule is deterministic and engine-independent (keep a row
+    iff no smaller-id within-cluster neighbor clears the threshold), so
+    with ``n_lists=1`` the output equals the global brute-force rule —
+    that parameterization is the exact SQL oracle; splitting into more
+    clusters can only REMOVE pairs, so survivors at ``n_lists>1`` are
+    always a superset (pinned in tests).
+
+    Shape at scale: the pair search is an equi-join on ``list_id`` —
+    per-cluster cost is O(c^2) bounded by cluster size, so ``n_lists``
+    is sized to the corpus (SemDeDup uses ~100k clusters for billions of
+    embeddings); the fit runs on a deterministic sample
+    (``max_fit_rows``/``sample_fraction``), assignment is a map-side
+    literal-centroid expression (no shuffle), norms are computed per ROW
+    before the join (not per pair), and the drop-set join back is a
+    ``left_anti`` on ids (the drop set is the duplicate mass — the
+    exception, not the corpus).
+
+    Pass ``dim`` explicitly to use the codegen'd expanded dot product
+    and skip the ``.first()`` dimensionality probe.
+    """
+    if centroids is None:
+        if n_lists == 1:
+            centroids = []  # single implicit cluster; no fit needed
+        else:
+            centroids = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed,
+                                max_fit_rows=max_fit_rows,
+                                sample_fraction=sample_fraction)
+    if dim is None and len(centroids) > 0:
+        dim = len(centroids[0])
+
+    if len(centroids) <= 1:
+        list_expr = F.lit(0)
+    else:
+        list_expr = ivf_assign_expr(vec_col, centroids)
+
+    if dim is not None:
+        _norm = lambda c: F.sqrt(dot_expanded(c, c, dim))  # noqa: E731
+        _dot = lambda a, b: dot_expanded(a, b, dim)  # noqa: E731
+    else:
+        _norm = norm
+        _dot = dot
+
+    vcol = F.col(vec_col)
+    slim_a = df.select(
+        F.col(id_col).alias("id_a"), list_expr.alias("_list"),
+        vcol.alias("_va"), _norm(vcol).alias("_na"),
+    )
+    slim_b = df.select(
+        F.col(id_col).alias("id_b"), list_expr.alias("_list"),
+        vcol.alias("_vb"), _norm(vcol).alias("_nb"),
+    )
+    dropped = (
+        slim_a.join(slim_b, "_list")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(_dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")), 6) >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -206,6 +206,106 @@ def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return base.join(toks, id_col)
 
 
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\\. ",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    — public paper): per document
+
+    - ``dup_line_frac``: fraction of line occurrences that repeat an
+      earlier identical line (lines = ``line_sep``-separated segments;
+      the synthetic corpus uses sentence separators as line breaks).
+    - ``dup_line_char_frac``: fraction of line characters contained in
+      repeated occurrences — sum(len*(cnt-1)) / sum(len*cnt).
+    - ``top{n}gram_char_frac`` for each n in ``ngram_ns``: the largest
+      character coverage of any single word n-gram, i.e.
+      max over n-grams of (count * gram_char_len) / doc_char_len.
+      (Deterministic without a tie-break rule: the max is over numbers,
+      not over grams.) 0.0 when the document is shorter than n words.
+
+    Shape at scale: one explode of lines and ONE explode of the
+    concatenated gram arrays for all requested n — each followed by two
+    id-keyed hash aggregations (map-side partials; the second reuses the
+    first's partitioning), exactly the `text_repetition` top-token
+    pattern. The gram's n is recovered as its own token count (grams are
+    space-joined space-free tokens, so this is exact) rather than by a
+    struct-tagging ``transform`` wrapped around ``word_shingles`` —
+    nesting a lambda over that already-nested higher-order expression
+    miscompiles (lambda-variable capture collision, observed on Spark
+    4.1: the outer lambda rebinds the shingle index). No interpreted
+    array folds, no window, no collect. Documents with NULL/empty text
+    drop out (no gram rows survive the explode), matching the oracle's
+    inner joins.
+    """
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), line_sep)).alias("_l"))
+        .groupBy(id_col, "_l").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                (F.sum("_c") - F.count(F.lit(1))) / F.sum("_c"), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.sum(F.length("_l") * F.col("_c")) > 0,
+                    F.sum(F.length("_l") * (F.col("_c") - 1))
+                    / F.sum(F.length("_l") * F.col("_c")),
+                ),
+                6,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    from .hashing import word_shingles
+
+    allgrams = F.concat(*[word_shingles(F.col(text_col), n) for n in ngram_ns])
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.length(text_col).alias("_nc"),
+            F.explode(allgrams).alias("_g"),
+        )
+        .withColumn("_n", F.size(F.split(F.col("_g"), " ")))
+        .groupBy(id_col, "_nc", "_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(*[
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("_n") == n, F.col("_c") * F.length("_g"))
+                    ) / F.max("_nc"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(f"top{n}gram_char_frac")
+            for n in ngram_ns
+        ])
+    )
+    return lines.join(grams, id_col)
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Corpus-level vocabulary statistics: the ``k`` most frequent
+    whitespace tokens as (token, n). Deterministic under ties: ordered by
+    (n DESC, token ASC), so the returned SET is engine-independent.
+
+    Shape at scale: explode -> one hash aggregation on the token key
+    (map-side partials) -> global top-k via orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps of size k,
+    never a full sort/materialization)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # tokenizer-faithful token counts (optional Arrow stage)
 # ---------------------------------------------------------------------------

@@ -1083,3 +1083,85 @@ def test_count_tokens_pluggable_tokenizer_stage(spark):
     assert not tx.tokenizer_available()
     with pytest.raises(NotImplementedError, match="tokenizer"):
         tx.count_tokens(df, "text")
+
+
+def test_gopher_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb. aa bb. cc"),   # one repeated line, dominant n-grams
+         (2, "x y. z w"),           # no repetition
+         (3, "one")],               # single word: no 2-grams -> drops out
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           tx.gopher_repetition(df, "doc_id", "text").collect()}
+    # doc 3 has no word n-grams at any requested n -> inner-join drop
+    assert set(got) == {1, 2}
+
+    r1 = got[1]
+    # lines: ['aa bb', 'aa bb', 'cc'] -> 1 of 3 occurrences is a repeat
+    assert r1.dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+    # repeated chars: 5 of (5*2 + 2) line chars
+    assert r1.dup_line_char_frac == pytest.approx(5 / 12, abs=1e-6)
+    # words: [aa, bb., aa, bb., cc]; top bigram 'aa bb.' covers 2*6 of 16
+    # chars; top trigram 'bb. aa bb.' 10/16; top 4-gram 13/16
+    assert r1.top2gram_char_frac == pytest.approx(12 / 16, abs=1e-6)
+    assert r1.top3gram_char_frac == pytest.approx(10 / 16, abs=1e-6)
+    assert r1.top4gram_char_frac == pytest.approx(13 / 16, abs=1e-6)
+
+    r2 = got[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup_line_char_frac == 0.0
+    # words: [x, y., z, w]; top bigram 'x y.' or 'y. z' covers 4/8 chars
+    assert r2.top2gram_char_frac == pytest.approx(4 / 8, abs=1e-6)
+    # only one 4-gram ('x y. z w', 8 chars) -> covers the whole doc
+    assert r2.top4gram_char_frac == pytest.approx(1.0, abs=1e-6)
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "d a b")], "doc_id long, text string"
+    )
+    # counts: a3 b3 d1 c1 -> k=3 cuts a tie at n=1: token asc keeps 'c'
+    got = [(r.token, r.n) for r in tx.vocab_topk(df, "text", k=3).collect()]
+    assert got == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_semantic_dedup_exact_and_clustered(spark):
+    # 0<->1 and 2<->3 are near-dups (cos ~1); 4 is far from both pairs
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.01]),
+        (2, [0.0, 1.0]), (3, [0.0, 0.5]),
+        (4, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # n_lists=1 == global brute-force smaller-id-neighbor rule
+    kept = {r.vec_id for r in
+            sim.semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                               n_lists=1, dim=2).collect()}
+    assert kept == {0, 2, 4}
+
+    # explicit centroids split the two dup pairs into separate clusters:
+    # within-cluster pruning finds the same neighbors -> same survivors
+    kept2 = {r.vec_id for r in
+             sim.semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                                centroids=[[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert kept2 == {0, 2, 4}
+
+    # splitting clusters can only REMOVE pairs: clustered survivors are
+    # always a superset of the single-cluster (global) survivors
+    import random
+
+    rng = random.Random(7)
+    big = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    big += [(100 + i, list(big[i][1])) for i in range(10)]  # planted dups
+    bdf = spark.createDataFrame(big, "vec_id long, embedding array<float>")
+    s1 = {r.vec_id for r in
+          sim.semantic_dedup(bdf, "vec_id", "embedding", threshold=0.99,
+                             n_lists=1, dim=8).collect()}
+    s4 = {r.vec_id for r in
+          sim.semantic_dedup(bdf, "vec_id", "embedding", threshold=0.99,
+                             n_lists=4, dim=8, seed=7).collect()}
+    assert s1 <= s4
+    # every planted exact dup has a smaller-id twin in ANY clustering
+    # (identical vectors always share a cluster) -> never survives
+    assert not ({100 + i for i in range(10)} & s4)
