@@ -1110,6 +1110,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "shard_id", "shard_pos")
     q["shuffle_shards_documents"] = shuffle_shards_documents
 
+    def deterministic_take_documents(spark, sf):
+        """Exact-k deterministic global sample (k rows of smallest
+        (u(id), id)): TakeOrdered per-partition heaps, retry/engine-
+        stable selection the oracle reproduces bit-for-bit."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.deterministic_take(d, "doc_id", k=100, seed=5) \
+                 .select("doc_id", "lang", "source")
+    q["deterministic_take_documents"] = deterministic_take_documents
+
+    def normalized_dedup_documents(spark, sf):
+        """Near-exact dedup over the C4/Dolma-style normalization key
+        (lowercase + whitespace collapse): keep-min over
+        md5(normalize_text(text)) — catches case/whitespace variants
+        byte-exact dedup misses; same one-shuffle shape."""
+        d = _t(spark, sf, "documents")
+        survivors = dd.exact_dedup(
+            d.withColumn("_norm", tx.normalize_text(F.col("text"))),
+            "doc_id", "_norm",
+        )
+        return survivors.select("doc_id", "source")
+    q["normalized_dedup_documents"] = normalized_dedup_documents
+
+    def quantized_embeddings(spark, sf):
+        """Symmetric per-vector int8 quantization + worst reconstruction
+        error — map-side array expressions, IEEE-identical in DuckDB."""
+        return sim.quantize_embeddings(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding")
+    q["quantized_embeddings"] = quantized_embeddings
+
     def frequent_spans_documents(spark, sf):
         """Corpus boilerplate profiler: word 3-grams by document frequency
         (per-document distinct, so spammy repeats count once). One
@@ -2203,6 +2234,39 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         WHERE rk = 1"""
 
+    _u5 = hash_uniform_sql("doc_id", seed=5)
+    o["deterministic_take_documents"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        ORDER BY {_u5} ASC, doc_id ASC LIMIT 100"""
+
+    o["normalized_dedup_documents"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source, min(doc_id) OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ) AS keep_id
+          FROM documents)
+        WHERE doc_id = keep_id"""
+
+    o["quantized_embeddings"] = """
+        WITH s AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x))) AS sc
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, v, sc,
+                 CASE WHEN sc > 0 THEN
+                   list_transform(v, x -> cast(floor(x / sc * 127.0 + 0.5)
+                                               AS INT))
+                 ELSE list_transform(v, x -> 0) END AS qvec
+          FROM s)
+        SELECT vec_id, round(sc, 6) AS scale, qvec,
+               CASE WHEN sc > 0 THEN
+                 round(list_max([abs(qvec[i] * sc / 127.0 - v[i])
+                                 for i in generate_series(1, len(v))]), 6)
+               ELSE 0.0 END AS max_abs_err
+        FROM q"""
+
     from mlcast_sourcedata_validator_spark.functions.sampling import (
         shuffle_into_shards_sql)
     _shard, _okey, _rn = shuffle_into_shards_sql("doc_id", 8, seed=11)
@@ -2457,6 +2521,12 @@ _EXTRA_ORDER = [
     # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
     # the clustered scale path is superset-pinned in tests
     "semantic_dedup_embeddings",
+    # exact-k deterministic global sample (TakeOrdered on the id-uniform)
+    "deterministic_take_documents",
+    # near-exact dedup over the normalization key (case/whitespace)
+    "normalized_dedup_documents",
+    # symmetric int8 embedding quantization + reconstruction error
+    "quantized_embeddings",
 ]
 
 

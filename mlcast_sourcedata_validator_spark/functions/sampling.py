@@ -53,6 +53,20 @@ def deterministic_sample(
     return df.where(hash_uniform(F.col(id_col), seed) < fraction)
 
 
+def deterministic_take(
+    df: DataFrame, id_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Exact-k deterministic global sample: the k rows with the smallest
+    (u(id), id). Selection is a pure function of the ids — retry-,
+    partitioning- and engine-stable — and monotone in k
+    (take(k) ⊆ take(k+1)), unlike ``df.limit(k)`` whose rows depend on
+    task scheduling. Spark executes orderBy+limit as
+    TakeOrderedAndProject: per-partition size-k heaps and a driver merge
+    of k x n_partitions candidates — no global sort, no full shuffle."""
+    u = hash_uniform(F.col(id_col), seed)
+    return df.orderBy(u.asc(), F.col(id_col).asc()).limit(k)
+
+
 def sample_by_mixture(
     df: DataFrame,
     id_col: str,

@@ -533,6 +533,49 @@ def ivf_topk_indexed(
     return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)
 
 
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/ANN-transport
+    compression step of an embedding pipeline (4x smaller than float32):
+
+        scale = max_i |x_i|
+        q_i   = floor(x_i / scale * 127 + 0.5)   in [-127, 127]
+
+    plus ``max_abs_err``, the worst per-component reconstruction error of
+    ``q_i * scale / 127``. Pure array expressions over doubles (IEEE
+    arithmetic is engine-identical, so the DuckDB oracle compares
+    exactly); map-side only — no shuffle, no Python. Zero vectors get
+    scale 0 and an all-zero code (the division guard)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col), v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_scale"),
+    )
+    qvec = F.when(
+        F.col("_scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("_scale") * 127.0 + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    recon = F.when(
+        F.col("_scale") > 0,
+        F.round(
+            F.array_max(F.zip_with(
+                F.col("qvec"), F.col("_v"),
+                lambda a, b: F.abs(a * F.col("_scale") / 127.0 - b),
+            )),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.withColumn("qvec", qvec)
+        .select(
+            F.col(id_col), F.round("_scale", 6).alias("scale"),
+            F.col("qvec"), recon.alias("max_abs_err"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

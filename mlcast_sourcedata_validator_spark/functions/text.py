@@ -206,6 +206,16 @@ def text_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return base.join(toks, id_col)
 
 
+def normalize_text(text: Column) -> Column:
+    """Near-exact-dedup normalization (the C4/Dolma-style key): lowercase,
+    collapse whitespace runs to a single space, trim. Dedup over
+    ``md5(normalize_text(text))`` catches case/whitespace variants that
+    byte-exact dedup misses, without the cost of fuzzy matching. The
+    ``\\s`` class matches the same characters in java.util.regex and
+    RE2/DuckDB, so the oracle runs the identical expression."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str,

@@ -1165,3 +1165,50 @@ def test_semantic_dedup_exact_and_clustered(spark):
     # every planted exact dup has a smaller-id twin in ANY clustering
     # (identical vectors always share a cluster) -> never survives
     assert not ({100 + i for i in range(10)} & s4)
+
+
+def test_quantize_embeddings_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in
+           sim.quantize_embeddings(df, "vec_id", "embedding").collect()}
+    r1 = got[1]
+    assert r1.scale == pytest.approx(1.0)
+    # -0.5 -> floor(-63.5 + 0.5) = -63; recon err |-63/127 + 0.5| ~ 0.003937
+    assert list(r1.qvec) == [127, -63, 0]
+    assert r1.max_abs_err == pytest.approx(0.003937, abs=1e-6)
+    r2 = got[2]  # zero vector: guarded, all-zero code
+    assert r2.scale == 0.0 and list(r2.qvec) == [0, 0, 0] \
+        and r2.max_abs_err == 0.0
+
+
+def test_deterministic_take_monotone_and_stable(spark):
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    t5 = {r.doc_id for r in sp.deterministic_take(df, "doc_id", 5).collect()}
+    t10 = {r.doc_id for r in sp.deterministic_take(df, "doc_id", 10).collect()}
+    assert len(t5) == 5 and len(t10) == 10 and t5 <= t10
+    # partitioning-independent: same selection after a repartition
+    t10b = {r.doc_id for r in
+            sp.deterministic_take(df.repartition(7), "doc_id", 10).collect()}
+    assert t10 == t10b
+    # different seed -> (almost surely) different selection
+    t10c = {r.doc_id for r in
+            sp.deterministic_take(df, "doc_id", 10, seed=1).collect()}
+    assert t10 != t10c
+
+
+def test_normalized_dedup_key(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  hello\tworld "),
+         (4, "hello worlds")],
+        "doc_id long, text string",
+    )
+    survivors = {r.doc_id for r in dd.exact_dedup(
+        df.withColumn("_norm", tx.normalize_text(F.col("text"))),
+        "doc_id", "_norm").collect()}
+    # 1,2,3 normalize identically -> keep min id 1; 4 differs
+    assert survivors == {1, 4}
