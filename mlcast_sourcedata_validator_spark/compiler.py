@@ -71,6 +71,8 @@ _COMPILERS = {
     "storage_codec": storage.compile_codec,
     "storage_partitioning": storage.compile_partitioning,
     "storage_format": storage.compile_format,
+    # row-level layout: rows must live in the partition their ts derives
+    "partition_alignment": storage.compile_partition_alignment,
     # fused aggregates
     "null_rate": stats.compile_null_rate,
     "temporal_coverage": stats.compile_temporal_coverage,
@@ -204,6 +206,17 @@ def _with_bucket_cols(df, cs: CompiledSuite):
     """
     for cid, dc in cs.drift_checks:
         df = df.withColumn(_bucket_col(cid), dc.bucket)
+    # RowCheck pre-projections (same rationale; additionally the ONLY way
+    # a predicate derived from a non-deterministic source like
+    # input_file_name() can ride the Observation — CollectMetrics rejects
+    # such expressions inline but accepts a projected attribute)
+    seen: set = set()
+    for _, rc in cs.row_checks:
+        for name, col in rc.pre_cols.items():
+            if name in seen:
+                raise ValueError(f"duplicate pre_col {name}")
+            seen.add(name)
+            df = df.withColumn(name, col)
     return df
 
 

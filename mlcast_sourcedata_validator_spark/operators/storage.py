@@ -28,9 +28,13 @@ million-file table on the driver.
 
 from __future__ import annotations
 
+from typing import Any
+
+from pyspark.sql import functions as F
+
 from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
 from ..sources import fs
-from ..suite import CheckSpec, CheckSuite, DriverCheck, RunContext
+from ..suite import AggCheck, CheckSpec, CheckSuite, DriverCheck, RowCheck, RunContext
 
 _MOD = __name__
 _MAX_FOOTER_SAMPLE = 8
@@ -217,3 +221,108 @@ def compile_format(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
         return stamp(report, _MOD, "compile_format")
 
     return DriverCheck(spec.check_id, fn)
+
+
+def compile_partition_alignment(
+    spec: CheckSpec, suite: CheckSuite
+) -> list:
+    """Rows must physically live in the hive partition their event time
+    derives — the misrouted-ingest check.
+
+    The layout checks above verify the partition SPEC exists
+    (``compile_partitioning``, the analog of the reference's
+    chunk-per-timestep layout rule, checks/data_vars/chunking.py:12-53);
+    this one verifies the DATA honours it: a row with
+    ``ts = 2026-01-02T…`` sitting in ``date=2026-01-01/`` silently
+    corrupts every partition-pruned read (incremental rollups, drift
+    baselines, resume-from-checkpoint all trust partition == event-day).
+    The reference has no analog because a single Zarr dataset has no
+    partition routing; at 10^12 rows it is one of the first ingest bugs
+    a validation engine must catch.
+
+    Spark-native mechanics: the physical partition is recovered from
+    ``input_file_name()`` — a metadata literal per split, evaluated
+    MAP-SIDE on the scan with one short ``regexp_extract``, so the check
+    rides the fused scan like every other row predicate and works in
+    BOTH run shapes (whole-table read AND ``run_partitioned``'s
+    one-partition batches, which drop the partition column but keep the
+    ``date=<p>`` path segment). A second fused aggregate counts how many
+    rows carried a recoverable partition at all, so "table isn't
+    file-backed / isn't partitioned" degrades to WARNING instead of a
+    vacuous PASS — the optional-capability pattern of the driver-side
+    storage checks above.
+
+    params:
+      partition_key: hive key in the path (default 'date')
+      fmt: date_format pattern ts must route by (default 'yyyy-MM-dd')
+      column: compare against this materialized partition column instead
+        of the file path (for catalog tables whose scans don't expose
+        hive paths); NULL column values are not flagged (null_rate owns
+        nullness)
+      max_violations: allowed misrouted rows before FAIL (default 0)
+
+    NULL ``ts`` rows are never flagged here (cannot derive a route;
+    null_rate owns them). Partition values are compared as raw path
+    text — date values never need URL-escaping.
+    """
+    key = spec.params.get("partition_key", "date")
+    fmt = spec.params.get("fmt", "yyyy-MM-dd")
+    column = spec.params.get("column")
+    max_viol = spec.params.get("max_violations", 0)
+    ts = suite.ts_col
+
+    expected = F.date_format(F.col(ts).cast("timestamp"), fmt)
+    pre_cols: dict = {}
+    if column is not None:
+        actual = F.col(column).cast("string")
+    else:
+        # [/\\] guard: 'update=' must not satisfy key='date'.
+        # input_file_name() is non-deterministic to Catalyst, so the
+        # recovered route is PRE-PROJECTED onto the scan (RowCheck
+        # pre_cols) — CollectMetrics accepts the projected attribute
+        # where it would reject the inline expression.
+        route_col = f"__pa_route_{spec.check_id}"
+        raw = F.regexp_extract(
+            F.input_file_name(), f"[/\\\\]{key}=([^/\\\\]+)", 1)
+        pre_cols[route_col] = F.when(raw != "", raw)  # '' -> NULL
+        actual = F.col(route_col)
+
+    pred = actual.isNotNull() & expected.isNotNull() & (actual != expected)
+    detail = F.concat(
+        F.lit(f"{ts}-derived partition "), expected,
+        F.lit(f" != stored {key}="), actual,
+    )
+    seen_metric = f"__pa_seen_{spec.check_id}"
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        seen = int(m.get(seen_metric) or 0)
+        if n_viol > max_viol:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{n_viol} rows stored in a {key}= partition that "
+                       f"does not match date_format({ts}, '{fmt}')"
+                       + (f" (> {max_viol} allowed)" if max_viol else ""))
+        elif seen == 0:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"no rows carried a recoverable {key}= partition "
+                       "(table not hive-partitioned or not file-backed) — "
+                       "alignment not checkable")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"all {seen} partition-routed rows aligned with "
+                       f"date_format({ts}, '{fmt}')"
+                       + (f" ({n_viol} <= {max_viol} allowed)"
+                          if n_viol else ""))
+        return stamp(report, _MOD, "compile_partition_alignment")
+
+    def agg_verdict(m: dict[str, Any]) -> ValidationReport:
+        return ValidationReport()  # verdict lives on the RowCheck
+
+    return [
+        AggCheck(spec.check_id,
+                 {seen_metric:
+                  F.sum(F.when(actual.isNotNull(), 1).otherwise(0))
+                  .cast("long")},
+                 agg_verdict),
+        RowCheck(spec.check_id, pred, detail, verdict, pre_cols=pre_cols),
+    ]

@@ -93,6 +93,12 @@ class RowCheck:
     needs_window: bool = False
     #: severity used for the violation rows ("FAIL" or "WARNING")
     severity: str = "FAIL"
+    #: columns the compiler must project onto the scan BEFORE the fused
+    #: Observation (same mechanism as the drift bucket projection):
+    #: required when pred/detail derive from a non-deterministic source
+    #: (e.g. input_file_name()) — CollectMetrics rejects those inline,
+    #: but accepts a projected attribute. name -> Column expression.
+    pre_cols: dict = field(default_factory=dict)
 
 
 @dataclass
