@@ -1141,6 +1141,45 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), "vec_id", "embedding")
     q["quantized_embeddings"] = quantized_embeddings
 
+    def _event_row_sig():
+        """Canonical per-row signature for stream fingerprinting —
+        engine-portable pieces only (epoch micros, not rendered
+        timestamps; no doubles)."""
+        return F.concat_ws(
+            "\x1f",
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.coalesce(F.col("props"), F.lit("")),
+        )
+
+    def stream_fingerprint_events(spark, sf):
+        """Commutative multiset fingerprint per user stream
+        (functions/dedup.py stream_fingerprint): constant-size algebraic
+        partials (count, bit_xor, sum mod P) instead of the collect_list
+        fingerprint's ship-every-row shuffle — the 100-TB shape for
+        whole-stream identity."""
+        return dd.stream_fingerprint(
+            _t(spark, sf, "events"), "user_id", _event_row_sig())
+    q["stream_fingerprint_events"] = stream_fingerprint_events
+
+    def duplicate_streams_events(spark, sf):
+        """Re-ingested-stream detection: clone every user_id % 10 == 3
+        stream under a fresh key (deterministic fixture corruption,
+        mirrored in the oracle), then find fingerprint-colliding keys —
+        the duplicate-conversation class that (conv_id, turn_idx)
+        uniqueness is blind to."""
+        ev = _t(spark, sf, "events")
+        clones = ev.where(F.col("user_id") % 10 == 3).withColumn(
+            "user_id", F.col("user_id") + F.lit(1000000))
+        dup = dd.duplicate_streams(
+            ev.unionByName(clones), "user_id", _event_row_sig())
+        return dup.select(
+            "n_rows", "fp_xor", "fp_sum", "n_keys",
+            F.array_join(F.col("keys").cast("array<string>"), ",")
+            .alias("keys"))
+    q["duplicate_streams_events"] = duplicate_streams_events
+
     def frequent_spans_documents(spark, sf):
         """Corpus boilerplate profiler: word 3-grams by document frequency
         (per-document distinct, so spammy repeats count once). One
@@ -2296,6 +2335,34 @@ def _all_oracles() -> dict[str, str]:
                sum(n_chars)::BIGINT AS sum_chars
         FROM kd JOIN rep ON kd.doc_id = rep.doc_id GROUP BY lang"""
 
+    from mlcast_sourcedata_validator_spark.functions.hashing import (
+        encw_sql as _encw_sql)
+    _sf_h = _encw_sql(
+        "substr(md5(concat_ws(chr(31), epoch_us(ts)::VARCHAR, "
+        "event_id::VARCHAR, event_type, coalesce(props, ''))), 1, 12)")
+    o["stream_fingerprint_events"] = f"""
+        WITH h AS (SELECT user_id, {_sf_h} AS hh FROM events)
+        SELECT user_id, count(*)::BIGINT AS n_rows,
+               bit_xor(hh)::BIGINT AS fp_xor,
+               (sum(hh) % 2147483647)::BIGINT AS fp_sum
+        FROM h GROUP BY user_id"""
+
+    o["duplicate_streams_events"] = f"""
+        WITH uni AS (
+          SELECT * FROM events
+          UNION ALL
+          SELECT event_id, ts, user_id + 1000000 AS user_id,
+                 event_type, value, props
+          FROM events WHERE user_id % 10 = 3),
+        h AS (SELECT user_id, {_sf_h} AS hh FROM uni),
+        fp AS (SELECT user_id, count(*)::BIGINT AS n_rows,
+                      bit_xor(hh)::BIGINT AS fp_xor,
+                      (sum(hh) % 2147483647)::BIGINT AS fp_sum
+               FROM h GROUP BY user_id)
+        SELECT n_rows, fp_xor, fp_sum, count(*)::BIGINT AS n_keys,
+               array_to_string(list_sort(list(user_id)), ',') AS keys
+        FROM fp GROUP BY n_rows, fp_xor, fp_sum HAVING count(*) > 1"""
+
     o["asof_last_purchase_events"] = """
         WITH purch AS (
           SELECT user_id, ts AS pts,
@@ -2527,6 +2594,10 @@ _EXTRA_ORDER = [
     "normalized_dedup_documents",
     # symmetric int8 embedding quantization + reconstruction error
     "quantized_embeddings",
+    # commutative multiset stream fingerprint (count/bit_xor/sum-mod-P
+    # algebraic partials) + re-ingested-stream collision detection
+    "stream_fingerprint_events",
+    "duplicate_streams_events",
 ]
 
 

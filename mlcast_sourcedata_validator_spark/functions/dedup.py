@@ -31,6 +31,7 @@ from .hashing import (
     BAND_SIZE,
     MINHASH_COEFFS,
     N_BANDS,
+    P,
     char_shingles,
     enc4,
     encw,
@@ -125,6 +126,57 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(w_min, on=id_col, how="left_semi")
+
+
+def stream_fingerprint(df: DataFrame, key_col: str, row_sig) -> DataFrame:
+    """Commutative multiset fingerprint of each key's row-stream:
+    (key, n_rows, fp_xor, fp_sum).
+
+    ``row_sig`` is a STRING Column canonically serializing one row.
+    Include the ordering attribute (turn_idx / epoch micros) in it, so a
+    re-ordered stream yields a different multiset.
+
+    Per-row portable hash ``h = encw(md5(row_sig)[:12])`` in [0, P); per
+    key: ``fp_xor = bit_xor(h)``, ``fp_sum = sum(h) % P``, plus the row
+    count. xor alone cancels pairwise-duplicated rows; sum + count
+    restore the distinction, so two streams collide on all three only
+    with md5-collision probability.
+
+    Scale shape: both combiners are algebraic, constant-size partials —
+    the groupBy shuffle carries ONE partial row per (key, task), unlike
+    the collect_list fingerprint (conv_text_equality_events, its
+    order-sensitive oracle twin) which ships EVERY row to its key's
+    reducer and holds the whole conversation in reducer memory.
+    ``sum(h)`` stays < 2^31 x rows-per-key: overflow-free int64
+    (ANSI-safe) up to ~4x10^9 rows per key — far above the suite's
+    max_conv_turns bound.
+    """
+    h = encw(F.substring(F.md5(row_sig), 1, 12))
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("fp_xor"),
+        F.pmod(F.sum(h), F.lit(P).cast("long")).alias("fp_sum"),
+    )
+
+
+def duplicate_streams(df: DataFrame, key_col: str, row_sig) -> DataFrame:
+    """Keys whose ENTIRE row-stream multiset equals another key's —
+    re-ingested conversations under fresh conv_ids, which the
+    (conv_id, turn_idx) uniqueness check cannot see (every re-ingested
+    key is internally unique).
+
+    Two aggregations: the fingerprint groupBy (one shuffle over
+    constant-size partials), then a groupBy over ONE row per key.
+    Output: (n_rows, fp_xor, fp_sum, n_keys, keys) for collision groups,
+    keys sorted for determinism.
+    """
+    fp = stream_fingerprint(df, key_col, row_sig)
+    return (
+        fp.groupBy("n_rows", "fp_xor", "fp_sum")
+        .agg(F.count(F.lit(1)).alias("n_keys"),
+             F.sort_array(F.collect_list(key_col)).alias("keys"))
+        .where(F.col("n_keys") > 1)
+    )
 
 
 def content_index_specs(id_col: str = "doc_id"):

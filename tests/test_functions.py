@@ -1212,3 +1212,63 @@ def test_normalized_dedup_key(spark):
         "doc_id", "_norm").collect()}
     # 1,2,3 normalize identically -> keep min id 1; 4 differs
     assert survivors == {1, 4}
+
+
+class TestStreamFingerprint:
+    """Commutative multiset stream fingerprint + re-ingest detection
+    (functions/dedup.py stream_fingerprint / duplicate_streams)."""
+
+    @pytest.fixture(scope="class")
+    def streams(self, spark):
+        # stream 1 == stream 2 (same rows, different key), stream 3 is a
+        # reordered COPY of 1 with positions swapped in the signature
+        # payload -> different multiset; stream 4 shares one row with 1
+        rows = []
+        for key, pairs in {
+            "a": [(0, "x"), (1, "y"), (2, "z")],
+            "b": [(0, "x"), (1, "y"), (2, "z")],
+            "c": [(0, "y"), (1, "x"), (2, "z")],
+            "d": [(0, "x")],
+        }.items():
+            rows += [(key, i, t) for i, t in pairs]
+        return spark.createDataFrame(
+            rows, "k string, idx int, txt string").localCheckpoint()
+
+    @staticmethod
+    def _sig():
+        return F.concat_ws("\x1f", F.col("idx").cast("string"),
+                           F.col("txt"))
+
+    def test_identical_streams_collide_others_do_not(self, streams):
+        fp = {r["k"]: (r["n_rows"], r["fp_xor"], r["fp_sum"])
+              for r in dd.stream_fingerprint(streams, "k",
+                                             self._sig()).collect()}
+        assert fp["a"] == fp["b"]
+        assert fp["a"] != fp["c"]  # order is part of the row signature
+        assert fp["a"] != fp["d"]
+
+    def test_fingerprint_is_partitioning_invariant(self, streams):
+        fp1 = dd.stream_fingerprint(streams, "k", self._sig())
+        fp2 = dd.stream_fingerprint(
+            streams.repartition(7).sortWithinPartitions("txt"),
+            "k", self._sig())
+        assert sorted(map(tuple, fp1.collect())) == \
+            sorted(map(tuple, fp2.collect()))
+
+    def test_duplicate_streams_finds_exactly_the_clone_pair(self, streams):
+        dup = dd.duplicate_streams(streams, "k", self._sig()).collect()
+        assert len(dup) == 1
+        assert dup[0]["keys"] == ["a", "b"]
+        assert dup[0]["n_keys"] == 2
+
+    def test_xor_cancellation_is_disambiguated_by_count_and_sum(self, spark):
+        # {r, r, s} xor-cancels the duplicated row to look like {s};
+        # n_rows and fp_sum must still separate the two streams
+        df = spark.createDataFrame(
+            [("p", 0, "r"), ("p", 0, "r"), ("p", 1, "s"), ("q", 1, "s")],
+            "k string, idx int, txt string")
+        fp = {r["k"]: r for r in dd.stream_fingerprint(
+            df, "k", self._sig()).collect()}
+        assert fp["p"]["fp_xor"] == fp["q"]["fp_xor"]  # the xor blind spot
+        assert fp["p"]["n_rows"] != fp["q"]["n_rows"]
+        assert dd.duplicate_streams(df, "k", self._sig()).count() == 0
