@@ -228,3 +228,28 @@ def suite() -> CheckSuite:
         ),
     ]
     return CheckSuite(suite_id="transcripts_v1", checks=checks)
+
+
+@register_suite("transcripts_v1_partitioned")
+def suite_partitioned() -> CheckSuite:
+    """transcripts_v1 + the misrouted-ingest row check — the default for
+    date-partitioned tables (``run_partitioned`` / CLI ``--partitioned``
+    runs, where every consumer trusts partition == event-day).
+
+    Kept out of the base suite so unpartitioned / in-memory inputs don't
+    pay a per-row regexp for a check that can only WARN there.
+    """
+    base = suite()
+    return CheckSuite(
+        suite_id="transcripts_v1_partitioned",
+        checks=base.checks + [
+            CheckSpec(
+                "partition_alignment", "partition_alignment", "6.1 layout",
+                "Rows MUST be stored in the date partition derived from "
+                "their ts (misrouted ingest corrupts every "
+                "partition-pruned consumer).",
+                {"partition_key": "date", "fmt": "yyyy-MM-dd"},
+            ),
+        ],
+        conv_col=base.conv_col, turn_col=base.turn_col, ts_col=base.ts_col,
+    )

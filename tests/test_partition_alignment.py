@@ -147,3 +147,18 @@ def test_run_partitioned_batches_catch_misroutes(spark, table_path,
         assert f"stored date={r['partition_id']}" in r["detail"]
     assert summary.n_fails >= 1
     assert summary.n_violations == K_MISROUTED
+
+
+def test_registered_partitioned_suite_variant(spark):
+    from mlcast_sourcedata_validator_spark.compiler import compile_suite
+    from mlcast_sourcedata_validator_spark.suite import get_suite
+
+    s = get_suite("transcripts_v1_partitioned")
+    assert any(c.kind == "partition_alignment" for c in s.checks)
+    # base suite stays regexp-free for unpartitioned/in-memory inputs
+    base = get_suite("transcripts_v1")
+    assert not any(c.kind == "partition_alignment" for c in base.checks)
+    assert [c.check_id for c in s.checks[:len(base.checks)]] == \
+        [c.check_id for c in base.checks]
+    cs = compile_suite(s)
+    assert "partition_alignment" in cs.order
