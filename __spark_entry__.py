@@ -1134,6 +1134,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return survivors.select("doc_id", "source")
     q["normalized_dedup_documents"] = normalized_dedup_documents
 
+    def dsir_weights_documents(spark, sf):
+        """DSIR importance weights (arXiv:2302.03169): hashed bag-of-words
+        bucket models for target (lang='en') vs raw corpus, per-doc
+        quantized log-likelihood-ratio weight. Scoring is a zero-shuffle
+        map-side `aggregate` over the token array with the 256-bucket
+        log-ratio table as a plan literal; the only distributed extra is
+        one bounded bucket-distribution agg. Integer weights => exact
+        oracle."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.dsir_weights(d, "doc_id", "text", F.col("lang") == "en",
+                               n_buckets=256, seed=7) \
+                 .select("doc_id", "weight_q")
+    q["dsir_weights_documents"] = dsir_weights_documents
+
+    def dsir_resample_documents(spark, sf):
+        """DSIR selection step: Gumbel-top-k over weight/T + Gumbel(u(id))
+        — sampling-without-replacement proportional to exp(weight/T),
+        deterministic because the noise derives from the id. TakeOrdered
+        (per-partition heaps + driver merge), no global sort."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.dsir_resample(d, "doc_id", "text", F.col("lang") == "en",
+                                k=100, n_buckets=256, temperature=1.0,
+                                seed=7) \
+                 .select("doc_id", "weight_q", "dsir_key")
+    q["dsir_resample_documents"] = dsir_resample_documents
+
     def quantized_embeddings(spark, sf):
         """Symmetric per-vector int8 quantization + worst reconstruction
         error — map-side array expressions, IEEE-identical in DuckDB."""
@@ -2286,6 +2316,13 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         WHERE doc_id = keep_id"""
 
+    from mlcast_sourcedata_validator_spark.functions.sampling import dsir_sql
+    o["dsir_weights_documents"] = dsir_sql(
+        "documents", "doc_id", "text", "lang = 'en'", n_buckets=256, seed=7)
+    o["dsir_resample_documents"] = dsir_sql(
+        "documents", "doc_id", "text", "lang = 'en'", n_buckets=256,
+        temperature=1.0, seed=7, k=100)
+
     o["quantized_embeddings"] = """
         WITH s AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2592,6 +2629,10 @@ _EXTRA_ORDER = [
     "deterministic_take_documents",
     # near-exact dedup over the normalization key (case/whitespace)
     "normalized_dedup_documents",
+    # DSIR importance resampling (hashed-ngram bucket models; integer
+    # quantized weights => exact oracle; Gumbel-top-k selection)
+    "dsir_weights_documents",
+    "dsir_resample_documents",
     # symmetric int8 embedding quantization + reconstruction error
     "quantized_embeddings",
     # commutative multiset stream fingerprint (count/bit_xor/sum-mod-P

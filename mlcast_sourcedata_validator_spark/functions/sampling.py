@@ -268,3 +268,217 @@ def stratified_cap(
     keep = F.col(key_col).isNull() | ~F.col(key_col).isin(short_keys)
     redo = plain(df.where(F.col(key_col).isin(short_keys)))
     return capped.where(keep).unionByName(redo)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", arXiv:2302.03169): select
+# corpus documents whose hashed bag-of-words distribution looks like a
+# TARGET slice, by importance weights between two bucketed unigram models.
+# ---------------------------------------------------------------------------
+
+#: plan-size guard: the per-bucket log-ratio table is embedded as an array
+#: literal in the scoring expression (broadcast with the plan). B is a MODEL
+#: hyperparameter (DSIR uses ~10^4), not a function of data size, so the
+#: literal stays bounded at any corpus scale.
+DSIR_MAX_BUCKETS = 65_536
+
+#: log-ratio quantization: weights are CAST(FLOOR(lr * 1e6 + 0.5) AS BIGINT)
+#: so per-document summation is integer — order-independent and bit-identical
+#: across engines (double summation order differs between Spark and DuckDB).
+DSIR_QUANT = 1_000_000
+
+
+def dsir_tokens(text: Column) -> Column:
+    """Whitespace word tokens, empties dropped, NULL text -> []."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), " "),
+                    lambda t: t != "")
+
+
+def dsir_tokens_sql(text_expr: str) -> str:
+    return (f"list_filter(string_split(coalesce({text_expr}, ''), ' '), "
+            f"t -> t <> '')")
+
+
+def dsir_bucket(tok: Column, n_buckets: int, seed: int = 0) -> Column:
+    """Hash a token into [0, n_buckets) with the engine-portable
+    encw/uhash arithmetic (hashing.py) — the oracle reproduces it
+    exactly, unlike Spark-private xxhash64."""
+    j = seed % len(MINHASH_COEFFS)
+    return F.pmod(uhash(encw(tok), j), F.lit(int(n_buckets)))
+
+
+def dsir_bucket_sql(tok_expr: str, n_buckets: int, seed: int = 0) -> str:
+    j = seed % len(MINHASH_COEFFS)
+    return f"({uhash_sql(encw_sql(tok_expr), j)} % {int(n_buckets)})"
+
+
+def dsir_log_ratios(
+    df: DataFrame,
+    text_col: str,
+    target_cond: Column,
+    n_buckets: int = 1024,
+    seed: int = 0,
+) -> list[int]:
+    """Per-bucket quantized log importance ratios
+    ``floor(1e6 * ln(p_target(b) / p_raw(b)) + 0.5)`` under add-one
+    smoothing, as a dense length-``n_buckets`` list.
+
+    One distributed pass: explode tokens -> groupBy bucket (map-side
+    partial agg; output is <= n_buckets rows) -> bounded driver collect.
+    The ln itself runs driver-side in CPython, which shares libm with
+    the DuckDB oracle; quantization makes the per-document sums exact
+    integers thereafter.
+    """
+    if n_buckets > DSIR_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds DSIR_MAX_BUCKETS="
+            f"{DSIR_MAX_BUCKETS}; the log-ratio table is a plan literal")
+    import math
+
+    ex = df.select(
+        F.explode(dsir_tokens(F.col(text_col))).alias("_t"),
+        F.coalesce(target_cond.cast("long"), F.lit(0)).alias("_is_t"),
+    )
+    rows = (
+        ex.groupBy(dsir_bucket(F.col("_t"), n_buckets, seed).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n_raw"), F.sum("_is_t").alias("_n_tgt"))
+        .collect()
+    )
+    n_raw = [0] * n_buckets
+    n_tgt = [0] * n_buckets
+    for r in rows:
+        n_raw[r["_b"]] = r["_n_raw"]
+        n_tgt[r["_b"]] = r["_n_tgt"]
+    tot_raw, tot_tgt = sum(n_raw), sum(n_tgt)
+    out = []
+    for b in range(n_buckets):
+        p_t = (n_tgt[b] + 1.0) / (tot_tgt + n_buckets)
+        p_r = (n_raw[b] + 1.0) / (tot_raw + n_buckets)
+        out.append(int(math.floor(math.log(p_t / p_r) * DSIR_QUANT + 0.5)))
+    return out
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    log_ratios: list[int] | None = None,
+    weight_col: str = "weight_q",
+) -> DataFrame:
+    """Quantized per-document DSIR importance weight: the sum of the
+    bucket log-ratios of the document's tokens (an exact BIGINT).
+
+    Scoring is a ZERO-SHUFFLE map-side expression — ``aggregate`` over
+    the token array with the log-ratio table as an array literal
+    (plan-broadcast, bounded by DSIR_MAX_BUCKETS) — so at 10^12 rows the
+    only distributed cost beyond the scan is the one bounded
+    bucket-distribution agg inside :func:`dsir_log_ratios` (skippable by
+    passing a precomputed/persisted ``log_ratios``).
+    """
+    if log_ratios is None:
+        log_ratios = dsir_log_ratios(df, text_col, target_cond,
+                                     n_buckets, seed)
+    if len(log_ratios) != n_buckets:
+        raise ValueError("log_ratios length must equal n_buckets")
+    lr = F.lit(log_ratios)
+    w = F.aggregate(
+        dsir_tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(
+            lr, (dsir_bucket(t, n_buckets, seed) + 1).cast("int")),
+    )
+    return df.withColumn(weight_col, w)
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+    k: int,
+    n_buckets: int = 1024,
+    temperature: float = 1.0,
+    seed: int = 0,
+    log_ratios: list[int] | None = None,
+) -> DataFrame:
+    """DSIR's sampling-without-replacement step: the Gumbel-top-k trick
+    — key = weight/temperature + Gumbel(u(id)) with the deterministic
+    id-derived uniform, take the k largest keys. Equivalent to sampling
+    k documents without replacement with probability proportional to
+    ``exp(weight/temperature)``, but retry-/partitioning-/engine-stable
+    because the noise is a pure function of the id.
+
+    Keys are rounded to 6dp before ordering (ties then break on the id)
+    so the selected SET is identical in any engine reproducing the
+    arithmetic; Spark executes orderBy+limit as TakeOrderedAndProject —
+    per-partition size-k heaps + a driver merge, no global sort.
+    Output: input columns + ``weight_q`` + ``dsir_key``, the k winners.
+    """
+    scored = dsir_weights(df, id_col, text_col, target_cond,
+                          n_buckets, seed, log_ratios)
+    j = (seed + 1) % len(MINHASH_COEFFS)
+    code = encw(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12))
+    # u in (0, 1]: +1 keeps ln(u) finite at the low end; u == 1 gives
+    # gumbel = +inf consistently in both engines
+    u = (uhash(code, j) + F.lit(1)).cast("double") / F.lit(float(P + 1))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("weight_q").cast("double") / F.lit(float(DSIR_QUANT))
+        / F.lit(float(temperature)) + gumbel, 6)
+    return (
+        scored.withColumn("dsir_key", key)
+        .orderBy(F.col("dsir_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def dsir_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    target_sql: str,
+    n_buckets: int = 1024,
+    temperature: float = 1.0,
+    seed: int = 0,
+    k: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`dsir_weights` / :func:`dsir_resample`
+    built from the same hash fragments (single source of truth): the
+    full WITH-chain recomputes the bucket distributions, smoothed
+    quantized log-ratios, integer per-document weights, and — when ``k``
+    is given — the rounded Gumbel-top-k selection."""
+    toks = dsir_tokens_sql(text_expr)
+    b = dsir_bucket_sql("_t", n_buckets, seed)
+    j = (seed + 1) % len(MINHASH_COEFFS)
+    base = f"""
+WITH tok AS (
+  SELECT {id_expr} AS _id, unnest({toks}) AS _t,
+         CASE WHEN {target_sql} THEN 1 ELSE 0 END AS _is_t
+  FROM {table}),
+bt AS (SELECT _id, {b} AS _b, _is_t FROM tok),
+dist AS (SELECT _b, count(*)::BIGINT AS n_raw, sum(_is_t)::BIGINT AS n_tgt
+         FROM bt GROUP BY _b),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM dist),
+lr AS (SELECT _b,
+              CAST(FLOOR(ln(((n_tgt + 1.0) / (t_tgt + {n_buckets})) /
+                            ((n_raw + 1.0) / (t_raw + {n_buckets})))
+                         * {DSIR_QUANT} + 0.5) AS BIGINT) AS _lr
+       FROM dist, tot),
+sums AS (SELECT bt._id, SUM(lr._lr)::BIGINT AS weight_q
+         FROM bt JOIN lr USING (_b) GROUP BY bt._id),
+w AS (SELECT {id_expr} AS doc_id, COALESCE(s.weight_q, 0) AS weight_q
+      FROM {table} d LEFT JOIN sums s ON s._id = {id_expr})"""
+    if k is None:
+        return base + "\nSELECT doc_id, weight_q FROM w"
+    # the Gumbel uniform depends only on the id, which w carries as doc_id
+    code_w = encw_sql("substr(md5((doc_id)::VARCHAR), 1, 12)")
+    u_w = f"(({uhash_sql(code_w, j)} + 1)::DOUBLE / {P + 1})"
+    key = (f"ROUND(weight_q::DOUBLE / {DSIR_QUANT} / {float(temperature)}"
+           f" + -ln(-ln({u_w})), 6)")
+    return base + f"""
+SELECT doc_id, weight_q, {key} AS dsir_key FROM w
+ORDER BY dsir_key DESC, doc_id ASC LIMIT {k}"""

@@ -1,0 +1,116 @@
+"""DSIR importance resampling (functions/sampling.py): behavioral
+properties beyond the exact-oracle compare in test_extra_oracles.py.
+
+Reference scope note: the reference validator's sampling analog is the
+bounded `_prepare_sample_slice`
+(/root/reference/mlcast_dataset_validator/checks/tool_compatibility/cartopy.py:21-38);
+DSIR is the corpus-scale data-SELECTION generalization (target-matched
+importance weights, arXiv:2302.03169).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.functions import sampling as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
+
+
+def test_target_slice_upweighted(spark, docs):
+    """Mean weight of target-slice docs must exceed the non-target mean:
+    the whole point of the log-likelihood-ratio weights."""
+    w = S.dsir_weights(docs, "doc_id", "text", F.col("lang") == "en",
+                       n_buckets=256, seed=7)
+    row = w.agg(
+        F.avg(F.when(F.col("lang") == "en", F.col("weight_q"))).alias("t"),
+        F.avg(F.when(F.col("lang") != "en", F.col("weight_q"))).alias("r"),
+    ).first()
+    assert row["t"] > row["r"]
+
+
+def test_weights_partitioning_independent(spark, docs):
+    """Weights are a pure function of the row + the (deterministic)
+    bucket distributions — any partitioning yields identical output."""
+    lr = S.dsir_log_ratios(docs, "text", F.col("lang") == "en",
+                           n_buckets=128, seed=3)
+    a = S.dsir_weights(docs, "doc_id", "text", F.col("lang") == "en",
+                       n_buckets=128, seed=3, log_ratios=lr)
+    b = S.dsir_weights(docs.repartition(7), "doc_id", "text",
+                       F.col("lang") == "en", n_buckets=128, seed=3,
+                       log_ratios=lr)
+    ra = sorted((r["doc_id"], r["weight_q"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["weight_q"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_empty_and_null_text_weight_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "id int, text string")
+    lr = [5] * 64
+    w = S.dsir_weights(df, "id", "text", F.lit(True), n_buckets=64,
+                       seed=0, log_ratios=lr)
+    got = {r["id"]: r["weight_q"] for r in w.collect()}
+    assert got[2] == 0 and got[3] == 0
+    assert got[1] == 10  # two tokens x lr=5
+
+
+def test_bucket_guard(spark, docs):
+    with pytest.raises(ValueError, match="DSIR_MAX_BUCKETS"):
+        S.dsir_log_ratios(docs, "text", F.lit(True),
+                          n_buckets=S.DSIR_MAX_BUCKETS + 1)
+    with pytest.raises(ValueError, match="length"):
+        S.dsir_weights(docs, "doc_id", "text", F.lit(True),
+                       n_buckets=64, log_ratios=[0] * 63)
+
+
+def test_resample_exact_k_and_deterministic(spark, docs):
+    n = docs.count()
+    k = min(50, n)
+    a = S.dsir_resample(docs, "doc_id", "text", F.col("lang") == "en",
+                        k=k, n_buckets=128, seed=3)
+    b = S.dsir_resample(docs.repartition(5), "doc_id", "text",
+                        F.col("lang") == "en", k=k, n_buckets=128, seed=3)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == k
+    assert ids_a == ids_b
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(ids_a) <= all_ids
+
+
+def test_low_temperature_tracks_weights(spark, docs):
+    """As T -> 0 Gumbel-top-k degenerates toward argmax. The Gumbel
+    noise spans ~[-3.1, +22] (u in (0,1]), so at T=1e-6 it can only
+    reorder docs whose quantized weights differ by <= ~25 units: the
+    selected weight multiset must match the exact top-k up to that
+    boundary tolerance."""
+    k, tol = 25, 50
+    sel = S.dsir_resample(docs, "doc_id", "text", F.col("lang") == "en",
+                          k=k, n_buckets=128, temperature=1e-6, seed=3)
+    got = sorted((r["weight_q"] for r in sel.collect()), reverse=True)
+    w = S.dsir_weights(docs, "doc_id", "text", F.col("lang") == "en",
+                       n_buckets=128, seed=3)
+    top = [r["weight_q"] for r in
+           w.orderBy(F.col("weight_q").desc()).limit(k).collect()]
+    assert len(got) == k
+    # nothing selected below the exact k-th weight minus the noise band
+    assert all(g >= top[-1] - tol for g in got)
+    # and the selections agree exactly away from the boundary band
+    for g, t in zip(got, top):
+        assert abs(g - t) <= tol
+
+
+def test_scoring_stage_is_map_side(spark, docs):
+    """With precomputed log_ratios the scored plan must contain no
+    Exchange: the whole weight expression rides the scan."""
+    lr = S.dsir_log_ratios(docs, "text", F.col("lang") == "en",
+                           n_buckets=64, seed=1)
+    scored = S.dsir_weights(docs, "doc_id", "text", F.col("lang") == "en",
+                            n_buckets=64, seed=1, log_ratios=lr)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
