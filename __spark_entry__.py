@@ -337,6 +337,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return salted_count(ev, ["user_id"], n_salts=8)
     q["salted_count_events"] = salted_count_events
 
+    def skew_profile_events(spark, sf):
+        """Hot-key profiler: top-20 user_ids by row count with share and
+        x_mean — the measurement that decides where salting / AQE
+        skew-splitting is needed (north_rule: 'salted repartitioning on
+        skewed conv_id hot keys'). Counting is itself salted two-phase so
+        profiling a skewed table does not straggle; top-k is TakeOrdered."""
+        from mlcast_sourcedata_validator_spark.skew import skew_profile
+
+        ev = _t(spark, sf, "events")
+        return skew_profile(ev, ["user_id"], k=20, n_salts=8)
+    q["skew_profile_events"] = skew_profile_events
+
     def incremental_rollup_events(spark, sf):
         """Per-user rollup maintained INCREMENTALLY (functions/rollup.py):
         the two halves of the month are rolled up separately — as two
@@ -1670,6 +1682,16 @@ def _all_oracles() -> dict[str, str]:
     o["salted_count_events"] = """
         SELECT user_id, count(*)::BIGINT AS count FROM events GROUP BY user_id"""
 
+    o["skew_profile_events"] = """
+        WITH c AS (SELECT user_id, count(*)::BIGINT AS n_rows
+                   FROM events GROUP BY user_id),
+        t AS (SELECT sum(n_rows)::BIGINT AS total,
+                     count(*)::BIGINT AS n_keys FROM c)
+        SELECT user_id, n_rows,
+               ROUND(n_rows::DOUBLE / total, 6) AS share,
+               ROUND((n_rows * n_keys)::DOUBLE / total, 6) AS x_mean
+        FROM c, t ORDER BY n_rows DESC, user_id ASC LIMIT 20"""
+
     o["incremental_dedup_documents"] = """
         WITH all_docs AS (
           SELECT doc_id, text, n_chars FROM documents
@@ -2633,6 +2655,9 @@ _EXTRA_ORDER = [
     # quantized weights => exact oracle; Gumbel-top-k selection)
     "dsir_weights_documents",
     "dsir_resample_documents",
+    # hot-key profiler (salted two-phase counting; feeds the salting
+    # decision the north_rule calls for)
+    "skew_profile_events",
     # symmetric int8 embedding quantization + reconstruction error
     "quantized_embeddings",
     # commutative multiset stream fingerprint (count/bit_xor/sum-mod-P

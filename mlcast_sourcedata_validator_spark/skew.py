@@ -68,3 +68,60 @@ def salted_count(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame
     return salted_agg(
         df, keys, {"count": (F.count(F.lit(1)), F.sum("count"))}, n_salts
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: list[str],
+    k: int = 20,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Top-``k`` hottest keys by row count, with their share of the table
+    and their multiple of the mean key size — the MEASUREMENT that decides
+    where salting / AQE skew-splitting is needed, run before committing to
+    a partitioning. north_rule: "salted repartitioning on skewed conv_id
+    hot keys" — this is how the hot keys are found.
+
+    The per-key counting is itself the salted two-phase form (profiling a
+    skewed table must not straggle on the very key it is measuring); the
+    totals are one map-side-combinable single-row agg over the per-key
+    counts, broadcast back; the top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Output: ``keys`` + ``n_rows`` (exact), ``share`` (of all rows) and
+    ``x_mean`` (n_rows / mean rows-per-key), both rounded to 6dp.
+    """
+    counts = salted_count(df, keys, n_salts)
+    totals = counts.agg(
+        F.sum("count").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    out = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            F.col("count").alias("n_rows"),
+            F.round(F.col("count") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("count") * F.col("_n_keys") / F.col("_total"), 6
+            ).alias("x_mean"),
+        )
+    )
+    order = [F.col("n_rows").desc()] + [F.col(c).asc() for c in keys]
+    return out.orderBy(*order).limit(k)
+
+
+def suggest_salts(
+    df: DataFrame,
+    keys: list[str],
+    target_rows_per_task: int = 1_000_000,
+    n_salts: int = 16,
+) -> int:
+    """Recommended ``n_salts`` for :func:`salted_agg` over ``keys``: the
+    hottest key's row count divided by the per-task target, clamped to
+    [1, 4096]. One salted count + a single-row max agg — cheap enough to
+    run per release and feed the next run's configuration."""
+    hot = salted_count(df, keys, n_salts).agg(F.max("count")).first()[0]
+    if hot is None:
+        return 1
+    return max(1, min(4096, -(-int(hot) // int(target_rows_per_task))))

@@ -114,3 +114,28 @@ def test_scoring_stage_is_map_side(spark, docs):
                             n_buckets=64, seed=1, log_ratios=lr)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- skew_profile / suggest_salts (skew.py) --------------------------------
+
+
+def test_skew_profile_finds_planted_hot_key(spark):
+    from mlcast_sourcedata_validator_spark.skew import (
+        skew_profile, suggest_salts)
+
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    hot = spark.range(0, 5000).select(
+        F.lit(-1).alias("k"), (F.col("id") + 10_000).alias("v"))
+    df = base.unionByName(hot)
+    prof = skew_profile(df, ["k"], k=3).collect()
+    assert prof[0]["k"] == -1 and prof[0]["n_rows"] == 5000
+    assert prof[0]["share"] == round(5000 / 7000, 6)
+    # 101 keys, mean ~69.3 rows -> hot key is ~72x the mean
+    assert prof[0]["x_mean"] > 70
+    assert all(r["n_rows"] == 20 for r in prof[1:])
+
+    assert suggest_salts(df, ["k"], target_rows_per_task=1000) == 5
+    assert suggest_salts(df, ["k"], target_rows_per_task=10_000) == 1
+    empty = spark.createDataFrame([], "k int, v long")
+    assert suggest_salts(empty, ["k"]) == 1
