@@ -53,6 +53,7 @@ from .operators import (
     text_quality,
 )
 from .report import VIOLATIONS_SCHEMA, ValidationReport
+from .skew import compile_hot_keys
 from .suite import (
     AggCheck,
     CheckSuite,
@@ -107,6 +108,8 @@ _COMPILERS = {
     # interop / roundtrip
     "roundtrip": interop.compile_roundtrip,
     "sampled_decode": interop.compile_sampled_decode,
+    # operational: hot-key skew profiling (own bounded salted-agg job)
+    "hot_keys": compile_hot_keys,
 }
 
 _AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality",

@@ -125,3 +125,62 @@ def suggest_salts(
     if hot is None:
         return 1
     return max(1, min(4096, -(-int(hot) // int(target_rows_per_task))))
+
+
+def compile_hot_keys(spec, suite):
+    """Declarative hot-key check: profile the top-k keys and verdict on
+    the hottest one. params: key (default suite.conv_col), k (default 5),
+    max_x_mean (default 100.0 — hottest key at most 100x the mean key
+    size), max_share (optional cap on one key's share of all rows),
+    n_salts (profiling salt count), severity ('WARNING' default: skew is
+    an operational hazard, not data corruption — pass 'FAIL' to gate).
+
+    Runs as a DriverCheck with its own bounded two-jobs (salted two-phase
+    count + TakeOrdered top-k): per-key aggregation CANNOT ride the fused
+    single-scan Observation, and profiling a skewed table must itself be
+    salted. Detail carries the top offenders and the suggested n_salts
+    for salted_agg so the finding is directly actionable.
+    """
+    from .report import FAIL, PASS, WARNING, ValidationReport, stamp
+    from .suite import DriverCheck
+
+    key = spec.params.get("key") or suite.conv_col
+    k = int(spec.params.get("k", 5))
+    max_x_mean = float(spec.params.get("max_x_mean", 100.0))
+    max_share = spec.params.get("max_share")
+    n_salts = int(spec.params.get("n_salts", 16))
+    severity = spec.params.get("severity", WARNING)
+    if severity not in (WARNING, FAIL):
+        raise ValueError(f"hot_keys severity must be WARNING or FAIL, "
+                         f"got {severity!r}")
+
+    def fn(ctx) -> ValidationReport:
+        report = ValidationReport()
+        top = skew_profile(ctx.df, [key], k=k, n_salts=n_salts).collect()
+        if not top:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"no rows — no {key} skew")
+            return stamp(report, __name__, "compile_hot_keys")
+        hot = top[0]
+        over = hot["x_mean"] > max_x_mean or (
+            max_share is not None and hot["share"] > float(max_share))
+        if over:
+            salts = max(1, min(4096, round(hot["x_mean"] ** 0.5)))
+            offenders = ", ".join(
+                f"{r[key]}={r['n_rows']} ({r['x_mean']:.1f}x mean)"
+                for r in top if r["x_mean"] > max_x_mean
+            ) or f"{hot[key]}={hot['n_rows']} ({hot['x_mean']:.1f}x mean)"
+            report.add(
+                spec.section, spec.requirement, severity,
+                f"hot {key}(s): {offenders}; salted two-phase aggregation "
+                f"recommended (suggested n_salts~{salts}) — see "
+                f"skew.salted_agg")
+        else:
+            report.add(
+                spec.section, spec.requirement, PASS,
+                f"hottest {key} = {hot[key]} at {hot['x_mean']:.1f}x the "
+                f"mean key size (share {hot['share']:.4%}), within "
+                f"max_x_mean={max_x_mean}")
+        return stamp(report, __name__, "compile_hot_keys")
+
+    return DriverCheck(spec.check_id, fn)

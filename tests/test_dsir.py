@@ -139,3 +139,49 @@ def test_skew_profile_finds_planted_hot_key(spark):
     assert suggest_salts(df, ["k"], target_rows_per_task=10_000) == 1
     empty = spark.createDataFrame([], "k int, v long")
     assert suggest_salts(empty, ["k"]) == 1
+
+
+def test_hot_keys_check_verdicts(spark):
+    """Declarative hot_keys check: PASS on balanced keys, WARNING with an
+    actionable salting suggestion on a planted hot key, FAIL (exit 1)
+    when the suite opts into gating."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    def suite(params):
+        return CheckSuite("skew_t", [CheckSpec(
+            "hot_keys", "hot_keys", "7.1 skew",
+            "No conv_id may dominate the key distribution.", params)])
+
+    balanced = spark.range(0, 3000).select(
+        (F.col("id") % 100).cast("string").alias("conv_id"),
+        (F.col("id") / 100).cast("int").alias("turn_idx"))
+    res = run_suite(RunContext(spark=spark, df=balanced,
+                               suite=suite({"max_x_mean": 50.0}),
+                               run_id="t1"))
+    rows = res.report.results
+    assert [r.status for r in rows] == ["PASS"]
+    assert res.exit_code() == 0
+
+    hot = balanced.unionByName(spark.range(0, 20000).select(
+        F.lit("hotconv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx")))
+    res2 = run_suite(RunContext(spark=spark, df=hot,
+                                suite=suite({"max_x_mean": 50.0}),
+                                run_id="t2"))
+    r2 = res2.report.results
+    assert [r.status for r in r2] == ["WARNING"]
+    assert "hotconv=20000" in r2[0].detail
+    assert "n_salts" in r2[0].detail
+    assert res2.exit_code() == 0  # WARNING does not gate
+
+    res3 = run_suite(RunContext(
+        spark=spark, df=hot, run_id="t3",
+        suite=suite({"max_x_mean": 50.0, "severity": "FAIL"})))
+    assert [r.status for r in res3.report.results] == ["FAIL"]
+    assert res3.exit_code() == 1
+
+    with pytest.raises(ValueError, match="severity"):
+        run_suite(RunContext(spark=spark, df=hot, run_id="t4",
+                             suite=suite({"severity": "NOPE"})))
