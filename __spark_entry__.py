@@ -1689,7 +1689,7 @@ def _all_oracles() -> dict[str, str]:
                      count(*)::BIGINT AS n_keys FROM c)
         SELECT user_id, n_rows,
                ROUND(n_rows::DOUBLE / total, 6) AS share,
-               ROUND((n_rows * n_keys)::DOUBLE / total, 6) AS x_mean
+               ROUND(n_rows::DOUBLE * n_keys / total, 6) AS x_mean
         FROM c, t ORDER BY n_rows DESC, user_id ASC LIMIT 20"""
 
     o["incremental_dedup_documents"] = """

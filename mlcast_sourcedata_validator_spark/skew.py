@@ -102,8 +102,11 @@ def skew_profile(
             *keys,
             F.col("count").alias("n_rows"),
             F.round(F.col("count") / F.col("_total"), 6).alias("share"),
+            # double-first multiply: a long*long product overflows int64
+            # at 10^12 rows x 10^9 keys (and Spark wraps silently)
             F.round(
-                F.col("count") * F.col("_n_keys") / F.col("_total"), 6
+                F.col("count").cast("double") * F.col("_n_keys")
+                / F.col("_total"), 6
             ).alias("x_mean"),
         )
     )
