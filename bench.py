@@ -75,6 +75,9 @@ HEADLINE = [
     "incremental_dedup_documents",
     "table_diff_events",
     "budget_tail_events",
+    # round-4 additions (additive, same rationale)
+    "dsir_weights_documents",
+    "skew_profile_events",
 ]
 
 

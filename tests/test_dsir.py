@@ -185,3 +185,16 @@ def test_hot_keys_check_verdicts(spark):
     with pytest.raises(ValueError, match="severity"):
         run_suite(RunContext(spark=spark, df=hot, run_id="t4",
                              suite=suite({"severity": "NOPE"})))
+
+
+def test_resample_plan_is_take_ordered(spark, docs):
+    """With precomputed log_ratios, dsir_resample must execute as
+    TakeOrderedAndProject (per-partition heaps + driver merge) — no
+    global sort, no Exchange before the top-k."""
+    lr = S.dsir_log_ratios(docs, "text", F.col("lang") == "en",
+                           n_buckets=64, seed=1)
+    sel = S.dsir_resample(docs, "doc_id", "text", F.col("lang") == "en",
+                          k=10, n_buckets=64, seed=1, log_ratios=lr)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
