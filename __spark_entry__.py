@@ -1176,6 +1176,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "weight_q", "dsir_key")
     q["dsir_resample_documents"] = dsir_resample_documents
 
+    def duplicate_spans_documents(spark, sf):
+        """Exact duplicate-substring spans (arXiv:2107.06499): per-doc
+        count of length-60 char windows whose content repeats anywhere in
+        the corpus + the hottest window's occurrence count. Map-side HOF
+        window generation; shuffles only the md5 count groupBy and the
+        md5-keyed match join. The winnowed fingerprint mode is the scale
+        path (subset + coverage guarantee pinned in tests/test_dsir.py)."""
+        d = _t(spark, sf, "documents")
+        spans = dd.duplicate_spans(d, "doc_id", "text", min_len=60)
+        return spans.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.max("n_occ").alias("max_occ"))
+    q["duplicate_spans_documents"] = duplicate_spans_documents
+
     def quantized_embeddings(spark, sf):
         """Symmetric per-vector int8 quantization + worst reconstruction
         error — map-side array expressions, IEEE-identical in DuckDB."""
@@ -2338,6 +2352,15 @@ def _all_oracles() -> dict[str, str]:
           FROM documents)
         WHERE doc_id = keep_id"""
 
+    from mlcast_sourcedata_validator_spark.functions.dedup import (
+        duplicate_spans_sql)
+    o["duplicate_spans_documents"] = f"""
+        WITH spans AS ({duplicate_spans_sql("documents", "doc_id", "text",
+                                            min_len=60)})
+        SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+               max(n_occ) AS max_occ
+        FROM spans GROUP BY doc_id"""
+
     from mlcast_sourcedata_validator_spark.functions.sampling import dsir_sql
     o["dsir_weights_documents"] = dsir_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_buckets=256, seed=7)
@@ -2658,6 +2681,9 @@ _EXTRA_ORDER = [
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
     "skew_profile_events",
+    # exact duplicate-substring spans (per-doc rollup; winnowed
+    # fingerprint mode is the test-pinned scale path)
+    "duplicate_spans_documents",
     # symmetric int8 embedding quantization + reconstruction error
     "quantized_embeddings",
     # commutative multiset stream fingerprint (count/bit_xor/sum-mod-P

@@ -198,3 +198,51 @@ def test_resample_plan_is_take_ordered(spark, docs):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# --- duplicate_spans (functions/dedup.py) -----------------------------------
+
+
+def test_duplicate_spans_winnowed_subset_and_guarantee(spark, docs):
+    from mlcast_sourcedata_validator_spark.functions import dedup as D
+
+    L, w = 60, 8
+    exact = {(r["doc_id"], r["pos"])
+             for r in D.duplicate_spans(docs, "doc_id", "text",
+                                        min_len=L).collect()}
+    winn = [(r["doc_id"], r["pos"])
+            for r in D.duplicate_spans(docs, "doc_id", "text",
+                                       min_len=L, winnow=w).collect()]
+    assert set(winn) <= exact
+    # winnowing emits ~2/(w+1) of positions; allow a wide band
+    assert len(winn) < 0.6 * len(exact)
+
+    # coverage guarantee: a shared substring of length >= L + w - 1 at
+    # DIFFERENT offsets must be caught in both documents (content-defined
+    # selection is offset-independent)
+    shared = "x" * (L + w - 1)
+    d2 = spark.createDataFrame(
+        [(1, "short head " + shared + " tail one"),
+         (2, "a much longer and different prefix " + shared + " other")],
+        "doc_id long, text string")
+    got = {r["doc_id"]
+           for r in D.duplicate_spans(d2, "doc_id", "text",
+                                      min_len=L, winnow=w).collect()}
+    assert got == {1, 2}
+
+
+def test_duplicate_spans_edges(spark):
+    from mlcast_sourcedata_validator_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "tiny"), (4, "A" * 100), (5, "A" * 100)],
+        "doc_id long, text string")
+    out = D.duplicate_spans(df, "doc_id", "text", min_len=40).collect()
+    # only the two identical long docs produce spans
+    assert {r["doc_id"] for r in out} == {4, 5}
+    # doc 4 and 5: every window duplicated; same-content windows WITHIN a
+    # doc also count toward n_occ ("anywhere in the corpus")
+    assert all(r["n_occ"] >= 2 for r in out)
+
+    with pytest.raises(ValueError, match="winnow"):
+        D.duplicate_spans(df, "doc_id", "text", min_len=40, winnow=1)
