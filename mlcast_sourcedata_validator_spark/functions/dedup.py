@@ -1143,3 +1143,96 @@ WITH w AS (
 c AS (SELECT h, count(*)::BIGINT AS n_occ FROM w
       GROUP BY h HAVING count(*) >= 2)
 SELECT w.{id_col}, w.pos, c.n_occ FROM w JOIN c USING (h)"""
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove the duplicated substrings found by exact-mode
+    :func:`duplicate_spans` — the Lee et al. 2021 excision step: overlap-
+    merge each document's windows into maximal spans, cut them out, and
+    reassemble the surviving segments in order (single-space joined).
+    Documents with no spans pass through unchanged.
+
+    Feed EXACT spans (winnowed fingerprints are sampled — excising only
+    them leaves most of the duplicate in place). All per-document work is
+    map-side HOF expressions after one groupBy(id) of the span rows:
+    ``collect_set(pos)`` is bounded by the document's own window count,
+    so per-row memory is O(doc length) — the same bound the text column
+    itself already imposes on the row.
+
+    Output: ``df`` with ``out_col`` (default: ``text_col`` replaced)
+    holding the cleaned text, plus ``n_excised_chars``.
+    """
+    out_col = out_col or text_col
+    L = int(min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("_pos"))
+    j = df.join(per_doc, id_col, "left")
+    text = F.col(text_col)
+
+    # merge sorted window starts into maximal [start, end) intervals:
+    # a window at p covers [p, p+L); consecutive starts <= L apart chain.
+    # aggregate() folds into an array of closed interval structs.
+    empty_ivs = F.array().cast("array<struct<s:int,e:int>>")
+    ivs = F.aggregate(
+        F.coalesce(F.col("_pos"), F.array().cast("array<int>")),
+        empty_ivs,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(F.element_at(acc, -1)["e"],
+                               (p + L - 1).cast("int")).alias("e"),
+                )),
+            ),
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            p.cast("int").alias("s"), (p + L - 1).cast("int").alias("e"))))),
+    )
+    j = j.withColumn("_ivs", ivs)
+    # surviving segments: before the first interval, between intervals,
+    # after the last — built by zipping interval ends with next starts
+    n_iv = F.size(F.col("_ivs"))
+    segs = F.concat(
+        F.array(F.substring(text, 1,
+                            F.coalesce(
+                                F.try_element_at(F.col("_ivs"), F.lit(1))["s"],
+                                F.length(text) + 1) - 1)),
+        F.when(n_iv > 0, F.transform(
+            F.sequence(F.lit(1), n_iv),
+            lambda i: F.substring(
+                text,
+                F.element_at(F.col("_ivs"), i.cast("int"))["e"] + 1,
+                F.coalesce(
+                    F.try_element_at(F.col("_ivs"),
+                                     (i + 1).cast("int"))["s"],
+                    F.length(text) + 1,
+                ) - F.element_at(F.col("_ivs"), i.cast("int"))["e"] - 1,
+            ),
+        )).otherwise(F.array().cast("array<string>")),
+    )
+    cleaned = F.concat_ws(
+        " ", F.filter(segs, lambda s: (s.isNotNull()) & (s != "")))
+    excised = F.aggregate(
+        F.col("_ivs"), F.lit(0),
+        lambda acc, iv: acc + (iv["e"] - iv["s"] + 1))
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        j.withColumn("n_excised_chars",
+                     F.when(text.isNull(), F.lit(None).cast("int"))
+                      .otherwise(excised.cast("int")))
+        .withColumn(out_col, F.when(F.col("_pos").isNull(), text)
+                              .otherwise(cleaned))
+        .select(*out_cols,
+                *([] if out_col in out_cols or out_col == text_col
+                  else []),
+                out_col, "n_excised_chars")
+    )

@@ -246,3 +246,62 @@ def test_duplicate_spans_edges(spark):
 
     with pytest.raises(ValueError, match="winnow"):
         D.duplicate_spans(df, "doc_id", "text", min_len=40, winnow=1)
+
+
+def test_excise_spans_matches_python_reference(spark):
+    """excise_spans output must equal an independent pure-Python
+    implementation of the same semantics (window counts -> spans ->
+    interval merge -> cut -> space-joined reassembly)."""
+    from collections import Counter
+
+    from mlcast_sourcedata_validator_spark.functions import dedup as D
+
+    L = 12
+    boiler = "SHARED-BOILERPLATE-SEGMENT-123456"  # > L chars
+    rows = [
+        (1, f"alpha start {boiler} middle unique one {boiler} end"),
+        (2, f"{boiler} leading copy with a different tail here"),
+        (3, "completely unique document with no repeats at all x"),
+        (4, None),
+        (5, ""),
+        (6, boiler),  # exactly the duplicated content
+    ]
+    texts = {i: t for i, t in rows}
+
+    # --- python reference ---
+    wins = Counter()
+    for _, t in rows:
+        if t:
+            for p in range(len(t) - L + 1):
+                wins[t[p:p + L]] += 1
+
+    def ref_clean(t):
+        if t is None:
+            return None, None
+        pos = [p + 1 for p in range(max(len(t) - L + 1, 0))
+               if wins[t[p:p + L]] >= 2]
+        if not pos:
+            return t, 0
+        ivs = []
+        for p in pos:
+            if ivs and p <= ivs[-1][1] + 1:
+                ivs[-1][1] = max(ivs[-1][1], p + L - 1)
+            else:
+                ivs.append([p, p + L - 1])
+        segs, prev = [], 1
+        for s, e in ivs:
+            segs.append(t[prev - 1:s - 1])
+            prev = e + 1
+        segs.append(t[prev - 1:])
+        cleaned = " ".join(x for x in segs if x)
+        return cleaned, sum(e - s + 1 for s, e in ivs)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = D.duplicate_spans(df, "doc_id", "text", min_len=L)
+    out = {r["doc_id"]: (r["text"], r["n_excised_chars"])
+           for r in D.excise_spans(df, spans, "doc_id", "text",
+                                   min_len=L).collect()}
+    for i, t in texts.items():
+        assert out[i] == ref_clean(t), f"doc {i}: {out[i]!r}"
+    # unique doc passes through untouched
+    assert out[3] == (texts[3], 0)
