@@ -90,6 +90,7 @@ _COMPILERS = {
     "domain": domains.compile_domain,
     "conditional_column": domains.compile_conditional_column,
     "sql_predicate": domains.compile_sql_predicate,
+    "json_validity": domains.compile_json_validity,
     # window predicates
     "unique_key": ordering.compile_unique_key,
     "turn_contiguity": ordering.compile_turn_contiguity,

@@ -152,3 +152,59 @@ def compile_conditional_column(spec: CheckSpec, suite: CheckSuite) -> list[RowCh
         return stamp(report, _MOD, "compile_conditional_column")
 
     return [RowCheck(spec.check_id, pred, detail, verdict)]
+
+
+def compile_json_validity(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """A string column must hold well-formed JSON (objects), optionally
+    with required top-level keys — malformed tool-call payloads and
+    metadata blobs are a classic transcript-ingest failure that schema
+    checks cannot see (the column type is just STRING).
+
+    params: column; required_keys (list[str], optional); nullable
+    (default True — NULL passes; False makes NULL a violation);
+    severity ('FAIL' default); max_violations (0 default).
+
+    Parsing is ``from_json`` to ``map<string,string>`` — a JVM-side
+    expression that yields NULL on malformed input instead of raising,
+    so the check rides the fused single-scan Observation like every
+    other row predicate (no second pass, no Python).
+    """
+    col = spec.params["column"]
+    required = list(spec.params.get("required_keys", []))
+    nullable = bool(spec.params.get("nullable", True))
+    severity = spec.params.get("severity", FAIL)
+    max_viol = int(spec.params.get("max_violations", 0))
+    c = F.col(col)
+    parsed = F.from_json(c, "map<string,string>")
+
+    malformed = c.isNotNull() & parsed.isNull()
+    missing = F.lit(False)
+    for k in required:
+        missing = missing | (
+            c.isNotNull() & parsed.isNotNull()
+            & ~F.map_contains_key(parsed, F.lit(k))
+        )
+    null_bad = c.isNull() if not nullable else F.lit(False)
+    pred = malformed | missing | null_bad
+    detail = F.when(
+        malformed,
+        F.concat(F.lit(f"{col} is not valid JSON: "),
+                 F.substring(c, 1, 80)),
+    ).when(null_bad, F.lit(f"{col} must not be NULL")).otherwise(
+        F.lit(f"{col} missing required key(s) {required}"))
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        what = f"malformed/incomplete JSON in {col}"
+        if n_viol > max_viol:
+            report.add(spec.section, spec.requirement, severity,
+                       f"{n_viol} rows with {what}"
+                       + (f" (> {max_viol} allowed)" if max_viol else ""))
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"{n_viol} rows with {what} (<= {max_viol} allowed)"
+                       if n_viol else f"all {col} payloads are valid JSON")
+        return stamp(report, _MOD, "compile_json_validity")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict,
+                     severity=severity)]

@@ -305,3 +305,45 @@ def test_excise_spans_matches_python_reference(spark):
         assert out[i] == ref_clean(t), f"doc {i}: {out[i]!r}"
     # unique doc passes through untouched
     assert out[3] == (texts[3], 0)
+
+
+def test_json_validity_check(spark):
+    """json_validity: malformed payloads, missing required keys, and the
+    nullable switch all verdict correctly and produce violation rows."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    rows = [
+        ("c1", 0, "2026-01-01 00:00:00", '{"a": "1", "b": "2"}'),
+        ("c2", 0, "2026-01-01 00:00:01", '{"a": "1"}'),   # missing key b
+        ("c3", 0, "2026-01-01 00:00:02", 'not json at all'),  # malformed
+        ("c4", 0, "2026-01-01 00:00:03", None),           # NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def suite(params):
+        return CheckSuite("j", [CheckSpec(
+            "json_validity", "json_validity", "8.1 payloads",
+            "props must be valid JSON.", params)])
+
+    res = run_suite(RunContext(
+        spark=spark, df=df, run_id="j1",
+        suite=suite({"column": "props", "required_keys": ["b"]})))
+    assert res.exit_code() == 1
+    viol = {(v["conv_id"], v["detail"])
+            for v in res.violations.collect()}
+    assert len(viol) == 2  # c2 missing key, c3 malformed; NULL allowed
+    assert any("not valid JSON" in d for _, d in viol)
+    assert any("required key" in d for _, d in viol)
+
+    res2 = run_suite(RunContext(
+        spark=spark, df=df, run_id="j2",
+        suite=suite({"column": "props", "nullable": False,
+                     "max_violations": 10, "severity": "WARNING"})))
+    # 2 violations (c3 malformed + c4 NULL) <= 10 allowed -> PASS
+    assert res2.exit_code() == 0
+    [r] = res2.report.results
+    assert r.status == "PASS" and "2 rows" in r.detail
