@@ -237,6 +237,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["role_grammar_violations_events"] = role_grammar_violations_events
 
+    def fd_violations_events(spark, sf):
+        """Functional-dependency change points (operators/ordering.py
+        compile_fd_constant / fd_change_pred): treat user_id -> event_type
+        as a claimed FD over the events stream (ordered by event_id) and
+        emit every adjacent flip — the exact predicate the fd_constant
+        check rides on the suite's shared conversation window, here
+        against a plain lag() SQL oracle. A key has >1 distinct value iff
+        some ADJACENT pair differs, so change points find every FD
+        violation with only the lag the window already computes (no
+        per-key count_distinct)."""
+        from mlcast_sourcedata_validator_spark.operators.ordering import (
+            fd_change_pred,
+        )
+
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("event_id")
+        lagged = ev.select(
+            "user_id", "event_id", F.col("event_type").alias("value"),
+            F.lag("event_type").over(w).alias("prev_value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        return lagged.where(
+            fd_change_pred(F.col("value"), F.col("prev_value"), F.col("rn"))
+        ).select("user_id", "event_id", "prev_value", "value")
+    q["fd_violations_events"] = fd_violations_events
+
     # --- histogram + drift (north_rule KS/PSI shape) ------------------------
     def hist_value_events(spark, sf):
         ev = _t(spark, sf, "events")
@@ -424,6 +450,39 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kept_new = dedup_against_index(batch, index, "doc_id", "text")
         return hist.unionByName(kept_new).select("doc_id", "n_chars")
     q["incremental_dedup_documents"] = incremental_dedup_documents
+
+    def bloom_incremental_dedup_documents(spark, sf):
+        """Bloom-gated twin of incremental_dedup_documents
+        (functions/bloom.py + dedup_against_index_bloom): a distributed
+        sparse-built Bloom filter over the index's content hashes clears
+        definitely-new batch content MAP-SIDE, so only probable hits
+        (true dups + an fpp-bounded sliver) enter the exact anti-join.
+        Row-identical to the exact form by construction — same oracle —
+        while at 10^12 rows the daily index join shuffles ~(dup_rate +
+        fpp) of the batch instead of all of it."""
+        from mlcast_sourcedata_validator_spark.functions.dedup import (
+            content_index_specs,
+            dedup_against_index_bloom,
+        )
+        from mlcast_sourcedata_validator_spark.functions.rollup import (
+            keyed_rollup,
+        )
+
+        d = _t(spark, sf, "documents")
+        hist = d.where(F.col("doc_id") < 250)
+        dup = d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        batch = d.where(F.col("doc_id") >= 250).unionByName(dup)
+        index = keyed_rollup(
+            hist.withColumn("text_hash", F.md5("text")),
+            ["text_hash"], content_index_specs("doc_id"),
+        )
+        kept_new = dedup_against_index_bloom(
+            batch, index, "doc_id", "text", fpp=0.01, n_index=250
+        )
+        return hist.unionByName(kept_new).select("doc_id", "n_chars")
+    q["bloom_incremental_dedup_documents"] = bloom_incremental_dedup_documents
 
     def budget_tail_events(spark, sf):
         """Per-user suffix under a weight budget (functions/packing.py
@@ -1717,6 +1776,21 @@ def _all_oracles() -> dict[str, str]:
         SELECT a.doc_id, a.n_chars FROM all_docs a
         JOIN keep k ON a.doc_id = k.doc_id"""
 
+    # the Bloom prefilter never changes the answer (a Bloom "no" has no
+    # false negatives; every "maybe" is re-checked exactly) — same oracle
+    o["bloom_incremental_dedup_documents"] = o["incremental_dedup_documents"]
+
+    o["fd_violations_events"] = """
+        WITH r AS (
+          SELECT user_id, event_id, event_type AS value,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS prev_value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events)
+        SELECT user_id, event_id, prev_value, value
+        FROM r WHERE rn > 1 AND prev_value IS DISTINCT FROM value"""
+
     o["budget_tail_events"] = """
         WITH r AS (
           SELECT event_id, user_id, value,
@@ -2690,6 +2764,12 @@ _EXTRA_ORDER = [
     # algebraic partials) + re-ingested-stream collision detection
     "stream_fingerprint_events",
     "duplicate_streams_events",
+    # Bloom semi-join prefilter on the incremental dedup index (exact by
+    # construction — zero false negatives, probable hits re-verified)
+    "bloom_incremental_dedup_documents",
+    # functional-dependency change points (fd_constant check predicate
+    # against a plain lag() SQL oracle)
+    "fd_violations_events",
 ]
 
 

@@ -98,6 +98,7 @@ _COMPILERS = {
     "variable_timestep": ordering.compile_variable_timestep,
     "max_conv_turns": ordering.compile_max_conv_turns,
     "role_transitions": ordering.compile_role_transitions,
+    "fd_constant": ordering.compile_fd_constant,
     "refint": refint.compile_refint,
     # drift
     "drift": drift.compile_drift,
@@ -361,6 +362,15 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite,
                     role_spec.params["roles"],
                 ).alias(ordering.ROLE_CODE)
             )
+        # functional-dependency checks: ship each declared dependent
+        # column (as string) through the shuffle under a per-check name —
+        # check_ids are unique, so two fd specs never collide
+        fd_specs = [s for s in suite.checks if s.kind == "fd_constant"]
+        for s in fd_specs:
+            slim_cols.append(
+                F.col(s.params["column"]).cast("string")
+                .alias(ordering.fd_val_name(s.check_id))
+            )
         slim = df.select(*slim_cols)
 
         if need_registry:
@@ -388,6 +398,10 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite,
             if role_spec is not None:
                 enriched = enriched.withColumn(
                     ordering.LAG_ROLE, F.lag(ordering.ROLE_CODE).over(w))
+            for s in fd_specs:
+                enriched = enriched.withColumn(
+                    ordering.fd_lag_name(s.check_id),
+                    F.lag(ordering.fd_val_name(s.check_id)).over(w))
             if need_dt:
                 # unix_micros over an explicit TIMESTAMP cast: NTZ inputs
                 # cannot cast straight to BIGINT under ANSI mode

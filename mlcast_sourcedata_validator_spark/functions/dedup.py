@@ -239,6 +239,58 @@ def dedup_against_index(
         .drop("__ci_hash")
 
 
+def dedup_against_index_bloom(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_col: str = "text_hash",
+    fpp: float = 0.01,
+    n_index: int | None = None,
+    bloom=None,
+) -> DataFrame:
+    """:func:`dedup_against_index` with a Bloom semi-join prefilter:
+    batch contents the filter says are DEFINITELY not in the index skip
+    the anti-join entirely; only probable hits (true duplicates + an
+    fpp-bounded sliver of false positives) shuffle against the index.
+    Result is row-identical to :func:`dedup_against_index` for every
+    input and every fpp — the filter only reduces join traffic.
+
+    Why this matters at 10^12 rows: on a fresh crawl almost every batch
+    row is new content, so the daily index anti-join shuffles a batch
+    whose overwhelming majority matches nothing. The prefiltered plan
+    shuffles ~(dup_rate + fpp) of the batch instead of all of it, and
+    the index side of the surviving join is the same prunable hash
+    column it always was.
+
+    ``bloom``: pass a prebuilt/persisted :class:`~.bloom.BloomFilter`
+    over the INDEX's hash column to skip the build scan — the intended
+    steady state, maintained incrementally next to the index with
+    ``bloom_merge`` (each committed index delta ORs in a filter over its
+    new hashes; NULL-content entries must be built over the same
+    sentinel-coalesced hashes this function probes with).
+    ``n_index``: index cardinality for sizing when building here (the
+    rollup store knows it; None falls back to a count job).
+    """
+    from .bloom import bloom_build, with_bloom_flag
+
+    sentinel = F.lit("__null_content__")
+    h = F.coalesce(F.md5(F.col(text_col)), sentinel)
+    hashed = df.withColumn("__ci_hash", h)
+    batch_min = hashed.groupBy("__ci_hash").agg(F.min(id_col).alias(id_col))
+    idx = index.select(
+        F.coalesce(F.col(hash_col), sentinel).alias("__ci_hash")
+    )
+    if bloom is None:
+        bloom = bloom_build(idx, "__ci_hash", n_items=n_index, fpp=fpp)
+    flagged = with_bloom_flag(batch_min, "__ci_hash", bloom, "_maybe")
+    certainly_fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
+    maybe = flagged.where(F.col("_maybe")).drop("_maybe")
+    fresh = certainly_fresh.unionByName(maybe.join(idx, "__ci_hash", "left_anti"))
+    return hashed.join(fresh, ["__ci_hash", id_col], "left_semi") \
+        .drop("__ci_hash")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

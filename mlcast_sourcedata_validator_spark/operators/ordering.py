@@ -310,3 +310,71 @@ def compile_role_transitions(
         return stamp(report, _MOD, "compile_role_transitions")
 
     return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+
+
+def fd_val_name(check_id: str) -> str:
+    """Slim-projection column carrying the declared dependent attribute
+    through the window shuffle for one fd_constant check."""
+    return f"_fdv_{check_id}"
+
+
+def fd_lag_name(check_id: str) -> str:
+    return f"_fdl_{check_id}"
+
+
+def fd_change_pred(cur, prev, rn) -> F.Column:
+    """The functional-dependency change-point predicate: row rn > 1 whose
+    value differs (null-safely) from the previous row's. A key's stream
+    has >1 distinct value iff some ADJACENT pair differs, so change
+    points detect every FD violation using only the lag the shared
+    window already pays for — no count_distinct per key, no second
+    aggregate."""
+    return (rn > 1) & ~cur.eqNullSafe(prev)
+
+
+def compile_fd_constant(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """Functional dependency ``conv_id -> column``: the declared column
+    must be CONSTANT within each conversation (the Deequ-style FD /
+    denormalization-consistency check — a transcript's session metadata,
+    model name or user id changing mid-conversation is an ingest bug,
+    and it is invisible to every per-row domain check).
+
+    Rides the SHARED conversation window: the compiler ships the column
+    (cast to string) through the slim projection and lags it next to
+    lag(ts)/lag(turn) — zero extra shuffles; cost is the declared
+    column's width through the one existing exchange (FD columns are
+    short metadata fields, not payload text). Violations are the change
+    points (see :func:`fd_change_pred`), one row per adjacent flip, so
+    the detail names both values.
+
+    Partition-scoped batches under-count only flips that straddle a
+    partition boundary (lag is NULL on the batch's first row) — same
+    policy as ts_monotonic; the rollup boundary audit owns boundaries.
+
+    params: column (required); severity: "FAIL" (default) or "WARNING".
+    """
+    column = spec.params["column"]
+    severity = spec.params.get("severity", FAIL)
+    cur = F.col(fd_val_name(spec.check_id))
+    prev = F.col(fd_lag_name(spec.check_id))
+    pred = fd_change_pred(cur, prev, F.col(RN))
+    detail = F.concat(
+        F.lit(f"value of '{column}' changed within conversation: "),
+        F.coalesce(prev, F.lit("NULL")),
+        F.lit(" -> "),
+        F.coalesce(cur, F.lit("NULL")),
+    )
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, severity,
+                       f"{n_viol} within-conversation changes of "
+                       f"'{column}' (conv_id -> {column} violated)")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"'{column}' constant within every conversation")
+        return stamp(report, _MOD, "compile_fd_constant")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict,
+                     needs_window=True, severity=severity)]

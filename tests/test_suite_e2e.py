@@ -428,3 +428,77 @@ def test_compiler_edge_contracts(spark, clean, baseline, tmp_path):
     n2 = run_suite(ctx_v, violations_path=vp).n_violations
     assert n1 == n2 > 0
     assert spark.read.parquet(vp).count() == n1
+
+
+def test_fd_constant_check(spark, clean):
+    """Functional dependency conv_id -> column (compile_fd_constant):
+    a conv-constant metadata column PASSes; a mid-conversation flip
+    yields exactly one change-point violation on the flip row; NULL
+    transitions are detected null-safely; WARNING severity downgrades
+    the verdict without losing the rows."""
+    from mlcast_sourcedata_validator_spark.suite import CheckSpec, CheckSuite
+
+    suite = CheckSuite(suite_id="fd", checks=[
+        CheckSpec("fd_model", "fd_constant", "3.5 consistency",
+                  "conv_id -> model", {"column": "model"}),
+    ])
+    # model is a pure function of conv_id -> FD holds
+    base = clean.withColumn(
+        "model", F.concat(F.lit("m"), F.substring("conv_id", 4, 2)))
+    res = run_suite(RunContext(spark=spark, df=base, suite=suite,
+                               run_id="fd-ok"))
+    assert res.exit_code() == 0 and res.n_violations == 0
+
+    # one conversation flips its model from turn 5 onward -> exactly ONE
+    # adjacent change point, on turn 5
+    victim = base.select("conv_id").first()["conv_id"]
+    flipped = base.withColumn(
+        "model",
+        F.when((F.col("conv_id") == victim) & (F.col("turn_idx") >= 5),
+               F.lit("other")).otherwise(F.col("model")))
+    n_victim_turns = flipped.where(F.col("conv_id") == victim).count()
+    assert n_victim_turns > 5
+    res2 = run_suite(RunContext(spark=spark, df=flipped, suite=suite,
+                                run_id="fd-flip"))
+    assert res2.exit_code() == 1
+    assert res2.n_violations == 1
+    row = res2.violations.collect()[0]
+    assert (row["check_id"], row["conv_id"], row["turn_idx"]) == \
+        ("fd_model", victim, 5)
+    assert "-> other" in row["detail"]
+
+    # NULL is a value: non-NULL -> NULL on turn 5 is one change point
+    nulled = base.withColumn(
+        "model",
+        F.when((F.col("conv_id") == victim) & (F.col("turn_idx") >= 5),
+               F.lit(None).cast("string")).otherwise(F.col("model")))
+    res3 = run_suite(RunContext(spark=spark, df=nulled, suite=suite,
+                                run_id="fd-null"))
+    assert res3.n_violations == 1
+    assert "-> NULL" in res3.violations.collect()[0]["detail"]
+
+    # advisory severity: rows recorded, suite does not FAIL
+    warn_suite = CheckSuite(suite_id="fdw", checks=[
+        CheckSpec("fd_model", "fd_constant", "3.5 consistency",
+                  "conv_id -> model", {"column": "model",
+                                       "severity": WARNING}),
+    ])
+    res4 = run_suite(RunContext(spark=spark, df=flipped, suite=warn_suite,
+                                run_id="fd-warn"))
+    assert res4.exit_code() == 0 and res4.n_violations == 1
+
+    # two fd checks coexist (per-check column names don't collide)
+    suite2 = CheckSuite(suite_id="fd2", checks=[
+        CheckSpec("fd_model", "fd_constant", "3.5 consistency",
+                  "conv_id -> model", {"column": "model"}),
+        CheckSpec("fd_role0", "fd_constant", "3.5 consistency",
+                  "conv_id -> first role", {"column": "role"}),
+    ])
+    res5 = run_suite(RunContext(spark=spark, df=flipped, suite=suite2,
+                                run_id="fd-two"))
+    by_check = {}
+    for r in res5.violations.collect():
+        by_check.setdefault(r["check_id"], 0)
+        by_check[r["check_id"]] += 1
+    assert by_check["fd_model"] == 1
+    assert by_check.get("fd_role0", 0) > 0  # roles DO vary within convs
