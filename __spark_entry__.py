@@ -263,6 +263,45 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("user_id", "event_id", "prev_value", "value")
     q["fd_violations_events"] = fd_violations_events
 
+    def scd2_user_state_events(spark, sf):
+        """SCD2 interval derivation (functions/scd.py scd2_from_log):
+        collapse each user's event_type observation log into versioned
+        validity intervals — one shuffle on the key, change points via
+        the same adjacent-lag argument as fd_constant, lead() closes
+        each interval. The registry/dimension maintenance primitive."""
+        from mlcast_sourcedata_validator_spark.functions.scd import (
+            scd2_from_log,
+        )
+
+        ev = _t(spark, sf, "events")
+        return scd2_from_log(ev, ["user_id"], "event_id", ["event_type"])
+    q["scd2_user_state_events"] = scd2_user_state_events
+
+    def scd2_merge_events(spark, sf):
+        """Incremental SCD2 maintenance (functions/scd.py scd2_merge):
+        history built from the first two-thirds of the log (by the order
+        column, so the batch satisfies the after-current-version guard);
+        the last third applied as a batch. Only touched keys' versions
+        re-enter the window (broadcast semi/anti split on the batch's
+        distinct keys); untouched history passes through. Must equal the
+        full re-derivation exactly — same oracle as a one-shot build
+        over the whole log. The one-scalar max() collect sizes the split
+        deterministically at every SF."""
+        from mlcast_sourcedata_validator_spark.functions.scd import (
+            scd2_from_log,
+            scd2_merge,
+        )
+
+        ev = _t(spark, sf, "events")
+        cut = ev.agg(F.max("event_id")).first()[0] * 2 // 3
+        hist_log = ev.where(F.col("event_id") <= cut)
+        updates = ev.where(F.col("event_id") > cut)
+        history = scd2_from_log(hist_log, ["user_id"], "event_id",
+                                ["event_type"])
+        return scd2_merge(history, updates, ["user_id"], "event_id",
+                          ["event_type"])
+    q["scd2_merge_events"] = scd2_merge_events
+
     # --- histogram + drift (north_rule KS/PSI shape) ------------------------
     def hist_value_events(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1791,6 +1830,29 @@ def _all_oracles() -> dict[str, str]:
         SELECT user_id, event_id, prev_value, value
         FROM r WHERE rn > 1 AND prev_value IS DISTINCT FROM value"""
 
+    _scd2_full_sql = """
+        WITH l AS (
+          SELECT user_id, event_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS prev,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events),
+        cp AS (
+          SELECT user_id, event_type, event_id AS valid_from FROM l
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+               lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from) IS NULL
+                 AS is_current
+        FROM cp"""
+    o["scd2_user_state_events"] = _scd2_full_sql
+    # incremental merge must equal the one-shot full derivation — the
+    # whole point of the operator — so it shares the oracle
+    o["scd2_merge_events"] = _scd2_full_sql
+
     o["budget_tail_events"] = """
         WITH r AS (
           SELECT event_id, user_id, value,
@@ -2770,6 +2832,10 @@ _EXTRA_ORDER = [
     # functional-dependency change points (fd_constant check predicate
     # against a plain lag() SQL oracle)
     "fd_violations_events",
+    # SCD2 dimension history: one-shot derivation + incremental merge
+    # (late-arrival interleave) — merge shares the full-derivation oracle
+    "scd2_user_state_events",
+    "scd2_merge_events",
 ]
 
 
