@@ -302,6 +302,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           ["event_type"])
     q["scd2_merge_events"] = scd2_merge_events
 
+    def disorder_profile_events(spark, sf):
+        """Event-time disorder profile (streaming/sizing.py
+        disorder_profile): per user stream (arrival order = event_id),
+        an event's lateness is how far it arrived behind the stream's
+        event-time high-water mark; the summary row's exact quantiles
+        size the streaming stages' watermark delay from MEASURED
+        disorder instead of a folklore constant. One window shuffle on
+        the key, integer-microsecond lateness, exact percentiles."""
+        from mlcast_sourcedata_validator_spark.streaming.sizing import (
+            disorder_profile,
+        )
+
+        ev = _t(spark, sf, "events")
+        return disorder_profile(ev, "user_id", "event_id", "ts")
+    q["disorder_profile_events"] = disorder_profile_events
+
     # --- histogram + drift (north_rule KS/PSI shape) ------------------------
     def hist_value_events(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1853,6 +1869,24 @@ def _all_oracles() -> dict[str, str]:
     # whole point of the operator — so it shares the oracle
     o["scd2_merge_events"] = _scd2_full_sql
 
+    o["disorder_profile_events"] = """
+        WITH l AS (
+          SELECT greatest(0, epoch_us(max(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                 - epoch_us(ts)) / 1000000.0 AS late_s
+          FROM events),
+        c AS (SELECT coalesce(late_s, 0.0) AS late_s FROM l)
+        SELECT count(*) AS n_events,
+               sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_late,
+               round(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS late_frac,
+               round(quantile_cont(late_s, 0.5), 6) AS p50_late_s,
+               round(quantile_cont(late_s, 0.9), 6) AS p90_late_s,
+               round(quantile_cont(late_s, 0.99), 6) AS p99_late_s,
+               round(max(late_s), 6) AS max_late_s
+        FROM c"""
+
     o["budget_tail_events"] = """
         WITH r AS (
           SELECT event_id, user_id, value,
@@ -2836,6 +2870,9 @@ _EXTRA_ORDER = [
     # (late-arrival interleave) — merge shares the full-derivation oracle
     "scd2_user_state_events",
     "scd2_merge_events",
+    # event-time disorder profile (watermark-delay sizing from measured
+    # lateness; exact quantiles vs quantile_cont)
+    "disorder_profile_events",
 ]
 
 

@@ -82,6 +82,7 @@ _COMPILERS = {
     "min_rows": stats.compile_min_rows,
     "unique_column": stats.compile_unique_column,
     "dup_rate": stats.compile_dup_rate,
+    "freshness": stats.compile_freshness,
     # text quality (fused agg band + map-side violation rows)
     "text_quality": text_quality.compile_text_quality,
     "text_repetition": text_quality.compile_text_repetition,
@@ -115,7 +116,8 @@ _COMPILERS = {
 }
 
 _AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality",
-              "numeric_bounds", "min_rows", "unique_column", "dup_rate"}
+              "numeric_bounds", "min_rows", "unique_column", "dup_rate",
+              "freshness"}
 _MOD_NAME = __name__
 
 

@@ -89,6 +89,57 @@ def compile_temporal_coverage(spec: CheckSpec, suite: CheckSuite, exact: bool = 
     return AggCheck(cid, exprs, verdict)
 
 
+def compile_freshness(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """Data recency: the newest event must be within ``max_age_hours`` of
+    ``as_of`` (the Deequ-style freshness/staleness gate — a feed that
+    silently stopped ingesting passes every content check while serving
+    week-old data).
+
+    ``as_of`` is a REQUIRED explicit ISO timestamp (UTC), never the wall
+    clock: the run context supplies it (e.g. the batch's cutoff or the
+    orchestration run time), so reruns and resumed partitions produce
+    byte-identical verdicts. Rides the fused scan's existing max(ts)
+    shape — one aggregate, no extra pass.
+
+    params: as_of: str (ISO, required), max_age_hours: float (required),
+    warn_age_hours: float (optional advisory band below the hard bound).
+    """
+    from datetime import datetime, timezone
+
+    as_of = datetime.fromisoformat(spec.params["as_of"])
+    if as_of.tzinfo is None:
+        as_of = as_of.replace(tzinfo=timezone.utc)
+    max_age_h = float(spec.params["max_age_hours"])
+    warn_age_h = spec.params.get("warn_age_hours")
+    ts = suite.ts_col
+    cid = spec.check_id
+    exprs = {f"{cid}__ts_max": F.max(ts)}
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        hi = m[f"{cid}__ts_max"]
+        if hi is None:
+            report.add(spec.section, spec.requirement, FAIL,
+                       "freshness could not be determined (no timestamps)")
+            return stamp(report, _MOD, "compile_freshness")
+        if hi.tzinfo is None:
+            hi = hi.replace(tzinfo=timezone.utc)
+        age_h = (as_of - hi).total_seconds() / 3600.0
+        detail = (f"newest event is {age_h:.2f}h old at as_of="
+                  f"{spec.params['as_of']}")
+        if age_h > max_age_h:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} > {max_age_h}h")
+        elif warn_age_h is not None and age_h > float(warn_age_h):
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} > advisory {warn_age_h}h")
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_freshness")
+
+    return AggCheck(cid, exprs, verdict)
+
+
 def compile_cardinality(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
     """Distinct-count bounds via HLL sketch (north_star requirement).
 

@@ -315,3 +315,36 @@ def test_streaming_dedup_bounded_state_matches_batch_distinct(spark, sf_dir):
     diff = {k: (got.get(k), exp.get(k))
             for k in set(got) | set(exp) if got.get(k) != exp.get(k)}
     assert got == exp, f"streaming vs batch mismatch: {diff}"
+
+
+def test_disorder_profile_measures_lateness(spark):
+    """streaming/sizing.py disorder_profile: lateness = seconds behind
+    the key stream's event-time high-water mark at arrival; in-order
+    rows contribute 0 so quantiles cover the WHOLE feed."""
+    from datetime import datetime
+    from mlcast_sourcedata_validator_spark.streaming.sizing import (
+        disorder_profile,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0.replace(minute=s // 60, second=s % 60)
+
+    rows = [
+        # key a arrives in order except event 3: ts=30s against a 60s
+        # high-water mark -> 30s late
+        ("a", 1, at(0)), ("a", 2, at(60)), ("a", 3, at(30)),
+        ("a", 4, at(180)),
+        # key b fully in order
+        ("b", 1, at(0)), ("b", 2, at(30)),
+    ]
+    df = spark.createDataFrame(rows, "k: string, arr: int, ts: timestamp")
+    row = disorder_profile(df, "k", "arr", "ts",
+                           quantiles=(0.5, 1.0)).first()
+    assert row["n_events"] == 6
+    assert row["n_late"] == 1
+    assert row["max_late_s"] == 30.0  # event 3: hwm 60s, ts 30s
+    assert row["p50_late_s"] == 0.0
+    assert row["p100_late_s"] == 30.0
+    assert abs(row["late_frac"] - round(1 / 6, 6)) < 1e-9

@@ -502,3 +502,42 @@ def test_fd_constant_check(spark, clean):
         by_check[r["check_id"]] += 1
     assert by_check["fd_model"] == 1
     assert by_check.get("fd_role0", 0) > 0  # roles DO vary within convs
+
+
+def test_freshness_check(spark, clean):
+    """Freshness gate (compile_freshness): verdict tiers off the newest
+    event's age at an EXPLICIT as_of (never the wall clock, so reruns
+    are byte-identical); missing timestamps degrade to FAIL."""
+    from mlcast_sourcedata_validator_spark.suite import CheckSpec, CheckSuite
+
+    hi = clean.agg(F.max("ts")).first()[0]  # newest event in the fixture
+
+    def run(as_of, max_h, warn_h=None):
+        params = {"as_of": as_of, "max_age_hours": max_h}
+        if warn_h is not None:
+            params["warn_age_hours"] = warn_h
+        suite = CheckSuite(suite_id="fr", checks=[
+            CheckSpec("fresh", "freshness", "1.2 recency", "age", params)])
+        return run_suite(RunContext(spark=spark, df=clean, suite=suite,
+                                    run_id=f"fr-{max_h}"))
+
+    one_day_later = (hi.replace(microsecond=0)).isoformat()
+    # age ~0h at as_of=newest event -> PASS under a 24h bound
+    assert run(one_day_later, 24.0).exit_code() == 0
+
+    from datetime import timedelta
+    stale_as_of = (hi + timedelta(hours=100)).isoformat()
+    # 100h old: FAIL under 24h, WARNING band between 50 and 200
+    assert run(stale_as_of, 24.0).exit_code() == 1
+    res_warn = run(stale_as_of, 200.0, warn_h=50.0)
+    assert res_warn.exit_code() == 0
+    assert any(r.status == "WARNING" for r in res_warn.report.results)
+
+    # no timestamps at all -> FAIL, suite still completes
+    res_empty = run_suite(RunContext(
+        spark=spark, df=clean.where("1=0"),
+        suite=CheckSuite(suite_id="fr0", checks=[
+            CheckSpec("fresh", "freshness", "1.2 recency", "age",
+                      {"as_of": stale_as_of, "max_age_hours": 24.0})]),
+        run_id="fr-empty"))
+    assert res_empty.exit_code() == 1
