@@ -117,28 +117,7 @@ class CatalogResultsStore:
         writer = df.write.format(self.format)
         if partitioned:
             writer = writer.partitionBy("partition_id")
-        try:
-            writer.saveAsTable(tbl)
-        except Exception as exc:
-            if "LOCATION_ALREADY_EXISTS" not in str(exc):
-                raise
-            # orphaned managed location: a previous run (or process —
-            # the session catalog is per-process, the warehouse dir is
-            # not) died between writing the location and committing the
-            # catalog entry. The catalog says the table does not exist,
-            # so the location holds no committed data — remove it and
-            # retry. Iceberg's catalog commit is atomic, so only the
-            # parquet fallback can hit this.
-            wh = self.spark.conf.get("spark.sql.warehouse.dir")
-            parts = tbl.lower().split(".")
-            loc = (f"{wh}/{parts[0]}" if len(parts) == 1
-                   else f"{wh}/{parts[-2]}.db/{parts[-1]}")
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(loc)
-            jpath.getFileSystem(
-                self.spark._jsc.hadoopConfiguration()
-            ).delete(jpath, True)
-            writer.saveAsTable(tbl)
+        _save_table_drop_orphan(self.spark, writer, tbl)
 
     def _write_partition(self, kind: str, df: DataFrame,
                          partition_id: str) -> None:
@@ -243,6 +222,31 @@ def write_partitioned_transcripts(
     out.write.mode("overwrite").partitionBy("date").parquet(table_path)
 
 
+def _save_table_drop_orphan(spark: SparkSession, writer, tbl: str) -> None:
+    """``writer.saveAsTable(tbl)`` that survives an orphaned managed
+    location: a previous run (or process — the session catalog is
+    per-process, the warehouse dir is not) died between writing the
+    location and committing the catalog entry. The catalog says the
+    table does not exist, so the location holds no committed data —
+    remove it and retry once. Iceberg's catalog commit is atomic, so
+    only the parquet path can hit this."""
+    try:
+        writer.saveAsTable(tbl)
+    except Exception as exc:
+        if "LOCATION_ALREADY_EXISTS" not in str(exc):
+            raise
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        parts = tbl.lower().split(".")
+        loc = (f"{wh}/{parts[0]}" if len(parts) == 1
+               else f"{wh}/{parts[-2]}.db/{parts[-1]}")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(loc)
+        jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        ).delete(jpath, True)
+        writer.saveAsTable(tbl)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
@@ -293,7 +297,12 @@ def write_bucketed_table(
         writer = writer.sortBy(*sort_cols)
     if path:
         writer = writer.option("path", path)
-    writer.mode("overwrite").saveAsTable(table_name)
+    # mode("overwrite") replaces a CATALOGED table, but an orphaned
+    # managed location (process killed between location write and
+    # catalog commit) still aborts the save — same degrade-and-retry
+    # as the results store
+    _save_table_drop_orphan(df.sparkSession, writer.mode("overwrite"),
+                            table_name)
 
 
 def register_bucketed_table(
