@@ -1086,6 +1086,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             [float(v) for v in qv], cents, k=10, nprobe=8)
     q["ann_ivf_topk_embeddings"] = ann_ivf_topk_embeddings
 
+    def pq_topk_embeddings(spark, sf):
+        """Product-quantization ANN run with rerank_factor=None: every id
+        flows from the compressed-codes ADC ranking into the exact
+        cosine re-rank, so the result equals brute-force top-k EXACTLY
+        regardless of codebook quality — the exact-oracle
+        parameterization (the truncated-rerank scale path's recall is
+        pinned in tests/test_pq.py)."""
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        rest = emb.where(F.col("vec_id") != 0)
+        books = sim.pq_fit(rest, "embedding", dim=64,
+                           n_subspaces=8, n_codes=16, seed=7)
+        enc = sim.pq_encode(rest, "vec_id", "embedding", books)
+        return sim.pq_topk(enc, rest, "vec_id", "embedding",
+                           [float(v) for v in qv], books, k=10,
+                           rerank_factor=None)
+    q["pq_topk_embeddings"] = pq_topk_embeddings
+
     # --- text analysis -------------------------------------------------------
     def text_profile_documents(spark, sf):
         return tx.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
@@ -2724,6 +2742,9 @@ def _all_oracles() -> dict[str, str]:
         ORDER BY cosine DESC, vec_id LIMIT 10"""
     o["ann_lsh_topk_embeddings"] = ann_brute_top10
     o["ann_ivf_topk_embeddings"] = ann_brute_top10
+    # PQ in its exact parameterization (rerank_factor=None) also equals
+    # brute-force top-k by construction (tests/test_pq.py).
+    o["pq_topk_embeddings"] = ann_brute_top10
     return o
 
 
@@ -2873,6 +2894,9 @@ _EXTRA_ORDER = [
     # event-time disorder profile (watermark-delay sizing from measured
     # lateness; exact quantiles vs quantile_cont)
     "disorder_profile_events",
+    # product-quantization ANN (compressed codes + ADC + exact re-rank);
+    # exact-mode twin of in-window ann_ivf_topk_embeddings
+    "pq_topk_embeddings",
 ]
 
 
