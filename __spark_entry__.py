@@ -1104,6 +1104,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            rerank_factor=None)
     q["pq_topk_embeddings"] = pq_topk_embeddings
 
+    def ivfpq_topk_embeddings(spark, sf):
+        """Composed IVF-PQ persisted index (coarse partition pruning +
+        PQ-coded residuals + ADC) searched in its exact
+        parameterization: nprobe=n_lists probes every list and
+        rerank_factor=None routes every id through the exact cosine
+        re-rank, so the result equals brute-force top-k EXACTLY while
+        executing the real prune -> ADC -> re-rank plan (partition +
+        column pruning pinned in tests/test_pq.py)."""
+        import tempfile
+
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        rest = emb.where(F.col("vec_id") != 0)
+        idx = tempfile.mkdtemp(prefix="ivfpq_entry_") + "/index"
+        sim.ivfpq_build_index(rest, "vec_id", "embedding", idx, dim=64,
+                              n_lists=8, n_subspaces=8, n_codes=16, seed=7)
+        return sim.ivfpq_topk(spark, idx, "vec_id", "embedding",
+                              [float(v) for v in qv], k=10,
+                              nprobe=8, rerank_factor=None)
+    q["ivfpq_topk_embeddings"] = ivfpq_topk_embeddings
+
     # --- text analysis -------------------------------------------------------
     def text_profile_documents(spark, sf):
         return tx.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
@@ -2742,9 +2763,11 @@ def _all_oracles() -> dict[str, str]:
         ORDER BY cosine DESC, vec_id LIMIT 10"""
     o["ann_lsh_topk_embeddings"] = ann_brute_top10
     o["ann_ivf_topk_embeddings"] = ann_brute_top10
-    # PQ in its exact parameterization (rerank_factor=None) also equals
-    # brute-force top-k by construction (tests/test_pq.py).
+    # PQ / IVF-PQ in their exact parameterizations (rerank_factor=None,
+    # and nprobe=n_lists for IVF-PQ) also equal brute-force top-k by
+    # construction (tests/test_pq.py).
     o["pq_topk_embeddings"] = ann_brute_top10
+    o["ivfpq_topk_embeddings"] = ann_brute_top10
     return o
 
 
@@ -2897,6 +2920,9 @@ _EXTRA_ORDER = [
     # product-quantization ANN (compressed codes + ADC + exact re-rank);
     # exact-mode twin of in-window ann_ivf_topk_embeddings
     "pq_topk_embeddings",
+    # composed IVF-PQ persisted index (partition pruning + coded
+    # residuals + ADC + exact re-rank); exact-mode twin of the same
+    "ivfpq_topk_embeddings",
 ]
 
 

@@ -771,17 +771,21 @@ def pq_fit(
     return books
 
 
-def pq_encode_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+def pq_encode_expr(
+    vec_col: str | Column, codebooks: list[list[list[float]]]
+) -> Column:
     """Map-side PQ encoding as ONE Column: array of per-subspace
     nearest-centroid codes (same argmax-of-(score, j)-structs device as
     :func:`ivf_assign_expr`, applied to each subvector slice). No
     Python, no shuffle — at scale this rides the ingest scan and the
-    codes table is what persists."""
+    codes table is what persists. Accepts a Column so composed encoders
+    (e.g. the IVF-PQ residual) can feed it directly."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n_subspaces = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = []
     for j in range(n_subspaces):
-        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        sub = F.slice(vec, j * dsub + 1, dsub)
         scored = F.array(*[
             F.struct(s.alias("s"), F.lit(c).alias("c"))
             for c, s in enumerate(_centroid_scores(sub, codebooks[j]))
@@ -856,4 +860,147 @@ def pq_topk(
             .limit(k * rerank_factor)
         )
     cand = vectors.join(scored.select(id_col), id_col, "left_semi")
+    return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse partition pruning + compressed residual codes — the
+# composed 10^12-vector index (FAISS IVFADC shape, Spark-native)
+# ---------------------------------------------------------------------------
+
+def _centroid_lut(centroids: list[list[float]]) -> Column:
+    """Array-of-array literal of the coarse centroids, indexed 1-based by
+    ``element_at(lut, list_id + 1)``."""
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+
+
+def _residual_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """``v - centroid[list_id(v)]`` as one map-side expression: the
+    coarse assignment and the subtraction both inline on the scan."""
+    lid = ivf_assign_expr(vec_col, centroids)
+    cent = F.element_at(_centroid_lut(centroids), lid + 1)
+    return F.zip_with(F.col(vec_col).cast("array<double>"), cent,
+                      lambda a, b: a - b)
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    dim: int,
+    n_lists: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+    max_fit_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> dict:
+    """Materialize the composed IVF-PQ index: each vector is coarse-
+    assigned to its nearest of ``n_lists`` centroids (the partition
+    key), and its RESIDUAL ``v - centroid`` is PQ-encoded
+    (:func:`pq_fit` on the residual distribution — the classic IVFADC
+    decomposition: residuals are tighter than raw vectors, so the same
+    code budget quantizes them better). The table lands hive-partitioned
+    by ``list_id`` with columns ``(id, vec, codes)``; centroids +
+    codebooks go in a JSON sidecar.
+
+    Why this is THE 10^12-vector shape: a search prunes to ``nprobe``
+    list directories (partition pruning — unprobed lists are never
+    listed, let alone read) and ranks them by ADC over the ``codes``
+    column only (parquet column pruning — the ~32x-larger raw ``vec``
+    column is read just for the few re-rank candidates). Both prunings
+    are free Catalyst behavior because the index is a plain hive-
+    partitioned table — no custom file index, no external service.
+
+    Fit cost is bounded by the same deterministic-sampling contract as
+    :func:`ivf_fit` / :func:`pq_fit` (``max_fit_rows`` /
+    ``sample_fraction``); the encode pass is a single map-side
+    projection riding the write scan.
+    """
+    import json
+
+    from ..sources import fs
+
+    cents = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed,
+                    max_iter=max_iter, max_fit_rows=max_fit_rows,
+                    sample_fraction=sample_fraction)
+    res = _residual_expr(vec_col, cents)
+    books = pq_fit(
+        df.select(res.alias("_res")), "_res", dim,
+        n_subspaces=n_subspaces, n_codes=n_codes, seed=seed,
+        max_iter=max_iter, max_fit_rows=max_fit_rows,
+        sample_fraction=sample_fraction,
+    )
+    # assignment, residual and codes all inline on ONE write scan — a
+    # join back to a separate assignment pass would scan df twice and
+    # shuffle the corpus
+    df.select(
+        F.col(id_col), F.col(vec_col),
+        pq_encode_expr(res, books).alias("codes"),
+        ivf_assign_expr(vec_col, cents).alias("list_id"),
+    ).write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+    meta = {"centroids": cents, "codebooks": books}
+    fs.write_text(fs.join(index_path, "_ivfpq_meta.json"), json.dumps(meta))
+    return meta
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int | None = 4,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: partition-prune to the query's
+    ``nprobe`` nearest lists, rank their COMPRESSED codes by ADC
+    (``dot(q, v) ~ dot(q, centroid_list) + sum_j dot(q_j,
+    codebook_j[code_j])`` — the per-list constant is one array-literal
+    lookup, the residual part is :func:`adc_score_expr`), keep the top
+    ``k * rerank_factor`` ids, and exact-cosine re-rank those few
+    against the raw vectors.
+
+    The ADC stage selects only ``(id, codes, list_id)`` so parquet
+    column pruning never touches the raw ``vec`` bytes; the re-rank
+    reads ``vec`` for candidates only (a broadcast-sized semi-join).
+
+    ``nprobe == n_lists`` + ``rerank_factor=None`` routes every vector
+    through the exact re-rank — equals brute-force :func:`cosine_topk`
+    EXACTLY regardless of centroid/codebook quality (the same driver-
+    gate invariant as the IVF / LSH / PQ exact modes) while executing
+    the real prune -> ADC -> re-rank plan.
+    """
+    import json
+
+    from ..sources import fs
+
+    meta = json.loads(fs.read_text(fs.join(index_path, "_ivfpq_meta.json")))
+    cents, books = meta["centroids"], meta["codebooks"]
+    probe = _probe_lists(query_vec, cents, nprobe)
+    idx = spark.read.parquet(index_path).where(F.col("list_id").isin(probe))
+    # per-list constant dot(q, centroid) as a literal lookup table
+    qc = F.array(*[
+        F.lit(float(sum(a * b for a, b in zip(query_vec, c))))
+        for c in cents
+    ])
+    scored = idx.select(
+        F.col(id_col),
+        (F.element_at(qc, F.col("list_id").cast("int") + 1)
+         + adc_score_expr("codes", books, query_vec)).alias("_adc"),
+    )
+    if rerank_factor is not None:
+        scored = (
+            scored.orderBy(F.desc("_adc"), F.col(id_col))
+            .limit(k * rerank_factor)
+        )
+    cand = (
+        idx.select(id_col, vec_col)
+        .join(scored.select(id_col), id_col, "left_semi")
+    )
     return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)

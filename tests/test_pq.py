@@ -86,3 +86,83 @@ class TestPQ:
         exact = {i: sum(a * b for a, b in zip(qv, v)) for i, v in vecs}
         for r in scored:
             assert abs(r["adc"] - exact[r["vec_id"]]) < 1e-6
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def built(self, spark, sf_dir, tmp_path_factory):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(v) for v in emb.where("vec_id = 0").first()["embedding"]]
+        rest = emb.where("vec_id != 0").localCheckpoint()
+        idx = str(tmp_path_factory.mktemp("ivfpq") / "index")
+        meta = sim.ivfpq_build_index(rest, "vec_id", "embedding", idx,
+                                     dim=64, n_lists=8, n_subspaces=8,
+                                     n_codes=16, seed=7)
+        return rest, qv, idx, meta
+
+    def test_exact_mode_equals_brute_force(self, spark, built):
+        """nprobe=n_lists + rerank_factor=None: every vector flows
+        through the exact re-rank — equals brute force EXACTLY,
+        independent of centroid/codebook quality."""
+        rest, qv, idx, _ = built
+        brute = [(r.vec_id, r.cosine) for r in sim.cosine_topk(
+            rest, "vec_id", "embedding", qv, k=10).collect()]
+        got = [(r.vec_id, r.cosine) for r in sim.ivfpq_topk(
+            spark, idx, "vec_id", "embedding", qv, k=10,
+            nprobe=8, rerank_factor=None).collect()]
+        assert got == brute
+
+    def test_sublinear_probe_recall(self, spark, built):
+        """The real scale path: 2-of-8 lists + 4x rerank pool keeps
+        measured recall@10 = 0.7 on the fixture; 4 lists + 8x pool
+        recovers 1.0 — pinned with margin."""
+        rest, qv, idx, _ = built
+        brute = {r.vec_id for r in sim.cosine_topk(
+            rest, "vec_id", "embedding", qv, k=10).collect()}
+        narrow = {r.vec_id for r in sim.ivfpq_topk(
+            spark, idx, "vec_id", "embedding", qv, k=10,
+            nprobe=2, rerank_factor=4).collect()}
+        wide = {r.vec_id for r in sim.ivfpq_topk(
+            spark, idx, "vec_id", "embedding", qv, k=10,
+            nprobe=4, rerank_factor=8).collect()}
+        assert len(narrow & brute) / 10 >= 0.5
+        assert len(wide & brute) / 10 >= 0.8
+
+    def test_plan_prunes_partitions_and_columns(self, spark, built):
+        """The 10^12-vector contract: (a) unprobed list_id directories
+        are partition-pruned (predicate INSIDE PartitionFilters, strict
+        file subset read); (b) the ADC ranking scan reads ONLY
+        (id, codes) — the raw embedding column appears in the re-rank
+        candidate scan alone (parquet column pruning)."""
+        import re
+
+        _, qv, idx, _ = built
+        df = sim.ivfpq_topk(spark, idx, "vec_id", "embedding", qv,
+                            k=10, nprobe=2, rerank_factor=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*list_id", plan), plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        adc = [s for s in schemas if "codes" in s]
+        assert adc and all("embedding" not in s for s in adc), schemas
+        read_files = lambda q: (  # noqa: E731
+            spark.read.parquet(idx).where(q)
+            .select(F.input_file_name()).distinct().count()
+        )
+        assert 0 < read_files("list_id IN (0,1)") < read_files("true")
+
+    def test_residual_codes_differ_from_raw_pq(self, spark, built):
+        """The index encodes RESIDUALS (v - coarse centroid), not raw
+        vectors: re-encoding the raw vectors with the stored codebooks
+        must disagree with the stored codes for most rows (if they
+        matched, the residual step silently vanished)."""
+        _, _, idx, meta = built
+        stored = spark.read.parquet(idx)
+        raw = stored.select(
+            "vec_id", "codes",
+            sim.pq_encode_expr(
+                F.col("embedding").cast("array<double>"),
+                meta["codebooks"]).alias("raw_codes"),
+        )
+        n = raw.count()
+        same = raw.where(F.col("codes") == F.col("raw_codes")).count()
+        assert same < n / 2
