@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="PySpark-native transcript validation engine",
     )
     p.add_argument("--suite", default="transcripts_v1")
+    p.add_argument("--suite-file", default=None, metavar="PATH",
+                   help="load the suite from a declarative JSON file "
+                        "(suite_to_json format) instead of the registry; "
+                        "takes precedence over --suite")
     p.add_argument("--table", help="transcripts table path (hive date= partitions)")
     p.add_argument("--format", default=None,
                    choices=("parquet", "orc", "json", "csv"),
@@ -130,12 +134,22 @@ def main(argv: list[str] | None = None) -> int:
             print(s)
         return 0
 
-    try:
-        suite = get_suite(args.suite)
-    except KeyError:
-        print(f"error: unknown suite {args.suite!r}; available: "
-              f"{', '.join(list_suites())}", file=sys.stderr)
-        return 2
+    if args.suite_file:
+        from .suite import load_suite_file
+
+        try:
+            suite = load_suite_file(args.suite_file)
+        except (OSError, ValueError) as e:
+            print(f"error: cannot load suite file {args.suite_file!r}: {e}",
+                  file=sys.stderr)
+            return 2
+    else:
+        try:
+            suite = get_suite(args.suite)
+        except KeyError:
+            print(f"error: unknown suite {args.suite!r}; available: "
+                  f"{', '.join(list_suites())}", file=sys.stderr)
+            return 2
 
     from .session import get_spark
 

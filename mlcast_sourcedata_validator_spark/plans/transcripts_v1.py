@@ -224,7 +224,7 @@ def suite() -> CheckSuite:
         CheckSpec(
             "storage_format", "storage_format", "6.3 format",
             "Parquet format version MUST be a known version.",
-            {"allowed_versions": ("1.0", "2.4", "2.6")},
+            {"allowed_versions": ["1.0", "2.4", "2.6"]},
         ),
     ]
     return CheckSuite(suite_id="transcripts_v1", checks=checks)

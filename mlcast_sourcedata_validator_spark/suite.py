@@ -189,3 +189,95 @@ def get_suite(name: str) -> CheckSuite:
 def list_suites() -> list[str]:
     discover_suites()
     return sorted(_REGISTRY)
+
+
+# --- declarative serialization: suites as shippable data --------------------
+# A CheckSpec is literal data (ids, kinds, requirement text, JSON params),
+# so a whole suite round-trips through JSON — teams can version, review
+# and deploy check suites as plain files with no Python module, the way
+# the north_star's "declarative check suites" reads. The reference's
+# equivalent surface is a hard-coded spec *module* per product
+# (/root/reference/mlcast_dataset_validator/specs/source_data/
+# radar_precipitation.py:38-270); here the spec is a document.
+
+SUITE_FILE_VERSION = 1
+
+
+def suite_to_dict(suite: CheckSuite) -> dict:
+    return {
+        "version": SUITE_FILE_VERSION,
+        "suite_id": suite.suite_id,
+        "conv_col": suite.conv_col,
+        "turn_col": suite.turn_col,
+        "ts_col": suite.ts_col,
+        "checks": [
+            {
+                "check_id": c.check_id,
+                "kind": c.kind,
+                "section": c.section,
+                "requirement": c.requirement,
+                "params": c.params,
+            }
+            for c in suite.checks
+        ],
+    }
+
+
+def suite_from_dict(d: dict) -> CheckSuite:
+    """Validate + build a CheckSuite from parsed JSON. Fails loudly on
+    version/shape problems, duplicate check_ids, and kinds the compiler
+    does not know (a typo'd kind must die at LOAD time, not as a
+    KeyError mid-run on a 1000-executor cluster)."""
+    if not isinstance(d, dict) or "checks" not in d or "suite_id" not in d:
+        raise ValueError("suite file must be an object with "
+                         "'suite_id' and 'checks'")
+    ver = d.get("version", SUITE_FILE_VERSION)
+    if ver != SUITE_FILE_VERSION:
+        raise ValueError(f"unsupported suite file version {ver!r} "
+                         f"(this engine reads version {SUITE_FILE_VERSION})")
+    from .compiler import _COMPILERS  # late import: compiler imports us
+
+    checks, seen = [], set()
+    for i, c in enumerate(d["checks"]):
+        missing = {"check_id", "kind", "section", "requirement"} - set(c)
+        if missing:
+            raise ValueError(f"checks[{i}] missing fields {sorted(missing)}")
+        if c["kind"] not in _COMPILERS:
+            raise ValueError(
+                f"checks[{i}] ({c['check_id']!r}): unknown kind "
+                f"{c['kind']!r}; known kinds: {sorted(_COMPILERS)}")
+        if c["check_id"] in seen:
+            raise ValueError(f"duplicate check_id {c['check_id']!r}")
+        seen.add(c["check_id"])
+        params = c.get("params", {})
+        if not isinstance(params, dict):
+            raise ValueError(f"checks[{i}] params must be an object")
+        checks.append(CheckSpec(c["check_id"], c["kind"], c["section"],
+                                c["requirement"], params))
+    return CheckSuite(
+        suite_id=d["suite_id"],
+        checks=checks,
+        conv_col=d.get("conv_col", "conv_id"),
+        turn_col=d.get("turn_col", "turn_idx"),
+        ts_col=d.get("ts_col", "ts"),
+    )
+
+
+def suite_to_json(suite: CheckSuite) -> str:
+    import json
+
+    return json.dumps(suite_to_dict(suite), indent=2)
+
+
+def suite_from_json(text: str) -> CheckSuite:
+    import json
+
+    return suite_from_dict(json.loads(text))
+
+
+def load_suite_file(path: str) -> CheckSuite:
+    """Load a suite from a JSON file (local or remote — same fsspec
+    surface as every other sidecar read)."""
+    from .sources import fs
+
+    return suite_from_json(fs.read_text(path))
