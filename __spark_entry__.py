@@ -430,6 +430,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return skew_profile(ev, ["user_id"], k=20, n_salts=8)
     q["skew_profile_events"] = skew_profile_events
 
+    def zorder_values_events(spark, sf):
+        """Morton (Z-order) clustering value per event over
+        (user_id, value) at 8 bits/dim, min/max-normalized — the
+        clustering key functions/layout.py zorder_write range-partitions
+        on to give every interleaved column parquet min/max file
+        skipping (the Delta OPTIMIZE ZORDER idea on plain parquet).
+        Pure floor/shift/mask integer arithmetic == exact SQL oracle;
+        the equi-depth variant + actual file-skipping wins are pinned in
+        tests/test_layout.py."""
+        from mlcast_sourcedata_validator_spark.functions import layout as lay
+
+        ev = _t(spark, sf, "events")
+        ranges = lay.profile_ranges(ev, ["user_id", "value"])
+        return ev.select(
+            "event_id", lay.zorder_expr(ranges, bits=8).alias("zval"))
+    q["zorder_values_events"] = zorder_values_events
+
     def incremental_rollup_events(spark, sf):
         """Per-user rollup maintained INCREMENTALLY (functions/rollup.py):
         the two halves of the month are rolled up separately — as two
@@ -1849,6 +1866,29 @@ def _all_oracles() -> dict[str, str]:
     o["salted_count_events"] = """
         SELECT user_id, count(*)::BIGINT AS count FROM events GROUP BY user_id"""
 
+    # Morton interleave unrolled to shift/mask/or terms (the exact
+    # expression shape of layout.zorder_expr at 8 bits/dim; dimension
+    # order user_id=even positions, value=odd).
+    _z_terms = " | ".join(
+        [f"(((qu >> {i}) & 1) << {2 * i})" for i in range(8)]
+        + [f"(((qv >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
+    )
+    o["zorder_values_events"] = f"""
+        WITH r AS (SELECT CAST(min(user_id) AS DOUBLE) AS ulo,
+                          CAST(max(user_id) AS DOUBLE) AS uhi,
+                          CAST(min(value) AS DOUBLE) AS vlo,
+                          CAST(max(value) AS DOUBLE) AS vhi
+                   FROM events),
+        q AS (SELECT event_id,
+                     GREATEST(0, LEAST(255, CAST(FLOOR(
+                         (CAST(user_id AS DOUBLE) - r.ulo) / (r.uhi - r.ulo)
+                         * 256.0) AS BIGINT))) AS qu,
+                     GREATEST(0, LEAST(255, CAST(FLOOR(
+                         (CAST(value AS DOUBLE) - r.vlo) / (r.vhi - r.vlo)
+                         * 256.0) AS BIGINT))) AS qv
+              FROM events, r)
+        SELECT event_id, CAST({_z_terms} AS BIGINT) AS zval FROM q"""
+
     o["skew_profile_events"] = """
         WITH c AS (SELECT user_id, count(*)::BIGINT AS n_rows
                    FROM events GROUP BY user_id),
@@ -2923,6 +2963,10 @@ _EXTRA_ORDER = [
     # composed IVF-PQ persisted index (partition pruning + coded
     # residuals + ADC + exact re-rank); exact-mode twin of the same
     "ivfpq_topk_embeddings",
+    # Z-order (Morton) clustering value — the multi-column file-skipping
+    # layout key (integer shift/mask arithmetic => exact oracle; the
+    # equi-depth variant and measured skipping are pinned in tests)
+    "zorder_values_events",
 ]
 
 
