@@ -113,6 +113,8 @@ _COMPILERS = {
     "sampled_decode": interop.compile_sampled_decode,
     # operational: hot-key skew profiling (own bounded salted-agg job)
     "hot_keys": compile_hot_keys,
+    # operational: physical clustering quality (own bounded per-file agg)
+    "clustering": storage.compile_clustering,
 }
 
 _AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality",

@@ -326,3 +326,93 @@ def compile_partition_alignment(
                  agg_verdict),
         RowCheck(spec.check_id, pred, detail, verdict, pre_cols=pre_cols),
     ]
+
+
+def compile_clustering(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
+    """Clustering-quality check: is the table's PHYSICAL layout actually
+    clustered on its declared key columns?
+
+    params: ``columns`` (required list), ``max_avg_span`` (default 0.5),
+    ``severity`` ('WARNING' default — layout is an operational hazard,
+    not data corruption; pass 'FAIL' to gate).
+
+    Metric: per-FILE min/max of each declared column (one scan grouped
+    by ``input_file_name()``, map-side combinable), normalized by the
+    global range — the average per-file normalized span is the fraction
+    of the column's domain a typical file straddles. 1.0 means every
+    file spans everything (file-level min/max pruning skips nothing);
+    well-clustered layouts score ~1/n_files. This is the validator-side
+    audit of what ``functions/layout.py zorder_write`` produces, and the
+    engine-scale analog of the reference's chunk-layout contract
+    (checks/data_vars/chunking.py:29-44 — one chunk per timestep).
+
+    Runs as a DriverCheck with its own two bounded agg jobs (per-file
+    stats stay distributed; only the per-column averages collect), like
+    ``hot_keys`` — per-file aggregation cannot ride the fused
+    Observation. Opt-in: not in the perf-pinned base suites. Degrades
+    to WARNING when the input is not file-backed (in-memory DataFrames
+    have no files to measure).
+    """
+    cols = spec.params.get("columns")
+    if not cols:
+        raise ValueError("clustering check requires params['columns']")
+    max_avg_span = float(spec.params.get("max_avg_span", 0.5))
+    severity = spec.params.get("severity", WARNING)
+    if severity not in (WARNING, FAIL):
+        raise ValueError(f"clustering severity must be WARNING or FAIL, "
+                         f"got {severity!r}")
+
+    def fn(ctx: RunContext) -> ValidationReport:
+        report = ValidationReport()
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            d = F.col(c).cast("double")
+            aggs += [F.min(d).alias(f"_lo_{c}"), F.max(d).alias(f"_hi_{c}")]
+        per_file = (
+            ctx.df.groupBy(F.input_file_name().alias("_file")).agg(*aggs)
+        )
+        # second (tiny) agg: global range + mean per-file span, all
+        # distributed — only one row ever reaches the driver
+        spans = []
+        for c in cols:
+            g = (F.max(f"_hi_{c}") - F.min(f"_lo_{c}"))
+            spans += [
+                F.avg(F.col(f"_hi_{c}") - F.col(f"_lo_{c}")).alias(f"_as_{c}"),
+                g.alias(f"_g_{c}"),
+            ]
+        row = per_file.agg(
+            F.count(F.lit(1)).alias("_nf"),
+            F.max(F.when(F.col("_file") == "", 1).otherwise(0)).alias("_nofile"),
+            *spans,
+        ).first()
+        if row["_nf"] == 0:
+            report.add(spec.section, spec.requirement, PASS,
+                       "no rows — clustering trivially satisfied")
+            return stamp(report, _MOD, "compile_clustering")
+        if row["_nofile"] == 1:
+            report.add(spec.section, spec.requirement, WARNING,
+                       "input is not file-backed — clustering layout "
+                       "not measurable")
+            return stamp(report, _MOD, "compile_clustering")
+        results = {}
+        for c in cols:
+            g = row[f"_g_{c}"]
+            results[c] = (row[f"_as_{c}"] / g) if g and g > 0 else 0.0
+        offenders = {c: s for c, s in results.items() if s > max_avg_span}
+        summary = ", ".join(f"{c}={s:.3f}" for c, s in results.items())
+        if offenders:
+            report.add(
+                spec.section, spec.requirement, severity,
+                f"poorly clustered over {row['_nf']} files: avg "
+                f"normalized per-file span {summary} (max_avg_span="
+                f"{max_avg_span}); files will not prune on "
+                f"{sorted(offenders)} — re-layout with "
+                f"layout.zorder_write({sorted(results)})")
+        else:
+            report.add(
+                spec.section, spec.requirement, PASS,
+                f"clustered: avg normalized per-file span {summary} over "
+                f"{row['_nf']} files (max_avg_span={max_avg_span})")
+        return stamp(report, _MOD, "compile_clustering")
+
+    return DriverCheck(spec.check_id, fn)

@@ -100,3 +100,59 @@ def test_reclustering_deltas_with_saved_grid(spark, tmp_path):
     z2 = delta.select("event_id", L.zorder_expr_binned(
         {k: list(v) for k, v in grid.items()}, 8).alias("z"))
     assert z1.collect() == z2.collect()
+
+
+def test_clustering_check_verdicts(spark, tmp_path):
+    """Declarative `clustering` check (operators/storage.py
+    compile_clustering): PASS on a z-ordered layout, WARNING (or FAIL
+    when gated) on a layout that scatters the declared keys across
+    every file, WARNING degrade on a non-file-backed input."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    def suite(params):
+        return CheckSuite("layout_t", [CheckSpec(
+            "clustering", "clustering", "7.2 layout",
+            "Files MUST be clustered on the declared key columns.",
+            params)])
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    good = str(tmp_path / "good")
+    L.zorder_write(ev, good, ["user_id", "value"], n_files=8,
+                   mode="quantile")
+    bad = str(tmp_path / "bad")
+    # round-robin repartition scatters every z-run across all files
+    ev.repartition(8).write.mode("overwrite").parquet(bad)
+
+    params = {"columns": ["user_id", "value"], "max_avg_span": 0.6}
+    res = run_suite(RunContext(
+        spark=spark, df=spark.read.parquet(good), suite=suite(params),
+        run_id="g"))
+    assert [r.status for r in res.report.results] == ["PASS"], \
+        res.report.results
+
+    res2 = run_suite(RunContext(
+        spark=spark, df=spark.read.parquet(bad), suite=suite(params),
+        run_id="b"))
+    assert [r.status for r in res2.report.results] == ["WARNING"]
+    assert "zorder_write" in res2.report.results[0].detail
+    assert res2.exit_code() == 0
+
+    gated = dict(params, severity="FAIL")
+    res3 = run_suite(RunContext(
+        spark=spark, df=spark.read.parquet(bad), suite=suite(gated),
+        run_id="b2"))
+    assert res3.exit_code() == 1
+
+    # non-file-backed input degrades, never lies
+    mem = spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2.0).alias("value"))
+    res4 = run_suite(RunContext(spark=spark, df=mem, suite=suite(params),
+                                run_id="m"))
+    assert [r.status for r in res4.report.results] == ["WARNING"]
+    assert "not file-backed" in res4.report.results[0].detail
+
+    with pytest.raises(ValueError, match="columns"):
+        run_suite(RunContext(spark=spark, df=mem,
+                             suite=suite({}), run_id="x"))
