@@ -954,6 +954,66 @@ def compact_rollup(
     return base
 
 
+def vacuum_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    *,
+    rollup_id: str = "conv_rollup",
+    delete_orphan_bases: bool = True,
+    storage_options: Optional[dict] = None,
+) -> dict:
+    """Physically delete rollup delta directories no read will ever
+    touch. :func:`compact_rollup` trims the read-side FAN-IN but leaves
+    the superseded delta dirs on disk (readers skip them via lineage);
+    after months of maintain+compact cycles the dead bytes dominate the
+    store. Vacuum removes:
+
+    - partitions whose LATEST lineage status is COMPACTED (their state
+      lives in the compaction base), and
+    - ``__base-*__`` dirs with NO lineage marker at all (a crash between
+      the base write and its COMMITTED marker — never referenced).
+
+    Safe by construction: reads select only lineage-ACTIVE partitions,
+    so deleting COMPACTED/orphan dirs cannot change any result, and
+    ``fs.rmtree`` is idempotent so a crashed vacuum simply leaves work
+    for the next one. Like compaction, vacuum must run from the single
+    maintenance coordinator the marker protocol already requires —
+    ``delete_orphan_bases=False`` for the paranoid case of a base
+    being written concurrently. Ordinary (non-base) partitions WITHOUT
+    any marker are kept: the overwrite-then-marker protocol will
+    reprocess and overwrite them, so they are pending work, not garbage.
+
+    Returns ``{"deleted": [...], "kept_active": [...], "kept_pending":
+    [...]}`` (partition names, sorted).
+    """
+    statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
+                                       storage_options)
+    deltas_dir = fs.join(rollup_path, "deltas", rollup_id)
+    try:
+        names = fs.listdir(deltas_dir, storage_options) \
+            if fs.isdir(deltas_dir, storage_options) else []
+    except fs.FsUnavailable:
+        names = []
+    deleted, active, pending = [], [], []
+    for name in names:
+        if not name.startswith("partition_id="):
+            continue
+        p = name[len("partition_id="):]
+        status = statuses.get(p)
+        if status == "COMPACTED" or (
+            status is None and p.startswith("__base-")
+            and delete_orphan_bases
+        ):
+            fs.rmtree(fs.join(deltas_dir, name), storage_options)
+            deleted.append(p)
+        elif status == "COMMITTED":
+            active.append(p)
+        else:
+            pending.append(p)
+    return {"deleted": sorted(deleted), "kept_active": sorted(active),
+            "kept_pending": sorted(pending)}
+
+
 def read_metrics(spark: SparkSession, results_path: str) -> DataFrame:
     """Per-partition scalar metrics (suite_id, run_id, metric, value,
     value_str, partition_id) — the queryable metrics history the

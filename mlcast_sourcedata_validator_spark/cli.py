@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
                         "delta (trims read-side merge fan-in)")
+    p.add_argument("--vacuum-rollup", action="store_true",
+                   help="after compaction, physically delete COMPACTED "
+                        "delta dirs and crash-orphaned base dirs from "
+                        "the rollup/content-index stores (reclaims the "
+                        "dead bytes compaction leaves behind)")
     p.add_argument("--trend-baseline", default=None, metavar="STORE",
                    help="previous release's results store: after the "
                         "partitioned run, flag checks whose violation "
@@ -162,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--audit-metric", args.audit_metric),
             ("--conv-rollup", args.conv_rollup),
             ("--content-index", args.content_index),
+            ("--compact-rollup", args.compact_rollup),
+            ("--vacuum-rollup", args.vacuum_rollup),
         ) if val]
         if ignored:
             print(
@@ -278,6 +285,14 @@ def main(argv: list[str] | None = None) -> int:
                     storage_options=storage_options)
                 print(f"rollup compaction: "
                       f"{base or 'no-op (fewer than 2 active deltas)'}")
+            if args.vacuum_rollup:
+                from .checkpoint import vacuum_rollup
+
+                rep = vacuum_rollup(spark, args.conv_rollup,
+                                    storage_options=storage_options)
+                print(f"rollup vacuum: deleted {len(rep['deleted'])} "
+                      f"dead delta dir(s), kept "
+                      f"{len(rep['kept_active'])} active")
         if args.audit_metric:
             from .checkpoint import metric_outlier_partitions, read_metrics
 
@@ -351,6 +366,15 @@ def main(argv: list[str] | None = None) -> int:
                     storage_options=storage_options)
                 print(f"content index compaction: "
                       f"{base or 'no-op (fewer than 2 active deltas)'}")
+            if args.vacuum_rollup:
+                from .checkpoint import vacuum_rollup
+
+                rep = vacuum_rollup(
+                    spark, args.content_index, rollup_id="content_index",
+                    storage_options=storage_options)
+                print(f"content index vacuum: deleted "
+                      f"{len(rep['deleted'])} dead delta dir(s), kept "
+                      f"{len(rep['kept_active'])} active")
             n_dup_groups = read_rollup(
                 spark, args.content_index, ["text_hash"], ispecs,
                 rollup_id="content_index",

@@ -215,3 +215,26 @@ def write_text(
 ) -> None:
     with open_file(path, "wb", storage_options) as f:
         f.write(data.encode("utf-8"))
+
+
+def rmtree(path: str, storage_options: Optional[dict] = None) -> None:
+    """Recursively delete a directory (or single file) on any backend.
+    Missing paths are a no-op — deletion is idempotent, so a retried
+    vacuum never fails on work a previous attempt finished."""
+    scheme, rest = split_scheme(path)
+    if scheme in (None, "file"):
+        import shutil
+
+        if os.path.isdir(rest):
+            shutil.rmtree(rest)
+        elif os.path.exists(rest):
+            os.remove(rest)
+        return
+    if scheme == "memory":
+        k = _mem_key(rest)
+        for f in [f for f in _MEMFS if f == k or f.startswith(k + "/")]:
+            del _MEMFS[f]
+        return
+    f = _fsspec_fs(scheme, storage_options)
+    if f.exists(path):
+        f.rm(path, recursive=True)

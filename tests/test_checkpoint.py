@@ -291,6 +291,49 @@ def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
     assert len(active) == 1 and active[0].startswith("__base-")
 
 
+def test_cli_vacuum_rollup_flag(spark, table, tmp_path, capsys):
+    """--vacuum-rollup after --compact-rollup physically removes the
+    superseded delta dirs; merged state unchanged; the flag warns (like
+    every checkpointed-run-only flag) when passed outside that mode."""
+    import os
+
+    from mlcast_sourcedata_validator_spark.checkpoint import read_rollup
+    from mlcast_sourcedata_validator_spark.cli import main
+    from mlcast_sourcedata_validator_spark.functions.rollup import (
+        keyed_rollup,
+        transcript_rollup_specs,
+    )
+
+    reg = str(tmp_path / "reg")
+    spark.read.parquet(table).select("conv_id").distinct().write.parquet(reg)
+    roll = str(tmp_path / "roll")
+    rc = main(["--suite", "transcripts_v1", "--table", table,
+               "--results", str(tmp_path / "store"),
+               "--conv-rollup", roll, "--compact-rollup", "--vacuum-rollup",
+               "--registry", reg, "--cores", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rollup vacuum: deleted" in out
+    deltas = os.path.join(roll, "deltas", "conv_rollup")
+    on_disk = [n for n in os.listdir(deltas) if n.startswith("partition_id=")]
+    assert len(on_disk) == 1 and "__base-" in on_disk[0]
+    specs = transcript_rollup_specs()
+    merged = read_rollup(spark, roll, ["conv_id"], specs)
+    direct = keyed_rollup(spark.read.parquet(table).drop("date"),
+                          ["conv_id"], specs)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    # outside the checkpointed mode the flag warns instead of silently
+    # doing nothing
+    rc2 = main(["--suite", "transcripts_v1", "--table", table,
+                "--registry", reg, "--whole-table", "--vacuum-rollup",
+                "--cores", "8"])
+    err = capsys.readouterr().err
+    assert "--vacuum-rollup" in err and "only take effect" in err
+    assert rc2 == 0
+
+
 def test_cli_audit_metric_flag(spark, table, registry, tmp_path, capsys):
     """--audit-metric reports per-metric outlier partitions (or their
     absence) from the metrics store after the partitioned run."""

@@ -553,3 +553,67 @@ def test_compaction_survives_no_resume_and_base_is_boundary_frontier(
     out = boundary_audit(read_rollup_deltas(spark, store)).collect()
     assert [(r["conv_id"], r["partition_id"], r["reason"]) for r in out] == \
         [("c", "2024-06-03", "turn_overlap")]
+
+
+def test_vacuum_rollup_deletes_only_dead_dirs(spark, tmp_path):
+    """checkpoint.vacuum_rollup: COMPACTED delta dirs and unmarked
+    crash-orphan __base-*__ dirs are physically deleted; active deltas
+    and pending (unmarked, non-base) partitions survive; merged state is
+    bit-identical before/after; vacuum is idempotent."""
+    import os
+
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+        vacuum_rollup,
+        write_partitioned_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=50, seed=31).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-07-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(3)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "roll")
+    write_partitioned_transcripts(df, table)
+    specs = transcript_rollup_specs()
+    maintain_rollup(spark, table, store, ["conv_id"], specs)
+    assert compact_rollup(spark, store, ["conv_id"], specs)
+
+    deltas = os.path.join(store, "deltas", "conv_rollup")
+    # plant a crash orphan (base dir written, marker never appended) and
+    # a pending partition (maintenance output whose marker append died)
+    orphan = os.path.join(deltas, "partition_id=__base-deadbeef__")
+    pending = os.path.join(deltas, "partition_id=2024-09-99")
+    for d in (orphan, pending):
+        os.makedirs(d)
+        open(os.path.join(d, "part-0.parquet"), "wb").close()
+
+    before = sorted(map(tuple,
+                        read_rollup(spark, store, ["conv_id"], specs)
+                        .collect()))
+    rep = vacuum_rollup(spark, store)
+    # every pre-compaction delta + the orphan base died
+    assert "__base-deadbeef__" in rep["deleted"]
+    assert len(rep["deleted"]) >= 4  # 3 date partitions + orphan
+    assert len(rep["kept_active"]) == 1  # the compaction base
+    assert rep["kept_pending"] == ["2024-09-99"]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(pending)
+    on_disk = {n for n in os.listdir(deltas) if n.startswith("partition_id=")}
+    assert len(on_disk) == 2  # active base + pending
+
+    after = sorted(map(tuple,
+                       read_rollup(spark, store, ["conv_id"], specs)
+                       .collect()))
+    assert after == before
+
+    # idempotent + paranoid mode leaves unmarked bases alone
+    assert vacuum_rollup(spark, store)["deleted"] == []
+    os.makedirs(orphan)
+    assert vacuum_rollup(
+        spark, store, delete_orphan_bases=False)["deleted"] == []
+    assert os.path.exists(orphan)
