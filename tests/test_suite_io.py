@@ -114,3 +114,22 @@ def test_cli_suite_file(spark, sf_dir, tmp_path, capsys):
     capsys.readouterr()
     assert cli.main(["--suite-file", str(bad), "--table", tbl]) == 2
     assert "unknown kind" in capsys.readouterr().err
+
+
+def test_shipped_suite_files_are_fresh():
+    """suites/*.json are the COMMITTED declarative form of every
+    registered suite (what a no-Python deployment feeds --suite-file).
+    They must stay byte-fresh: editing a plans/ module without
+    regenerating them fails here. Regenerate with:
+    python -c "from mlcast_sourcedata_validator_spark.suite import *;
+    [open(f'suites/{n}.json','w').write(suite_to_json(get_suite(n))+'\\n')
+     for n in list_suites()]"
+    """
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "..", "suites")
+    on_disk = {f[:-5] for f in os.listdir(here) if f.endswith(".json")}
+    assert on_disk == set(list_suites())
+    for name in sorted(on_disk):
+        with open(os.path.join(here, f"{name}.json")) as f:
+            assert f.read() == suite_to_json(get_suite(name)) + "\n", name
