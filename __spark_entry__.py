@@ -691,6 +691,73 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["conv_text_equality_events"] = conv_text_equality_events
 
+    # conversation-granular dedup family (functions/conversations.py) —
+    # events mapped onto the transcript shape the same way as
+    # conv_text_equality_events: user_id=conversation, (ts, event_id)=
+    # stable turn order, props=turn text
+    def conv_dedup_events(spark, sf):
+        """Whole-conversation exact dedup: the event stream unioned with
+        a conv-remapped copy of itself (every conversation logged twice
+        under a shifted id); dedup_conversations keeps the min-id copy of
+        each fingerprint, so exactly the original conversations' turns
+        survive — order-sensitive fingerprints make this a unit-level
+        dedup no turn-level hash can express."""
+        from mlcast_sourcedata_validator_spark.functions.conversations import (
+            dedup_conversations,
+        )
+
+        ev = _t(spark, sf, "events").select("user_id", "ts", "event_id",
+                                            "props")
+        dup = ev.withColumn("user_id", F.col("user_id") + 1_000_000)
+        both = ev.unionByName(dup)
+        out = dedup_conversations(both, "user_id", ["ts", "event_id"],
+                                  "props")
+        return out.select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id"), F.col("props"))
+
+    q["conv_dedup_events"] = conv_dedup_events
+
+    def template_turns_events(spark, sf):
+        """Template-turn detection: props values recurring in >= 5
+        distinct conversations (canned/boilerplate turn content — the
+        transcript analog of frequent-line web boilerplate)."""
+        from mlcast_sourcedata_validator_spark.functions.conversations import (
+            template_turns,
+        )
+
+        ev = _t(spark, sf, "events")
+        return template_turns(ev, "user_id", "props", min_convs=5)
+
+    q["template_turns_events"] = template_turns_events
+
+    def prefix_pairs_events(spark, sf):
+        """Prefix-containment dedup: each conversation unioned with a
+        3-turn truncated re-log of itself under a shifted id; the
+        detector must recover exactly the (truncated, original) pairs —
+        the re-logged-agent-run duplicate neither turn-level nor
+        whole-fingerprint dedup can see. Conversations whose first 3
+        turns coincide with another conversation's prefix also pair (the
+        detector reports ALL containments, not just planted ones) — the
+        oracle mirrors the same construction so the sets match exactly."""
+        from mlcast_sourcedata_validator_spark.functions.conversations import (
+            prefix_containment_pairs,
+        )
+
+        ev = _t(spark, sf, "events").select("user_id", "ts", "event_id",
+                                            "props")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        trunc = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 3).drop("_rn")
+            .withColumn("user_id", F.col("user_id") + 1_000_000)
+        )
+        both = ev.unionByName(trunc)
+        return prefix_containment_pairs(
+            both, "user_id", ["ts", "event_id"], "props", prefix_depth=8)
+
+    q["prefix_pairs_events"] = prefix_pairs_events
+
     def json_extract_events(spark, sf):
         """JSON payload probing (props is a JSON object {'k': int})."""
         ev = _t(spark, sf, "events")
@@ -2074,6 +2141,59 @@ def _all_oracles() -> dict[str, str]:
                count(*)::BIGINT AS n_turns
         FROM events GROUP BY user_id"""
 
+    o["conv_dedup_events"] = """
+        WITH unioned AS (
+          SELECT user_id, ts, event_id, props FROM events
+          UNION ALL
+          SELECT user_id + 1000000, ts, event_id, props FROM events),
+        fp AS (
+          SELECT user_id,
+                 md5(string_agg(md5(coalesce(props, '')), '|'
+                                ORDER BY ts, event_id)) AS f
+          FROM unioned GROUP BY user_id),
+        keep AS (
+          SELECT user_id FROM (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY f ORDER BY user_id) AS rn
+            FROM fp) WHERE rn = 1)
+        SELECT b.user_id::BIGINT AS conv_id, b.event_id, b.props
+        FROM unioned b JOIN keep k USING (user_id)"""
+
+    o["template_turns_events"] = """
+        SELECT md5(coalesce(props, '')) AS text_hash,
+               min(props) AS text,
+               count(DISTINCT user_id)::BIGINT AS n_convs,
+               count(*)::BIGINT AS n_turns
+        FROM events
+        GROUP BY md5(coalesce(props, ''))
+        HAVING count(DISTINCT user_id) >= 5"""
+
+    o["prefix_pairs_events"] = """
+        WITH ev AS (SELECT user_id, ts, event_id, props FROM events),
+        trunc AS (
+          SELECT user_id + 1000000 AS user_id, ts, event_id, props FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM ev) WHERE rn <= 3),
+        unioned AS (SELECT * FROM ev UNION ALL SELECT * FROM trunc),
+        g AS (SELECT user_id,
+                     list(md5(coalesce(props, '')) ORDER BY ts, event_id)
+                       AS hashes,
+                     count(*)::BIGINT AS n
+              FROM unioned GROUP BY user_id),
+        shorts AS (SELECT user_id AS short_conv,
+                          md5(array_to_string(hashes, '|')) AS h,
+                          n AS n_short
+                   FROM g WHERE n <= 8),
+        longs AS (SELECT user_id AS long_conv, k AS n_short,
+                         md5(array_to_string(hashes[1:k], '|')) AS h
+                  FROM g, unnest(generate_series(1, least(n - 1, 8))) AS t(k)
+                  WHERE n >= 2)
+        SELECT short_conv::BIGINT AS short_conv,
+               long_conv::BIGINT AS long_conv,
+               n_short::BIGINT AS n_short
+        FROM shorts JOIN longs USING (h, n_short)"""
+
     o["json_extract_events"] = """
         SELECT event_type,
                round(avg((props->>'k')::INT), 6) AS avg_k,
@@ -2967,6 +3087,12 @@ _EXTRA_ORDER = [
     # layout key (integer shift/mask arithmetic => exact oracle; the
     # equi-depth variant and measured skipping are pinned in tests)
     "zorder_values_events",
+    # conversation-granular dedup family: whole-conversation fingerprint
+    # dedup, template-turn detection, prefix-containment pairs (the
+    # transcript-payload analogs of document dedup / boilerplate)
+    "conv_dedup_events",
+    "template_turns_events",
+    "prefix_pairs_events",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Conversation-granular operators: fingerprinting, whole-conversation
+dedup, template-turn detection, prefix containment.
+
+The engine's payload is multi-turn transcripts (BASELINE input_hint:
+``conv_id, turn_idx, role, text, tool, ts``), and several of its
+highest-value dedup decisions are CONVERSATION-level, not turn- or
+document-level:
+
+- the same conversation logged twice (retried export, replayed agent
+  run) should dedup as a unit — turn-level hashes can't see it, because
+  every individual turn may also legitimately appear elsewhere;
+- a conversation that is a strict PREFIX of another (an agent run
+  re-logged after more turns were appended) is a containment duplicate;
+- a turn text recurring across many distinct conversations (canned
+  greeting, template apology, system boilerplate) is the transcript
+  analog of boilerplate lines in web text
+  (:mod:`.boilerplate` frequent-line removal).
+
+All fingerprints are order-sensitive md5 chains over the window-ordered
+turns — the same stable ``(conv_id, turn_idx)`` sort the north_star's
+per-turn text-equality invariant uses — built from ``sort_array ∘
+collect_list`` per conversation: ONE shuffle on the conversation key,
+bounded per-group state (``max_conv_turns`` is suite-enforced), and
+deterministic results any engine can replicate (DuckDB oracles compare
+exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _ordered_turn_hashes(
+    df: DataFrame, conv_col: str, order_cols: list[str], text_col: str
+) -> DataFrame:
+    """(conv, hashes, n_turns): per-conversation array of per-turn text
+    hashes in stable turn order. md5 per turn BEFORE collecting keeps
+    the grouped state at 32 B/turn regardless of text size."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    rows = F.sort_array(F.collect_list(F.struct(
+        *[F.col(c) for c in order_cols], h.alias("h"))))
+    return df.groupBy(F.col(conv_col).alias("conv")).agg(
+        F.transform(rows, lambda r: r["h"]).alias("hashes"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conv_fingerprints(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    text_col: str,
+) -> DataFrame:
+    """(conv, fingerprint, n_turns): order-sensitive conversation
+    fingerprint — md5 of the '|'-joined per-turn hashes. Any reorder,
+    drop, insert, or text edit changes it; two conversations share a
+    fingerprint iff their ordered turn texts are identical."""
+    g = _ordered_turn_hashes(df, conv_col, order_cols, text_col)
+    return g.select(
+        "conv",
+        F.md5(F.concat_ws("|", F.col("hashes"))).alias("fingerprint"),
+        "n_turns",
+    )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Whole-conversation exact dedup: among conversations with the same
+    fingerprint keep the one with the minimum conversation key, and
+    return ALL TURNS of the survivors (the dedup unit is the
+    conversation, so turns never orphan). Two key-shuffles total: the
+    fingerprint groupBy and the keeper semi-join back onto the turns."""
+    fp = conv_fingerprints(df, conv_col, order_cols, text_col)
+    w = Window.partitionBy("fingerprint").orderBy("conv")
+    keep = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("conv").alias(conv_col))
+    )
+    return df.join(keep, conv_col, "left_semi")
+
+
+def template_turns(
+    df: DataFrame,
+    conv_col: str,
+    text_col: str,
+    min_convs: int = 3,
+) -> DataFrame:
+    """(text_hash, text, n_convs, n_turns): turn texts recurring in at
+    least ``min_convs`` DISTINCT conversations — canned/template content
+    (the transcript analog of frequent-line boilerplate). ``text`` is
+    the minimum matching string (deterministic exemplar). One groupBy on
+    the 16-byte text hash; at 10^12 turns the group count is bounded by
+    distinct turn texts, and the output by the template set."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(h.alias("text_hash"), F.col(conv_col).alias("_c"),
+                  F.col(text_col).alias("_t"))
+        .groupBy("text_hash")
+        .agg(F.countDistinct("_c").alias("n_convs"),
+             F.count(F.lit(1)).alias("n_turns"),
+             F.min("_t").alias("text"))
+        .where(F.col("n_convs") >= min_convs)
+        .select("text_hash", "text", "n_convs", "n_turns")
+    )
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    text_col: str,
+    prefix_depth: int = 64,
+) -> DataFrame:
+    """(short_conv, long_conv, n_short): conversation pairs where the
+    ENTIRE short conversation equals the first ``n_short`` turns of the
+    long one — the re-logged-agent-run containment duplicate that
+    neither turn-level nor whole-fingerprint dedup can see.
+
+    Mechanics: from one conversation agg, (a) conversations of length
+    <= ``prefix_depth`` emit their full-conversation hash, (b) every
+    conversation emits the chain hash of each of its first
+    ``min(n_turns - 1, prefix_depth)`` PROPER prefixes (strictly shorter
+    than itself), and the equi-join on (hash, length) yields containment
+    pairs. Fanout is bounded by ``prefix_depth`` rows per conversation —
+    a knob, not a data-dependent explosion; conversations longer than
+    the depth simply cannot be detected as the SHORT side (documented
+    contract: containment scanning covers the first ``prefix_depth``
+    turns). Identical conversations are NOT pairs here (no proper
+    prefix) — whole-conversation dedup owns exact duplicates.
+    """
+    g = _ordered_turn_hashes(df, conv_col, order_cols, text_col)
+    prefix_h = F.md5(F.concat_ws("|", F.slice(
+        F.col("hashes"), 1, F.col("k"))))
+    shorts = (
+        g.where(F.col("n_turns") <= prefix_depth)
+        .select(F.col("conv").alias("short_conv"),
+                F.md5(F.concat_ws("|", F.col("hashes"))).alias("_h"),
+                F.col("n_turns").alias("n_short"))
+    )
+    longs = (
+        # n_turns >= 2 BEFORE the sequence: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty — a single-turn conversation would
+        # emit bogus k=0/k=1 prefixes instead of none
+        g.where(F.col("n_turns") >= 2)
+        .select("conv", "hashes",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    F.least(F.col("n_turns") - 1, F.lit(prefix_depth)),
+                )).alias("k"))
+        .select(F.col("conv").alias("long_conv"), F.col("k").alias("n_short"),
+                prefix_h.alias("_h"))
+    )
+    return (
+        shorts.join(longs, ["_h", "n_short"])
+        .select("short_conv", "long_conv", "n_short")
+    )
