@@ -2953,7 +2953,7 @@ _DRIVER_ORDER = [
     # LLM training-data pipeline: dedup + similarity
     "dedup_exact_documents", "dedup_keep_min_documents",
     "minhash_lsh_pairs_documents", "lsh_verified_near_dups_documents",
-    "ngram_jaccard_pairs_documents", "simhash_documents",
+    "ngram_jaccard_pairs_documents", "conv_dedup_events",
     "simhash_banded_pairs_documents", "embedding_lsh_near_dup_pairs",
     "embedding_cosine_topk",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
@@ -3087,12 +3087,14 @@ _EXTRA_ORDER = [
     # layout key (integer shift/mask arithmetic => exact oracle; the
     # equi-depth variant and measured skipping are pinned in tests)
     "zorder_values_events",
-    # conversation-granular dedup family: whole-conversation fingerprint
-    # dedup, template-turn detection, prefix-containment pairs (the
-    # transcript-payload analogs of document dedup / boilerplate)
-    "conv_dedup_events",
+    # conversation-granular dedup family (conv_dedup_events itself is
+    # IN the driver window as the transcript-payload dedup
+    # representative): template-turn detection + prefix-containment
     "template_turns_events",
     "prefix_pairs_events",
+    # signature sub-computation of in-window simhash_banded_pairs
+    # (rotated out of the window for conv_dedup_events in round 4)
+    "simhash_documents",
 ]
 
 
