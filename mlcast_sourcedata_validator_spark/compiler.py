@@ -52,6 +52,7 @@ from .operators import (
     storage,
     text_quality,
 )
+from .functions import conversations
 from .report import VIOLATIONS_SCHEMA, ValidationReport
 from .skew import compile_hot_keys
 from .suite import (
@@ -115,6 +116,8 @@ _COMPILERS = {
     "hot_keys": compile_hot_keys,
     # operational: physical clustering quality (own bounded per-file agg)
     "clustering": storage.compile_clustering,
+    # operational: whole-conversation duplicate share (own conv-key job)
+    "conv_duplicates": conversations.compile_conv_duplicates,
 }
 
 _AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality",

@@ -159,3 +159,71 @@ def prefix_containment_pairs(
         shorts.join(longs, ["_h", "n_short"])
         .select("short_conv", "long_conv", "n_short")
     )
+
+
+def compile_conv_duplicates(spec, suite):
+    """Declarative whole-conversation duplicate check. params:
+    ``text_col`` (default 'text'), ``max_dup_frac`` (default 0.0 — any
+    duplicated conversation flags), ``severity`` ('WARNING' default,
+    'FAIL' to gate), ``top_k`` exemplar groups in the detail (default 3).
+
+    Metric: 1 - distinct(fingerprint)/count(conversations) over
+    :func:`conv_fingerprints` — the fraction of conversations that are
+    an exact whole-unit copy of another. Runs as a DriverCheck with its
+    own bounded job (one conversation-key shuffle + a scalar agg), like
+    ``hot_keys``/``clustering``: per-conversation state cannot ride the
+    fused row-level Observation. Opt-in — not in the perf-pinned base
+    suites. The detail names the most-duplicated fingerprints with their
+    copy counts and example conversation keys, so the finding routes
+    straight to :func:`dedup_conversations`.
+    """
+    from ..report import FAIL, PASS, WARNING, ValidationReport, stamp
+    from ..suite import DriverCheck
+
+    text_col = spec.params.get("text_col", "text")
+    max_dup_frac = float(spec.params.get("max_dup_frac", 0.0))
+    top_k = int(spec.params.get("top_k", 3))
+    severity = spec.params.get("severity", WARNING)
+    if severity not in (WARNING, FAIL):
+        raise ValueError(f"conv_duplicates severity must be WARNING or "
+                         f"FAIL, got {severity!r}")
+
+    def fn(ctx) -> ValidationReport:
+        report = ValidationReport()
+        fp = conv_fingerprints(
+            ctx.df, ctx.suite.conv_col, [ctx.suite.turn_col], text_col)
+        row = fp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("fingerprint").alias("d"),
+        ).first()
+        if not row["n"]:
+            report.add(spec.section, spec.requirement, PASS,
+                       "no conversations — trivially duplicate-free")
+            return stamp(report, __name__, "compile_conv_duplicates")
+        dup_frac = 1.0 - row["d"] / row["n"]
+        if dup_frac > max_dup_frac:
+            tops = (
+                fp.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("copies"),
+                     F.min("conv").alias("example"))
+                .where(F.col("copies") > 1)
+                .orderBy(F.desc("copies"), "fingerprint")
+                .limit(top_k).collect()
+            )
+            ex = ", ".join(f"{t['copies']}x (e.g. conv {t['example']})"
+                           for t in tops)
+            report.add(
+                spec.section, spec.requirement, severity,
+                f"{row['n'] - row['d']} of {row['n']} conversations "
+                f"({dup_frac:.4%}) are whole-unit copies "
+                f"(max_dup_frac={max_dup_frac:.4%}); largest groups: "
+                f"{ex} — dedup with conversations.dedup_conversations")
+        else:
+            report.add(
+                spec.section, spec.requirement, PASS,
+                f"{row['d']} distinct fingerprints over {row['n']} "
+                f"conversations (dup fraction {dup_frac:.4%} <= "
+                f"{max_dup_frac:.4%})")
+        return stamp(report, __name__, "compile_conv_duplicates")
+
+    return DriverCheck(spec.check_id, fn)

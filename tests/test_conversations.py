@@ -92,3 +92,47 @@ def test_conv_ops_match_events_scale_construction(spark, sf_dir):
                                 ["ts", "event_id"], "props")
     assert out.count() == ev.count()
     assert out.where(F.col("user_id") >= 1_000_000).count() == 0
+
+
+def test_conv_duplicates_check_verdicts(spark):
+    """Declarative conv_duplicates check: PASS on distinct conversations,
+    WARNING naming the largest copy groups on planted duplicates, FAIL
+    when gated, PASS on empty input."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    def suite(params):
+        return CheckSuite("convdup_t", [CheckSpec(
+            "conv_duplicates", "conv_duplicates", "3.6 dedup",
+            "Conversations MUST NOT be whole-unit copies.", params)],
+            conv_col="conv_id", turn_col="turn_idx")
+
+    clean = _df(spark, _conv("a", ["x", "y"]) + _conv("b", ["x", "z"]))
+    res = run_suite(RunContext(spark=spark, df=clean, suite=suite({}),
+                               run_id="c"))
+    assert [r.status for r in res.report.results] == ["PASS"]
+
+    dup = _df(spark, _conv("a", ["x", "y"]) + _conv("b", ["x", "y"])
+              + _conv("c", ["x", "y"]) + _conv("d", ["q", "r"]))
+    res2 = run_suite(RunContext(spark=spark, df=dup, suite=suite({}),
+                                run_id="d"))
+    r2 = res2.report.results[0]
+    assert r2.status == "WARNING"
+    assert "2 of 4" in r2.detail and "3x" in r2.detail \
+        and "conv a" in r2.detail and "dedup_conversations" in r2.detail
+
+    res3 = run_suite(RunContext(
+        spark=spark, df=dup, suite=suite({"severity": "FAIL"}),
+        run_id="e"))
+    assert res3.exit_code() == 1
+    # a loose budget tolerates the planted 50% duplication
+    res4 = run_suite(RunContext(
+        spark=spark, df=dup, suite=suite({"max_dup_frac": 0.6}),
+        run_id="f"))
+    assert [r.status for r in res4.report.results] == ["PASS"]
+
+    empty = clean.where("1=0")
+    res5 = run_suite(RunContext(spark=spark, df=empty, suite=suite({}),
+                                run_id="g"))
+    assert [r.status for r in res5.report.results] == ["PASS"]
