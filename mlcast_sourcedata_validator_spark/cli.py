@@ -113,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "driver threads (commits stay serialized): fills "
                         "a large cluster's stage-tail idle time; on FAIR "
                         "scheduling each partition gets its own pool")
+    p.add_argument("--report-json", default=None, metavar="PATH",
+                   help="also write the report as a JSON document "
+                        "(summary + exit code + every check row; for a "
+                        "partitioned run, a per-partition breakdown) — "
+                        "the CI-pipeline surface beside the console "
+                        "print and the results store")
     p.add_argument("--violations-limit", type=int, default=None,
                    metavar="N",
                    help="cap the violations sink to N example rows per "
@@ -238,6 +244,24 @@ def main(argv: list[str] | None = None) -> int:
             f"{summary.n_fails} FAIL rows, {summary.n_violations} violations"
         )
         rc = summary.exit_code()
+        if args.report_json:
+            import json
+
+            from .sources import fs as _fs
+
+            doc = {
+                "suite_id": suite.suite_id,
+                "run_id": summary.run_id,
+                "exit_code": rc,
+                "processed": sorted(summary.processed),
+                "skipped": sorted(summary.skipped),
+                "partitions": {
+                    p: r.report.to_dict(suite.suite_id, summary.run_id, p)
+                    for p, r in sorted(summary.results.items())
+                },
+            }
+            _fs.write_text(args.report_json, json.dumps(doc, indent=2))
+            print(f"report JSON written to {args.report_json}")
         if args.conv_rollup:
             from .checkpoint import (
                 maintain_rollup,
@@ -413,6 +437,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     res = run_suite(ctx)
     res.report.console_print()
+    if args.report_json:
+        from .sources import fs as _fs
+
+        _fs.write_text(args.report_json,
+                       res.report.to_json(suite.suite_id, ctx.run_id))
+        print(f"report JSON written to {args.report_json}")
     # per-check counts were collected during the run — re-counting the
     # violations DataFrame would be a second pass over the data
     print(f"{res.n_violations} violation rows; input rows: {res.n_input_rows}")

@@ -149,6 +149,42 @@ class ValidationReport:
         print(out)
         return out
 
+    def to_dict(
+        self,
+        suite_id: str,
+        run_id: str,
+        partition_id: Optional[str] = None,
+    ) -> dict:
+        """Machine-readable report for CI pipelines: the same rows
+        ``to_df`` emits plus the summary and exit code (driver-side;
+        a report is O(#checks) rows)."""
+        s = self.summarize()
+        return {
+            "suite_id": suite_id,
+            "run_id": run_id,
+            "partition_id": partition_id,
+            "summary": {"fails": s[FAIL], "warnings": s[WARNING],
+                        "passes": s[PASS]},
+            "exit_code": 1 if self.has_fails() else 0,
+            "results": [
+                {"section": r.section, "requirement": r.requirement,
+                 "status": r.status, "detail": r.detail,
+                 "module": r.module, "function": r.function}
+                for r in self.results
+            ],
+        }
+
+    def to_json(
+        self,
+        suite_id: str,
+        run_id: str,
+        partition_id: Optional[str] = None,
+    ) -> str:
+        import json
+
+        return json.dumps(self.to_dict(suite_id, run_id, partition_id),
+                          indent=2)
+
     # -- Spark mapping ----------------------------------------------------
 
     def to_df(

@@ -133,3 +133,24 @@ def test_shipped_suite_files_are_fresh():
     for name in sorted(on_disk):
         with open(os.path.join(here, f"{name}.json")) as f:
             assert f.read() == suite_to_json(get_suite(name)) + "\n", name
+
+
+def test_cli_report_json(spark, sf_dir, tmp_path):
+    """--report-json writes the machine-readable report beside the
+    console print: whole-table runs get one document whose exit_code
+    matches the process exit; partitioned runs get a per-partition
+    breakdown."""
+    import json
+
+    from mlcast_sourcedata_validator_spark import cli
+
+    out = tmp_path / "report.json"
+    rc = cli.main(["--suite", "documents_v1",
+                   "--table", f"{sf_dir}/documents.parquet",
+                   "--report-json", str(out)])
+    doc = json.loads(out.read_text())
+    assert doc["exit_code"] == rc == 1  # no license sidecar
+    assert doc["suite_id"] == "documents_v1"
+    statuses = {r["status"] for r in doc["results"]}
+    assert "FAIL" in statuses and len(doc["results"]) >= 5
+    assert doc["summary"]["fails"] >= 1
