@@ -976,7 +976,13 @@ def vacuum_rollup(
     Safe by construction: reads select only lineage-ACTIVE partitions,
     so deleting COMPACTED/orphan dirs cannot change any result, and
     ``fs.rmtree`` is idempotent so a crashed vacuum simply leaves work
-    for the next one. Like compaction, vacuum must run from the single
+    for the next one. One operational caveat at scale: a reader that
+    PLANNED its scan before the compaction committed may still hold file
+    references into dirs vacuum deletes (the standard
+    compaction-vs-in-flight-reader race every table format schedules
+    around) — run vacuum after in-flight readers of the pre-compaction
+    state have drained, e.g. as the last step of the same maintenance
+    job that compacted. Like compaction, vacuum must run from the single
     maintenance coordinator the marker protocol already requires —
     ``delete_orphan_bases=False`` for the paranoid case of a base
     being written concurrently. Ordinary (non-base) partitions WITHOUT
