@@ -161,6 +161,28 @@ def prefix_containment_pairs(
     )
 
 
+def dedup_prefix_conversations(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    text_col: str,
+    prefix_depth: int = 64,
+) -> DataFrame:
+    """The action form of :func:`prefix_containment_pairs`: drop every
+    conversation that is a strict prefix of another (the longer re-log
+    supersedes it) and return the surviving turns. Chains collapse
+    transitively in one pass — in a ⊂ b ⊂ c, both a and b pair as
+    SHORT sides (a also prefixes c directly), so one anti-join removes
+    them. Exact whole-unit duplicates are NOT removed here (run
+    :func:`dedup_conversations` first/too — composable by design)."""
+    shorts = (
+        prefix_containment_pairs(df, conv_col, order_cols, text_col,
+                                 prefix_depth)
+        .select(F.col("short_conv").alias(conv_col)).distinct()
+    )
+    return df.join(shorts, conv_col, "left_anti")
+
+
 def compile_conv_duplicates(spec, suite):
     """Declarative whole-conversation duplicate check. params:
     ``text_col`` (default 'text'), ``max_dup_frac`` (default 0.0 — any

@@ -136,3 +136,19 @@ def test_conv_duplicates_check_verdicts(spark):
     res5 = run_suite(RunContext(spark=spark, df=empty, suite=suite({}),
                                 run_id="g"))
     assert [r.status for r in res5.report.results] == ["PASS"]
+
+
+def test_dedup_prefix_conversations_collapses_chains(spark):
+    """a ⊂ b ⊂ c collapses to c alone in ONE pass; non-contained and
+    exact-duplicate conversations are untouched (exact dup is
+    dedup_conversations' job — composable, not overlapping)."""
+    rows = (_conv("a", ["x"]) + _conv("b", ["x", "y"])
+            + _conv("c", ["x", "y", "z"])
+            + _conv("d", ["q", "r"]) + _conv("d2", ["q", "r"]))
+    out = C.dedup_prefix_conversations(_df(spark, rows), "conv_id",
+                                       ["turn_idx"], "text")
+    got = sorted({r.conv_id for r in out.collect()})
+    assert got == ["c", "d", "d2"]
+    # composed with whole-unit dedup: exactly one canonical copy remains
+    both = C.dedup_conversations(out, "conv_id", ["turn_idx"], "text")
+    assert sorted({r.conv_id for r in both.collect()}) == ["c", "d"]
