@@ -1,0 +1,137 @@
+"""Profiling + constraint suggestion: the suggested suite must pass on
+the data that generated it, tighten where the data is clean, and
+round-trip through the suite JSON form."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlcast_sourcedata_validator_spark.compiler import run_suite
+from mlcast_sourcedata_validator_spark.profiler import (
+    ColumnProfile,
+    profile_table,
+    profile_to_df,
+    suggest_suite,
+)
+from mlcast_sourcedata_validator_spark.report import FAIL
+from mlcast_sourcedata_validator_spark.suite import (
+    RunContext,
+    suite_from_json,
+    suite_to_json,
+)
+from mlcast_sourcedata_validator_spark.synth import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return generate_transcripts(spark, n_convs=120, seed=7).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def profiles(tdf):
+    return profile_table(tdf)
+
+
+def test_profile_shape_and_stats(tdf, profiles):
+    by_name = {p.name: p for p in profiles}
+    n = tdf.count()
+    assert by_name["conv_id"].n_rows == n
+    assert by_name["conv_id"].n_nulls == 0
+    assert by_name["role"].domain == ["assistant", "system", "tool", "user"]
+    # tool is NULL except on tool turns — nullable domain
+    assert by_name["tool"].n_nulls > 0
+    assert set(by_name["tool"].domain) == {"search", "python", "browser", "sql"}
+    # conv_id repeats across turns: not a key, no exact distinct spent
+    assert by_name["conv_id"].exact_distinct is None
+    assert not by_name["conv_id"].is_unique
+    # turn_idx bounds are real ints in canonical string form
+    assert by_name["turn_idx"].min_value == "0"
+    assert int(by_name["turn_idx"].max_value) > 0
+
+
+def test_profile_detects_unique_key(spark):
+    df = spark.range(500).select(
+        F.concat(F.lit("id_"), F.col("id")).alias("row_id"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+    profs = {p.name: p for p in profile_table(df)}
+    assert profs["row_id"].is_unique
+    assert profs["row_id"].exact_distinct == 500
+    assert not profs["bucket"].is_unique
+
+
+def test_suggested_suite_passes_on_its_own_data(spark, tdf, profiles):
+    suite = suggest_suite(tdf, "suggested_transcripts", profiles=profiles)
+    res = run_suite(RunContext(spark, tdf, suite, run_id="t1", exact=True))
+    fails = [r for r in res.report.results if r.status == FAIL]
+    assert fails == []
+    kinds = {c.kind for c in suite.checks}
+    assert {"required_columns", "min_rows", "null_rate", "domain",
+            "numeric_bounds", "temporal_coverage"} <= kinds
+    assert suite.ts_col == "ts"
+
+
+def test_suggested_suite_catches_regressions(spark, tdf, profiles):
+    suite = suggest_suite(tdf, "suggested_transcripts", profiles=profiles)
+    # a later "release": role renamed values + text gone mostly null
+    bad = (
+        tdf.withColumn(
+            "role",
+            F.when(F.col("role") == "user", F.lit("USER_TURN"))
+            .otherwise(F.col("role")))
+        .withColumn(
+            "text",
+            F.when(F.rand(seed=1) < 0.5, F.lit(None)).otherwise(F.col("text")))
+    )
+    res = run_suite(RunContext(spark, bad, suite, run_id="t2", exact=True))
+    failed_sections = {r.section for r in res.report.results
+                       if r.status == FAIL}
+    assert "5 domains" in failed_sections
+    assert "3 nulls" in failed_sections
+
+
+def test_never_null_budget_stays_zero(spark, tdf, profiles):
+    suite = suggest_suite(tdf, "s", profiles=profiles)
+    budgets = suite.spec("null_rates").params["columns"]
+    assert budgets["conv_id"] == 0.0
+    assert budgets["ts"] == 0.0
+    assert budgets["tool"] > 0.0  # observed nulls -> 2x budget
+    one_null = tdf.withColumn(
+        "conv_id",
+        F.when(F.col("turn_idx") == 0, F.col("conv_id")))
+    res = run_suite(RunContext(spark, one_null, suite, run_id="t3",
+                               exact=True))
+    assert any(r.status == FAIL and r.section == "3 nulls"
+               for r in res.report.results)
+
+
+def test_suite_round_trips_through_json(tdf, profiles):
+    suite = suggest_suite(tdf, "suggested_transcripts", profiles=profiles)
+    back = suite_from_json(suite_to_json(suite))
+    assert [ (c.check_id, c.kind, c.params) for c in back.checks ] == \
+           [ (c.check_id, c.kind, c.params) for c in suite.checks ]
+    assert back.ts_col == "ts"
+
+
+def test_profile_to_df_and_empty_input(spark, profiles):
+    pdf = profile_to_df(spark, profiles)
+    assert pdf.count() == len(profiles)
+    assert "null_rate" in pdf.columns
+    with pytest.raises(ValueError, match="no profilable"):
+        suggest_suite(spark.createDataFrame(
+            [([1, 2],)], "emb array<int>"))
+
+
+def test_profile_skips_unprofilable_columns(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0], b"x")], "s string, emb array<double>, blob binary")
+    names = [p.name for p in profile_table(df)]
+    assert names == ["s"]
+
+
+def test_widened_bounds_degenerate_range(spark):
+    df = spark.createDataFrame([(5,), (5,)], "v int")
+    suite = suggest_suite(df, "s")
+    b = suite.spec("bounds_v").params
+    assert b["lo"] < 5 < b["hi"]
