@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "its properties (run at creation / after an "
                         "intentional migration) and exit; later runs' "
                         "schema_drift check compares against it")
+    p.add_argument("--suggest-suite", default=None, metavar="PATH",
+                   help="profile --table (<=2 fused scans regardless of "
+                        "column count) and write the slack-widened "
+                        "declarative CheckSuite the data satisfies as JSON "
+                        "to PATH, then exit — the onboarding path: suggest "
+                        "-> review the diff -> commit to suites/")
     p.add_argument("--conv-rollup", default=None, metavar="PATH",
                    help="maintain the incremental per-conversation rollup "
                         "store at PATH alongside a --results run (each new "
@@ -94,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "METRIC deviates > 5 MADs from the cross-"
                         "partition median (repeatable; e.g. "
                         "--audit-metric __n_rows)")
+    p.add_argument("--audit-history", action="append", default=None,
+                   metavar="METRIC[:STRATEGY]",
+                   help="after a --results run, audit METRIC's per-"
+                        "partition RUN HISTORY in the store and flag "
+                        "points that drift from their own past (strategy "
+                        "trailing_zscore | ewma | relative_change, "
+                        "default trailing_zscore; repeatable). Catches "
+                        "the creep --audit-metric's single-run cross-"
+                        "partition MAD audit cannot see")
     p.add_argument("--compact-rollup", action="store_true",
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
@@ -171,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
         ignored = [flag for flag, val in (
             ("--trend-baseline", args.trend_baseline),
             ("--audit-metric", args.audit_metric),
+            ("--audit-history", args.audit_history),
             ("--conv-rollup", args.conv_rollup),
             ("--content-index", args.content_index),
             ("--compact-rollup", args.compact_rollup),
@@ -197,6 +213,31 @@ def main(argv: list[str] | None = None) -> int:
             storage_options["anon"] = True
 
     spark = get_spark(cores=args.cores)
+
+    # onboarding action: profile the table, emit the suite it satisfies,
+    # exit. Takes precedence over every run mode (like --record-schema, it
+    # is something you do INSTEAD of validating).
+    if args.suggest_suite:
+        if not args.table:
+            print("error: --suggest-suite requires --table", file=sys.stderr)
+            return 2
+        from .profiler import suggest_suite
+        from .sources import fs as _fs
+        from .sources.tables import read_table
+        from .suite import suite_to_json
+
+        schema = None
+        if args.schema:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(args.schema)
+        df = read_table(spark, args.table, fmt=args.format, schema=schema)
+        sug = suggest_suite(df, suite_id=f"suggested_{suite.suite_id}")
+        _fs.write_text(args.suggest_suite, suite_to_json(sug))
+        print(f"suggested suite ({len(sug.checks)} checks) written "
+              f"to {args.suggest_suite}")
+        return 0
+
     registry = spark.read.parquet(args.registry) if args.registry else None
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
 
@@ -331,6 +372,35 @@ def main(argv: list[str] | None = None) -> int:
                           f"partition(s): {detail}")
                 else:
                     print(f"metric audit [{metric}]: no outliers")
+        if args.audit_history:
+            from .checkpoint import read_lineage, read_metrics
+            from .functions.anomaly import metric_history_anomaly
+
+            m = read_metrics(spark, args.results)
+            lin = read_lineage(spark, args.results)
+            for spec in args.audit_history:
+                metric, _, strat = spec.partition(":")
+                strat = strat or "trailing_zscore"
+                try:
+                    flagged = metric_history_anomaly(
+                        m, lin, metric, strategy=strat).collect()
+                except ValueError as e:
+                    print(f"error: --audit-history {spec!r}: {e}",
+                          file=sys.stderr)
+                    return 2
+                score_col = {"trailing_zscore": "zscore", "ewma": "ew_zscore",
+                             "relative_change": "ratio"}[strat]
+                if flagged:
+                    detail = ", ".join(
+                        f"{r['partition_id']}={r['value']:g} "
+                        f"({score_col} "
+                        f"{r[score_col]:g})" if r[score_col] is not None else
+                        f"{r['partition_id']}={r['value']:g}"
+                        for r in flagged)
+                    print(f"history audit [{metric}/{strat}]: "
+                          f"{len(flagged)} anomalous point(s): {detail}")
+                else:
+                    print(f"history audit [{metric}/{strat}]: no anomalies")
         if args.trend_baseline:
             from .checkpoint import (
                 read_lineage,

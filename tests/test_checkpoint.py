@@ -350,6 +350,42 @@ def test_cli_audit_metric_flag(spark, table, registry, tmp_path, capsys):
     assert "metric audit [__n_rows]:" in out
 
 
+def test_cli_audit_history_flag(spark, table, registry, tmp_path, capsys):
+    """--audit-history audits a metric's per-partition run history in the
+    store (3 runs of the same data -> a report line, no anomalies); a bad
+    strategy exits 2; outside the checkpointed mode the flag warns."""
+    from mlcast_sourcedata_validator_spark.cli import main
+
+    reg = str(tmp_path / "hreg")
+    spark.read.parquet(table).select("conv_id").distinct().write.parquet(reg)
+    store = str(tmp_path / "hstore")
+    for i in range(3):
+        rc = main(["--suite", "transcripts_v1", "--table", table,
+                   "--results", store, "--registry", reg, "--cores", "8"]
+                  + (["--no-resume"] if i else [])
+                  + (["--audit-history", "__n_rows",
+                      "--audit-history", "__n_rows:relative_change"]
+                     if i == 2 else []))
+        assert rc == 0
+    out = capsys.readouterr().out
+    assert "history audit [__n_rows/trailing_zscore]:" in out
+    # identical re-runs of identical data: the history is flat, so the
+    # relative-change audit must be clean
+    assert "history audit [__n_rows/relative_change]: no anomalies" in out
+
+    rc2 = main(["--suite", "transcripts_v1", "--table", table,
+                "--results", store, "--registry", reg, "--cores", "8",
+                "--audit-history", "__n_rows:bogus"])
+    assert rc2 == 2
+    assert "--audit-history" in capsys.readouterr().err
+
+    rc3 = main(["--suite", "transcripts_v1", "--table", table,
+                "--registry", reg, "--whole-table",
+                "--audit-history", "__n_rows", "--cores", "8"])
+    err = capsys.readouterr().err
+    assert rc3 == 0 and "--audit-history" in err and "only take effect" in err
+
+
 def test_metrics_rows_flattening():
     """Scalar typing rules of the metrics store: bools as 0/1 doubles,
     NaN as NULL value, short strings in value_str, lists skipped."""

@@ -135,3 +135,28 @@ def test_widened_bounds_degenerate_range(spark):
     suite = suggest_suite(df, "s")
     b = suite.spec("bounds_v").params
     assert b["lo"] < 5 < b["hi"]
+
+
+def test_cli_suggest_suite_flag(spark, tdf, tmp_path, capsys):
+    """--suggest-suite profiles --table, writes loadable declarative JSON,
+    and exits; validating the table against the written file passes.
+    Without --table the flag is a usage error."""
+    from mlcast_sourcedata_validator_spark.cli import main
+    from mlcast_sourcedata_validator_spark.suite import load_suite_file
+
+    tbl = str(tmp_path / "tbl")
+    tdf.write.parquet(tbl)
+    out_json = str(tmp_path / "suggested.json")
+    rc = main(["--table", tbl, "--suggest-suite", out_json, "--cores", "8"])
+    assert rc == 0
+    assert "suggested suite" in capsys.readouterr().out
+    loaded = load_suite_file(out_json)
+    assert loaded.suite_id == "suggested_transcripts_v1"
+    assert loaded.ts_col == "ts"
+    rc2 = main(["--suite-file", out_json, "--table", tbl, "--whole-table",
+                "--cores", "8"])
+    assert rc2 == 0
+
+    rc3 = main(["--suggest-suite", out_json, "--cores", "8"])
+    assert rc3 == 2
+    assert "--suggest-suite requires --table" in capsys.readouterr().err
