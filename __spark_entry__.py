@@ -1777,6 +1777,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.extract_media_meta(d, "doc_id", "media")
     q["multimodal_meta_documents"] = multimodal_meta_documents
 
+    def funnel_conversion_events(spark, sf):
+        """Ordered view->click->purchase funnel: per-user greedy
+        earliest-completion fold over ONE sorted collect (a single
+        user-key shuffle; the textbook k-step funnel is k-1 self-joins).
+        functions/behavior.py `funnel_counts`."""
+        from mlcast_sourcedata_validator_spark.functions.behavior import (
+            funnel_counts)
+        ev = _t(spark, sf, "events")
+        return funnel_counts(ev, ["view", "click", "purchase"],
+                             order_col="event_id")
+    q["funnel_conversion_events"] = funnel_conversion_events
+
+    def cohort_retention_events(spark, sf):
+        """Weekly cohort retention matrix in a SINGLE user-key shuffle:
+        groupBy(user).agg(min, collect_set(week)) -> explode -> count.
+        functions/behavior.py `cohort_retention`."""
+        from mlcast_sourcedata_validator_spark.functions.behavior import (
+            cohort_retention)
+        return cohort_retention(_t(spark, sf, "events"))
+    q["cohort_retention_events"] = cohort_retention_events
+
+    def reconcile_orders_lineitem(spark, sf):
+        """Cross-table aggregate reconciliation (header vs detail): per
+        order, sum(extprice*(1-disc)*(1+tax)) over lineitem compared to
+        the declared o_totalprice. One key shuffle with map-side
+        partials; the join is between aggregate-sized relations.
+        functions/behavior.py `reconcile_aggregates` (the engine behind
+        the declarative `reconciliation` check kind)."""
+        from mlcast_sourcedata_validator_spark.functions.behavior import (
+            reconcile_aggregates)
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+        bad = reconcile_aggregates(
+            li, orders, "l_orderkey",
+            [{"agg_sql":
+              "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)",
+              "expect": "o_totalprice", "atol": 0.01}])
+        return bad.select(
+            "l_orderkey",
+            F.col("actual_str").cast("double").alias("lineitem_total"),
+            F.col("expected_str").cast("double").alias("o_totalprice"))
+    q["reconcile_orders_lineitem"] = reconcile_orders_lineitem
+
     return q
 
 
@@ -2928,6 +2972,70 @@ def _all_oracles() -> dict[str, str]:
     # construction (tests/test_pq.py).
     o["pq_topk_embeddings"] = ann_brute_top10
     o["ivfpq_topk_embeddings"] = ann_brute_top10
+
+    # greedy earliest-completion chaining with strict (ts, event_id)
+    # ordering — exactly the fold semantics of behavior.funnel_steps
+    # (greedy is optimal for step-reachability, so the chained-min SQL
+    # is an exact oracle)
+    o["funnel_conversion_events"] = """
+        WITH s1 AS (
+          SELECT user_id, ts AS ts1, event_id AS id1 FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view')
+          WHERE rn = 1),
+        s2 AS (
+          SELECT user_id, ts AS ts2, event_id AS id2 FROM (
+            SELECT e.user_id, e.ts, e.event_id,
+                   row_number() OVER (PARTITION BY e.user_id
+                     ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND (e.ts > s1.ts1
+                   OR (e.ts = s1.ts1 AND e.event_id > s1.id1)))
+          WHERE rn = 1),
+        s3 AS (
+          SELECT user_id FROM (
+            SELECT e.user_id,
+                   row_number() OVER (PARTITION BY e.user_id
+                     ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND (e.ts > s2.ts2
+                   OR (e.ts = s2.ts2 AND e.event_id > s2.id2)))
+          WHERE rn = 1)
+        SELECT 1::INTEGER AS step_idx, 'view' AS step_name,
+               (SELECT count(*) FROM s1)::BIGINT AS n_users
+        UNION ALL
+        SELECT 2::INTEGER, 'click', (SELECT count(*) FROM s2)::BIGINT
+        UNION ALL
+        SELECT 3::INTEGER, 'purchase', (SELECT count(*) FROM s3)::BIGINT"""
+
+    o["cohort_retention_events"] = """
+        WITH per AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS p
+          FROM events),
+        firsts AS (
+          SELECT user_id, min(p) AS cohort FROM per GROUP BY user_id)
+        SELECT cohort, ((p - cohort) / 7)::INTEGER AS "offset",
+               count(*)::BIGINT AS n_users
+        FROM per JOIN firsts USING (user_id)
+        GROUP BY cohort, "offset" """
+
+    o["reconcile_orders_lineitem"] = """
+        WITH agg AS (
+          SELECT l_orderkey,
+                 round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)
+                   AS actual
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT coalesce(a.l_orderkey, o.o_orderkey) AS l_orderkey,
+               a.actual AS lineitem_total, o.o_totalprice AS o_totalprice
+        FROM agg a FULL OUTER JOIN orders o ON a.l_orderkey = o.o_orderkey
+        WHERE a.l_orderkey IS NULL OR o.o_orderkey IS NULL
+           OR (NOT (a.actual IS NULL AND o.o_totalprice IS NULL)
+               AND (a.actual IS NULL OR o.o_totalprice IS NULL
+                    OR abs(a.actual - o.o_totalprice) > 0.01))"""
     return o
 
 
@@ -2973,7 +3081,10 @@ _DRIVER_ORDER = [
     "streaming_hourly_counts_events", "streaming_dedup_events",
     # relational breadth (TPC-H shapes, windows, set ops, pivot, UDF/UDTF)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "running_revenue_customers", "window_funcs_events",
+    # behavioral analytics: ordered-funnel fold (one user-key shuffle;
+    # running_revenue_customers rotated to extras as the cumulative-
+    # window twin of in-window window_funcs_events)
+    "funnel_conversion_events", "window_funcs_events",
     "semi_join_big_spenders",
     "setop_users_without_high_value", "rollup_region_nation",
     "pivot_user_event_counts",
@@ -2982,6 +3093,15 @@ _DRIVER_ORDER = [
 ]
 
 _EXTRA_ORDER = [
+    # cumulative-window twin of in-window window_funcs_events (rotated
+    # out for funnel_conversion_events in round 4)
+    "running_revenue_customers",
+    # behavioral analytics companions of in-window funnel_conversion:
+    # single-shuffle weekly cohort retention matrix, and header-vs-
+    # detail cross-table reconciliation (the engine behind the
+    # declarative `reconciliation` check kind)
+    "cohort_retention_events",
+    "reconcile_orders_lineitem",
     # strict sub-computations of in-window queries
     "minhash_signatures_documents",   # ⊂ minhash_lsh_pairs_documents
     "hist_value_events",              # ⊂ drift_psi_events / daily_drift

@@ -102,6 +102,8 @@ _COMPILERS = {
     "role_transitions": ordering.compile_role_transitions,
     "fd_constant": ordering.compile_fd_constant,
     "refint": refint.compile_refint,
+    # cross-table aggregate reconciliation (own bounded key-agg job)
+    "reconciliation": refint.compile_reconciliation,
     # drift
     "drift": drift.compile_drift,
     "categorical_drift": drift.compile_categorical_drift,

@@ -48,3 +48,79 @@ def compile_refint(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
         return stamp(report, _MOD, "compile_refint")
 
     return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
+
+
+def compile_reconciliation(spec: CheckSpec, suite: CheckSuite):
+    """Cross-table aggregate reconciliation against the registry:
+    per-key aggregates of the validated table must equal declared
+    registry columns within tolerance (e.g. ``min(ts)`` per conversation
+    equals the registry's ``started_at``).
+
+    params:
+      - ``key``: join key (default: the suite's conv col)
+      - ``rules``: list of ``{"agg_sql", "expect", "atol", "rtol"}``
+        (see :func:`..functions.behavior.reconcile_aggregates`)
+      - ``max_examples``: mismatched keys quoted in the detail (default 3)
+      - ``severity``: FAIL (default) or WARNING
+
+    Runs as a DriverCheck with its own bounded job (one key shuffle with
+    map-side partials + a join of two aggregate-sized relations), like
+    ``conv_duplicates``/``hot_keys`` — per-key cross-table state cannot
+    ride the fused row-level Observation. Catches header-vs-detail drift
+    (partial reloads, double-applied deltas) that within-table checks
+    and row-membership refint are both blind to.
+
+    Reference analog: the reference's referential check
+    (georeferencing.py:41-65) is existence-only; it has no cross-table
+    value reconciliation.
+    """
+    from ..functions.behavior import reconcile_aggregates
+    from ..report import WARNING
+    from ..suite import DriverCheck
+
+    key = spec.params.get("key", suite.conv_col)
+    rules = spec.params.get("rules")
+    if not rules:
+        raise ValueError(f"{spec.check_id}: reconciliation needs 'rules'")
+    for i, r in enumerate(rules):
+        missing = {"agg_sql", "expect"} - set(r)
+        if missing:
+            raise ValueError(
+                f"{spec.check_id}: rules[{i}] missing {sorted(missing)}")
+    max_examples = int(spec.params.get("max_examples", 3))
+    severity = spec.params.get("severity", FAIL)
+    if severity not in (WARNING, FAIL):
+        raise ValueError(f"reconciliation severity must be WARNING or "
+                         f"FAIL, got {severity!r}")
+
+    def fn(ctx) -> ValidationReport:
+        report = ValidationReport()
+        if ctx.registry_df is None:
+            raise ValueError(
+                f"{spec.check_id}: reconciliation check needs registry_df")
+        bad = reconcile_aggregates(ctx.df, ctx.registry_df, key, rules)
+        # one aggregate job: total mismatches + bounded exemplars
+        top = (
+            bad.groupBy("rule_idx", "expect_col")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.slice(F.sort_array(F.collect_set(key)), 1, max_examples)
+                 .alias("examples"))
+            .orderBy("rule_idx")
+            .collect()
+        )
+        if top:
+            parts = [
+                f"rule {t['rule_idx']} ({rules[t['rule_idx']]['agg_sql']} vs "
+                f"{t['expect_col']}): {t['n']} mismatched key(s), e.g. "
+                f"{', '.join(str(x) for x in t['examples'])}"
+                for t in top
+            ]
+            report.add(spec.section, spec.requirement, severity,
+                       "registry reconciliation failed — " + "; ".join(parts))
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       f"{len(rules)} aggregate rule(s) reconcile with the "
+                       f"registry on every {key}")
+        return stamp(report, _MOD, "compile_reconciliation")
+
+    return [DriverCheck(spec.check_id, fn)]
