@@ -1762,6 +1762,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_dedup_events"] = streaming_dedup_events
 
+    def streaming_sessions_events(spark, sf):
+        """Native session-window aggregation in Structured Streaming:
+        F.session_window(ts, gap) merges overlapping per-event windows
+        in the state store — the streaming twin of the in-window batch
+        sessionize_events (which builds sessions with a lag-diff window
+        pass). Boundary semantics are [start, end): an event at exactly
+        prev_ts + gap starts a NEW session, so the oracle's gap test is
+        >=, not > (the batch sessionize uses > — a deliberate, pinned
+        difference between the two definitions).
+
+        Session state is per (user, open session) and is evicted once
+        the watermark passes a session's end — bounded by concurrently
+        open sessions, not history (the 100-TB shape)."""
+        _stream_seq[0] += 1
+        qname = f"stream_sessions_{_stream_seq[0]}"
+        sch = _t(spark, sf, "events").schema
+        s = (
+            spark.readStream.schema(sch)
+            .parquet(os.path.join(sf, "events*.parquet"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        _start_stream(spark, agg, qname)
+        return spark.sql(
+            f"SELECT user_id, w.start AS session_start, "
+            f"w.end AS session_end, n_events FROM {qname}"
+        )
+    q["streaming_sessions_events"] = streaming_sessions_events
+
     # --- multimodal plumbing (pandas UDF over binary payloads) --------------
     def frame_sample_documents(spark, sf):
         """Row-expanding frame extraction over the fake media payload —
@@ -3036,6 +3070,30 @@ def _all_oracles() -> dict[str, str]:
            OR (NOT (a.actual IS NULL AND o.o_totalprice IS NULL)
                AND (a.actual IS NULL OR o.o_totalprice IS NULL
                     OR abs(a.actual - o.o_totalprice) > 0.01))"""
+
+    # gap-and-islands twin of Spark's session_window merge: [start, end)
+    # windows mean an event at exactly prev_ts + gap opens a NEW session,
+    # hence >= (the batch sessionize_events oracle uses >); session end
+    # is last event + gap, matching window.end
+    o["streaming_sessions_events"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM sess GROUP BY user_id, sid"""
     return o
 
 
@@ -3102,6 +3160,10 @@ _EXTRA_ORDER = [
     # declarative `reconciliation` check kind)
     "cohort_retention_events",
     "reconcile_orders_lineitem",
+    # streaming twin of in-window batch sessionize_events: native
+    # F.session_window state-store merge (boundary semantics differ by
+    # design — [start,end) makes the gap test >=, see the oracle note)
+    "streaming_sessions_events",
     # strict sub-computations of in-window queries
     "minhash_signatures_documents",   # ⊂ minhash_lsh_pairs_documents
     "hist_value_events",              # ⊂ drift_psi_events / daily_drift
