@@ -1413,6 +1413,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "weight_q", "dsir_key")
     q["dsir_resample_documents"] = dsir_resample_documents
 
+    def weighted_sample_documents(spark, sf):
+        """Efraimidis–Spirakis weighted sampling without replacement
+        (exponential race: k earliest -ln(u(id))/weight arrivals),
+        inclusion probability proportional to n_chars — deterministic
+        id-derived noise, TakeOrderedAndProject (no global sort).
+        functions/sampling.py `weighted_take`."""
+        from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+        d = _t(spark, sf, "documents")
+        return sp.weighted_take(d, "doc_id", "n_chars", k=200, seed=7) \
+                 .select("doc_id", "n_chars", "race_key")
+    q["weighted_sample_documents"] = weighted_sample_documents
+
     def duplicate_spans_documents(spark, sf):
         """Exact duplicate-substring spans (arXiv:2107.06499): per-doc
         count of length-60 char windows whose content repeats anywhere in
@@ -2720,7 +2733,13 @@ def _all_oracles() -> dict[str, str]:
 
     from mlcast_sourcedata_validator_spark.functions.sampling import (
         hash_uniform_sql,
+        weighted_take_sql,
     )
+
+    o["weighted_sample_documents"] = (
+        "SELECT doc_id, n_chars, race_key FROM ("
+        + weighted_take_sql("documents", "doc_id", "n_chars", 200, seed=7)
+        + ")")
 
     u_doc = hash_uniform_sql("doc_id", seed=7)
     o["sample_mixture_documents"] = f"""
@@ -3164,6 +3183,10 @@ _EXTRA_ORDER = [
     # F.session_window state-store merge (boundary semantics differ by
     # design — [start,end) makes the gap test >=, see the oracle note)
     "streaming_sessions_events",
+    # Efraimidis–Spirakis weighted sampling without replacement
+    # (exponential-race companion of in-window sample_mixture_documents
+    # and extras dsir_resample's Gumbel-top-k)
+    "weighted_sample_documents",
     # strict sub-computations of in-window queries
     "minhash_signatures_documents",   # ⊂ minhash_lsh_pairs_documents
     "hist_value_events",              # ⊂ drift_psi_events / daily_drift

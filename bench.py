@@ -78,6 +78,8 @@ HEADLINE = [
     # round-4 additions (additive, same rationale)
     "dsir_weights_documents",
     "skew_profile_events",
+    "funnel_conversion_events",
+    "streaming_sessions_events",
 ]
 
 

@@ -67,6 +67,54 @@ def deterministic_take(
     return df.orderBy(u.asc(), F.col(id_col).asc()).limit(k)
 
 
+def weighted_take(
+    df: DataFrame, id_col: str, weight_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement, inclusion
+    probability proportional to ``weight_col`` — Efraimidis–Spirakis in
+    its exponential-race form: arrival time ``-ln(u(id)) / w`` is
+    Exp(w)-distributed, and the k earliest arrivals are exactly a
+    weight-proportional sample without replacement. The noise is the
+    deterministic id-derived uniform, so selection is retry-,
+    partitioning- and engine-stable (same recipe as
+    :func:`dsir_resample`'s Gumbel-top-k: u in (0, 1] keeps ln finite,
+    keys round to 9dp before ordering so the selected SET matches in any
+    engine reproducing the arithmetic, ties break on the id).
+
+    Rows with NULL or non-positive weight never race (weight 0 must
+    have inclusion probability 0; Exp(w<=0) is undefined) — they are
+    filtered, documented behavior. Spark executes orderBy+limit as
+    TakeOrderedAndProject (per-partition size-k heaps + driver merge),
+    so at 10^12 rows this is one scan, no global sort, no shuffle.
+    Output: input columns + ``race_key``, the k winners.
+    """
+    j = (seed + 1) % len(MINHASH_COEFFS)
+    code = encw(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12))
+    u = (uhash(code, j) + F.lit(1)).cast("double") / F.lit(float(P + 1))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("race_key", key)
+        .orderBy(F.col("race_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_take_sql(
+    table: str, id_expr: str, weight_expr: str, k: int, seed: int = 0
+) -> str:
+    """DuckDB mirror of :func:`weighted_take` built from the same hash
+    fragments (single source of truth for the arithmetic)."""
+    j = (seed + 1) % len(MINHASH_COEFFS)
+    code = encw_sql(f"substr(md5(({id_expr})::VARCHAR), 1, 12)")
+    u = f"(({uhash_sql(code, j)} + 1)::DOUBLE / {float(P + 1)!r})"
+    return f"""
+        SELECT *, round(-ln({u}) / ({weight_expr})::DOUBLE, 9) AS race_key
+        FROM {table}
+        WHERE ({weight_expr}) IS NOT NULL AND ({weight_expr}) > 0
+        ORDER BY race_key ASC, {id_expr} ASC LIMIT {k}"""
+
+
 def sample_by_mixture(
     df: DataFrame,
     id_col: str,

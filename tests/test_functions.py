@@ -1201,6 +1201,42 @@ def test_deterministic_take_monotone_and_stable(spark):
     assert t10 != t10c
 
 
+def test_weighted_take_proportional_and_stable(spark):
+    """Efraimidis–Spirakis exponential race: weight-proportional
+    inclusion, exactly k rows, partitioning-independent, engine-mirror
+    equality, and NULL/non-positive weights never race."""
+    import duckdb
+
+    from mlcast_sourcedata_validator_spark.functions import sampling as sp
+
+    # 300 light rows (w=1) + 100 heavy rows (w=20): heavies should
+    # dominate a k=100 sample (E[#heavy] ~ 87; a fair coin would give 25)
+    rows = [(i, 1.0) for i in range(300)] + \
+           [(i, 20.0) for i in range(300, 400)] + \
+           [(400, None), (401, 0.0), (402, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sp.weighted_take(df, "doc_id", "w", 100).collect()
+    assert len(got) == 100
+    ids = {r.doc_id for r in got}
+    assert not ids & {400, 401, 402}
+    n_heavy = sum(1 for i in ids if 300 <= i < 400)
+    assert n_heavy > 60, n_heavy
+    # partitioning-independent
+    ids_b = {r.doc_id for r in
+             sp.weighted_take(df.repartition(7), "doc_id", "w", 100)
+             .collect()}
+    assert ids == ids_b
+    # engine mirror: DuckDB runs the same arithmetic on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, w) for i, w in rows])
+    sql = sp.weighted_take_sql("t", "doc_id", "w", 100)
+    oids = {r[0] for r in con.execute(sql).fetchall()}
+    assert ids == oids
+    con.close()
+
+
 def test_normalized_dedup_key(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "  hello\tworld "),
