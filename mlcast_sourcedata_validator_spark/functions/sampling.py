@@ -136,6 +136,75 @@ def sample_by_mixture(
     return df.where(hash_uniform(F.col(id_col), seed) < rate)
 
 
+def solve_mixture(
+    available: dict[str, float],
+    targets: dict[str, float],
+    budget: float | None = None,
+) -> tuple[dict[str, float], float]:
+    """Compute per-group downsampling rates that realize a target
+    mixture. ``available[g]`` is the group's total weight (rows or
+    tokens); ``targets[g]`` its desired share of the output (normalized
+    internally). Returns ``(rates, realized_budget)``.
+
+    With no ``budget``, the realized budget is the LARGEST output for
+    which the exact mixture is achievable by downsampling alone:
+    ``min_g available[g] / p_g`` — the scarcest group relative to its
+    target share binds the whole mix (you cannot downsample your way to
+    more of something). With an explicit ``budget`` larger than that,
+    rates cap at 1.0 and the realized mixture deviates — the binding
+    groups ship whole, the detail reports what was actually achievable
+    (use :func:`upsample_mixture` on the capped groups if repetition is
+    acceptable).
+
+    Driver-side arithmetic over one row PER GROUP (the caller feeds it
+    a groupBy aggregate — aggregate-sized at any corpus volume); apply
+    the rates with :func:`sample_by_mixture`, which is a map-side CASE
+    filter. Rates are exact in expectation; realized counts fluctuate
+    by the binomial — at training-corpus group sizes the relative error
+    is O(1/sqrt(n_g)).
+    """
+    if not targets:
+        raise ValueError("solve_mixture needs at least one target share")
+    missing = {g for g in targets if g not in available}
+    if missing:
+        raise ValueError(f"target groups absent from input: "
+                         f"{sorted(missing)}")
+    bad = {g: p for g, p in targets.items() if p <= 0}
+    if bad:
+        raise ValueError(f"target shares must be positive: {bad}")
+    tot = float(sum(targets.values()))
+    p = {g: t / tot for g, t in targets.items()}
+    max_budget = min(available[g] / p[g] for g in p)
+    realized = max_budget if budget is None else float(budget)
+    rates = {g: min(1.0, realized * p[g] / available[g]) for g in p}
+    return rates, realized
+
+
+def mixture_plan(
+    df: DataFrame,
+    key_col: str,
+    targets: dict[str, float],
+    weight_col: str | None = None,
+    budget: float | None = None,
+) -> tuple[dict[str, float], float]:
+    """DataFrame front-end of :func:`solve_mixture`: one aggregate job
+    computes per-group availability (row counts, or ``sum(weight_col)``
+    for token budgets), then the driver solves the rates. Feed the
+    result to :func:`sample_by_mixture` (same ``key_col``)."""
+    w = F.count(F.lit(1)).cast("double") if weight_col is None \
+        else F.sum(F.col(weight_col).cast("double"))
+    rows = (df.where(F.col(key_col).isin(list(targets)))
+            .groupBy(key_col).agg(w.alias("_avail")).collect())
+    available = {r[key_col]: float(r["_avail"]) for r in rows}
+    for g in targets:
+        available.setdefault(g, 0.0)
+    empty = [g for g, a in available.items() if g in targets and a <= 0]
+    if empty:
+        raise ValueError(f"target groups have no weight in the input: "
+                         f"{sorted(empty)}")
+    return solve_mixture(available, targets, budget)
+
+
 def upsample_mixture(
     df: DataFrame,
     id_col: str,
