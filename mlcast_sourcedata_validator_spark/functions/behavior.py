@@ -102,8 +102,12 @@ def funnel_counts(
     reached it — ``(step_idx, step_name, n_users)``. Conversion between
     consecutive steps is ``n_users[j]/n_users[j-1]`` downstream."""
     per_user = funnel_steps(df, steps, user_col, type_col, ts_col, order_col)
+    # coalesce: a global sum over ZERO users is NULL; an empty funnel
+    # reached 0 users, not unknown
     reached = per_user.select(*[
-        F.sum(F.when(F.col("step_ts")[j].isNotNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("step_ts")[j].isNotNull(), 1).otherwise(0)),
+            F.lit(0))
         .alias(f"_s{j}")
         for j in range(len(steps))
     ])

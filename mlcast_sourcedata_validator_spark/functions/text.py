@@ -429,3 +429,54 @@ def count_tokens(
             yield out
 
     return df.mapInPandas(_count, schema=out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+    min_tail: int = 1,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window preparation step (size = model context in chars,
+    ``stride < size`` overlaps consecutive chunks so no boundary context
+    is lost). Output: ``(id_col, chunk_no, chunk_text)``; ``chunk_no``
+    is 0-based, chunk k covers ``[k*stride, k*stride + size)``.
+
+    A document yields ``ceil(max(len - size, 0) / stride) + 1`` chunks;
+    trailing chunks shorter than ``min_tail`` are dropped (a tail that
+    is pure overlap of the previous chunk adds no new text). NULL/empty
+    text yields no chunks.
+
+    Scale shape: pure map-side ``sequence`` + ``explode`` +
+    ``substring`` — zero shuffle, codegen'd, pipelines with the scan;
+    output row count is input chars / stride, the same fan-out any
+    engine must pay. Chunking on chars (not tokens) keeps the operator
+    exact and engine-portable; compose with :func:`count_tokens` when
+    chunk budgets must be tokenizer-faithful.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    stride = size if stride is None else stride
+    if not 1 <= stride <= size:
+        raise ValueError(f"stride must be in [1, size], got {stride}")
+    n = F.length(F.col(text_col))
+    # last chunk index: ceil(max(n - size, 0) / stride)
+    last = F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride))
+    chunks = F.when(
+        n > 0, F.sequence(F.lit(0), last.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    out = (
+        df.select(id_col, F.col(text_col).alias("_txt"),
+                  F.explode(chunks).alias("chunk_no"))
+        .select(
+            id_col, "chunk_no",
+            F.substring(F.col("_txt"),
+                        F.col("chunk_no") * stride + 1,
+                        size).alias("chunk_text"))
+    )
+    if min_tail > 1:
+        out = out.where(F.length("chunk_text") >= min_tail)
+    return out

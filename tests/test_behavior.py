@@ -73,6 +73,12 @@ def test_funnel_same_timestamp_tiebreak_and_single_fill(spark):
     with pytest.raises(ValueError, match="at least 2"):
         funnel_steps(one, ["view"])
 
+    # empty input: 0 users reached every step (not NULL)
+    empty = one.where("1=0")
+    rows = funnel_counts(empty, ["view", "click"],
+                         order_col="event_id").collect()
+    assert [r["n_users"] for r in rows] == [0, 0]
+
 
 def test_cohort_retention_matrix(spark):
     """Hand-checked weekly matrix; count(1) after the explode equals
