@@ -80,6 +80,8 @@ _COMPILERS = {
     "temporal_coverage": stats.compile_temporal_coverage,
     "cardinality": stats.compile_cardinality,
     "numeric_bounds": stats.compile_numeric_bounds,
+    # tail budget: percentile_approx sketch riding the same Observation
+    "quantile_bounds": stats.compile_quantile_bounds,
     "min_rows": stats.compile_min_rows,
     "unique_column": stats.compile_unique_column,
     "dup_rate": stats.compile_dup_rate,
@@ -123,8 +125,8 @@ _COMPILERS = {
 }
 
 _AGG_KINDS = {"null_rate", "temporal_coverage", "cardinality",
-              "numeric_bounds", "min_rows", "unique_column", "dup_rate",
-              "freshness"}
+              "numeric_bounds", "quantile_bounds", "min_rows",
+              "unique_column", "dup_rate", "freshness"}
 _MOD_NAME = __name__
 
 

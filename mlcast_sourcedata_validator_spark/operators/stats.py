@@ -210,6 +210,58 @@ def compile_numeric_bounds(spec: CheckSpec, suite: CheckSuite, exact: bool = Fal
     return AggCheck(cid, exprs, verdict)
 
 
+def compile_quantile_bounds(spec: CheckSpec, suite: CheckSuite, exact: bool = False) -> AggCheck:
+    """A quantile of a numeric/length expression within [lo, hi]; WARNING
+    band like ``numeric_bounds``. min/max bound the extremes; tails are
+    where drift shows first (a p95 turn length can triple while min/max
+    and mean barely move) — this is the tail-budget check.
+
+    params: column (or expr: str), q in (0, 1), lo, hi, warn_lo, warn_hi
+    (all bounds optional), accuracy (percentile_approx accuracy knob,
+    default 10000 — error <= 1/accuracy of the rank).
+
+    Scale: ``percentile_approx`` is a mergeable sketch aggregate
+    (map-side partials) and is legal inside CollectMetrics, so the check
+    RIDES the fused single-scan Observation — zero extra jobs, zero
+    extra passes, like null_rate/numeric_bounds. Exactness tests pin the
+    sketch against DuckDB's exact quantile in the driver-contract
+    percentiles query instead (quantile checks don't need exact ranks,
+    they need stable ones).
+    """
+    expr = F.expr(spec.params["expr"]) if "expr" in spec.params \
+        else F.col(spec.params["column"])
+    name = spec.params.get("expr", spec.params.get("column"))
+    q = float(spec.params["q"])
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"{spec.check_id}: q must be in (0, 1), got {q}")
+    accuracy = int(spec.params.get("accuracy", 10000))
+    lo, hi = spec.params.get("lo"), spec.params.get("hi")
+    warn_lo, warn_hi = spec.params.get("warn_lo"), spec.params.get("warn_hi")
+    cid = spec.check_id
+    exprs = {f"{cid}__q": F.percentile_approx(expr, q, accuracy)}
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        v = m[f"{cid}__q"]
+        detail = f"{name}: p{q * 100:g}={v}"
+        if v is None:
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{name}: no non-null values")
+        elif (lo is not None and v < lo) or (hi is not None and v > hi):
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} outside [{lo}, {hi}]")
+        elif (warn_lo is not None and v < warn_lo) or \
+                (warn_hi is not None and v > warn_hi):
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} outside advisory band "
+                       f"[{warn_lo}, {warn_hi}]")
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_quantile_bounds")
+
+    return AggCheck(cid, exprs, verdict)
+
+
 def compile_unique_column(spec: CheckSpec, suite: CheckSuite, exact: bool = False):
     """A single column must be a primary key: count == count_distinct.
 

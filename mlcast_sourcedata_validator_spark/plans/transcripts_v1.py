@@ -130,6 +130,12 @@ def suite() -> CheckSuite:
              "warn_hi": 1_000_000},
         ),
         CheckSpec(
+            "text_length_tail", "quantile_bounds", "4.4 payload stats",
+            "The p95 of text length SHOULD stay within the tail budget "
+            "(tails drift before min/max or mean move).",
+            {"expr": "length(text)", "q": 0.95, "warn_hi": 100_000},
+        ),
+        CheckSpec(
             "conv_cardinality", "cardinality", "4.5 cardinality",
             "The table MUST contain at least 2 distinct conversations "
             "(HyperLogLog estimate).",
