@@ -1809,6 +1809,85 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_sessions_events"] = streaming_sessions_events
 
+    def streaming_join_events(spark, sf):
+        """Stream-stream inner join: each purchase matched to the same
+        user's clicks in the preceding hour — the remaining Structured
+        Streaming join capability (tumbling agg, dedup, sessions are
+        covered by the other streaming queries). Both sides carry
+        event-time watermarks and the join condition bounds the time
+        range, so each side's buffered state is evicted once the other
+        side's watermark passes the range — state is bounded by the
+        1-hour horizon, not history (the 100-TB shape). Oracle = the
+        identical batch range join."""
+        _stream_seq[0] += 1
+        qname = f"stream_join_{_stream_seq[0]}"
+        sch = _t(spark, sf, "events").schema
+
+        def _side(kind, alias):
+            return (
+                spark.readStream.schema(sch)
+                .parquet(os.path.join(sf, "events*.parquet"))
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .where(F.col("event_type") == kind)
+                .selectExpr(f"user_id AS {alias}_user",
+                            f"event_id AS {alias}_id",
+                            f"ts AS {alias}_ts")
+                .withWatermark(f"{alias}_ts", "1 hour")
+            )
+
+        joined = _side("purchase", "p").join(
+            _side("click", "c"),
+            F.expr("p_user = c_user AND "
+                   "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+            "inner",
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            s_q = (joined.writeStream.outputMode("append").format("memory")
+                   .queryName(qname).trigger(availableNow=True).start())
+            s_q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.sql(
+            f"SELECT p_user AS user_id, p_id AS purchase_id, "
+            f"c_id AS click_id FROM {qname}")
+    q["streaming_join_events"] = streaming_join_events
+
+    def trailing_7d_spend_events(spark, sf):
+        """Event-time RANGE window frame: per purchase, the user's
+        purchase-value sum over the trailing 7 days — rangeBetween on
+        epoch seconds (a peer-inclusive value frame, the primitive ROWS
+        frames cannot express). One shuffle on user_id; decimal sum so
+        the frame's accumulation order can't move a rounded double."""
+        ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+        # micros, not seconds: unix_timestamp truncates sub-second parts
+        # and the frame boundary would then disagree with the oracle's
+        # full-resolution interval arithmetic
+        epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = (W.partitionBy("user_id").orderBy(epoch)
+             .rangeBetween(-7 * 86400 * 1_000_000, 0))
+        return ev.select(
+            "user_id", "event_id",
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")).over(w)
+                    .cast("double"), 4).alias("trailing_7d_spend"),
+            F.count(F.lit(1)).over(w).alias("trailing_7d_purchases"),
+        )
+    q["trailing_7d_spend_events"] = trailing_7d_spend_events
+
+    def chunked_documents(spark, sf):
+        """Context-window chunking: 500-char chunks, stride 400 (100-char
+        overlap) — pure map-side sequence+explode+substring, zero
+        shuffle. functions/text.py `chunk_documents`."""
+        from mlcast_sourcedata_validator_spark.functions.text import (
+            chunk_documents)
+        d = _t(spark, sf, "documents")
+        return chunk_documents(d, "doc_id", "text", size=500, stride=400) \
+            .select("doc_id", "chunk_no",
+                    F.md5("chunk_text").alias("chunk_md5"),
+                    F.length("chunk_text").alias("chunk_len"))
+    q["chunked_documents"] = chunked_documents
+
     # --- multimodal plumbing (pandas UDF over binary payloads) --------------
     def frame_sample_documents(spark, sf):
         """Row-expanding frame extraction over the fake media payload —
@@ -3090,6 +3169,41 @@ def _all_oracles() -> dict[str, str]:
                AND (a.actual IS NULL OR o.o_totalprice IS NULL
                     OR abs(a.actual - o.o_totalprice) > 0.01))"""
 
+    # stream-stream join == identical batch range join: the watermark
+    # only bounds STATE, it never drops rows in a single availableNow
+    # drain of an in-order file source
+    o["streaming_join_events"] = """
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+               c.event_id AS click_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts"""
+
+    o["trailing_7d_spend_events"] = """
+        SELECT user_id, event_id,
+               round((sum(value::DECIMAL(24,6)) OVER w)::DOUBLE, 4)
+                 AS trailing_7d_spend,
+               (count(*) OVER w)::BIGINT AS trailing_7d_purchases
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND CURRENT ROW)"""
+
+    o["chunked_documents"] = """
+        WITH expanded AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, ceil(greatest(length(text) - 500, 0) / 400.0)::BIGINT))
+                   AS chunk_no
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        SELECT doc_id, chunk_no::INTEGER AS chunk_no,
+               md5(substr(text, chunk_no::INTEGER * 400 + 1, 500))
+                 AS chunk_md5,
+               length(substr(text, chunk_no::INTEGER * 400 + 1, 500))
+                 ::INTEGER AS chunk_len
+        FROM expanded"""
+
     # gap-and-islands twin of Spark's session_window merge: [start, end)
     # windows mean an event at exactly prev_ts + gap opens a NEW session,
     # hence >= (the batch sessionize_events oracle uses >); session end
@@ -3187,6 +3301,15 @@ _EXTRA_ORDER = [
     # (exponential-race companion of in-window sample_mixture_documents
     # and extras dsir_resample's Gumbel-top-k)
     "weighted_sample_documents",
+    # stream-stream inner join with two-sided watermarks + time-range
+    # state eviction (the remaining Structured Streaming join shape)
+    "streaming_join_events",
+    # event-time RANGE frame (peer-inclusive value window; the frame
+    # primitive in-window window_funcs_events' ROWS frames can't express)
+    "trailing_7d_spend_events",
+    # context-window chunking (map-side sequence+explode+substring
+    # companion of in-window pack_sequences_documents)
+    "chunked_documents",
     # strict sub-computations of in-window queries
     "minhash_signatures_documents",   # ⊂ minhash_lsh_pairs_documents
     "hist_value_events",              # ⊂ drift_psi_events / daily_drift
