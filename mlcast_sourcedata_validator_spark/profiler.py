@@ -59,6 +59,9 @@ class ColumnProfile:
     exact_distinct: Optional[int] = None
     #: observed value set for low-cardinality columns (else None)
     domain: Optional[list[str]] = None
+    #: observed p99 for numeric columns (else None) — rides scan 1 as a
+    #: percentile_approx sketch, feeds the quantile_bounds suggestion
+    p99: Optional[float] = None
 
     @property
     def null_rate(self) -> float:
@@ -112,6 +115,10 @@ def profile_table(
             F.min(c).cast("string").alias(f"min__{n}"),
             F.max(c).cast("string").alias(f"max__{n}"),
         ]
+        if f.dataType.simpleString() in _NUMERIC:
+            # tail sketch rides the same scan (mergeable aggregate)
+            aggs.append(F.percentile_approx(c.cast("double"), 0.99, 10000)
+                        .alias(f"p99__{n}"))
     row = df.agg(*aggs).collect()[0]
     n_rows = row["__n"] or 0
 
@@ -124,6 +131,8 @@ def profile_table(
             approx_distinct=row[f"ad__{f.name}"] or 0,
             min_value=row[f"min__{f.name}"],
             max_value=row[f"max__{f.name}"],
+            p99=(row[f"p99__{f.name}"]
+                 if f.dataType.simpleString() in _NUMERIC else None),
         )
         for f in fields
     ]
@@ -248,6 +257,18 @@ def suggest_suite(
                 "range.",
                 {"expr": p.name, "lo": lo, "hi": hi},
             ))
+            if p.p99 is not None:
+                # advisory tail budget: +25% (floor 1.0) over observed
+                # p99 — generous so sketch merge-order wobble on a
+                # re-run can never trip it (WARNING only, never gates)
+                warn_hi = round(p.p99 + max(0.25 * abs(p.p99), 1.0), 6)
+                checks.append(CheckSpec(
+                    f"tail_{p.name}", "quantile_bounds", "6 bounds",
+                    f"The p99 of '{p.name}' SHOULD stay within 125% of "
+                    "its profiled tail (tails drift before min/max "
+                    "move).",
+                    {"expr": p.name, "q": 0.99, "warn_hi": warn_hi},
+                ))
         if p.dtype in ("timestamp", "timestamp_ntz") and ts_col is None:
             ts_col = p.name
     if ts_col is not None and n_rows > 1:
@@ -281,12 +302,13 @@ def profile_to_df(spark, profiles: list[ColumnProfile]) -> DataFrame:
     rows = [
         (p.name, p.dtype, p.n_rows, p.n_nulls, round(p.null_rate, 8),
          p.approx_distinct, p.exact_distinct, p.min_value, p.max_value,
-         p.domain)
+         p.domain, p.p99)
         for p in profiles
     ]
     return spark.createDataFrame(
         rows,
         "column string, dtype string, n_rows long, n_nulls long, "
         "null_rate double, approx_distinct long, exact_distinct long, "
-        "min_value string, max_value string, domain array<string>",
+        "min_value string, max_value string, domain array<string>, "
+        "p99 double",
     )

@@ -137,6 +137,21 @@ def test_widened_bounds_degenerate_range(spark):
     assert b["lo"] < 5 < b["hi"]
 
 
+def test_suggested_tail_budget(tdf, profiles):
+    """Numeric columns get an ADVISORY p99 quantile_bounds suggestion
+    (warn band only — sketch wobble on a re-run must never gate), set
+    25% above the profiled tail."""
+    by_name = {p.name: p for p in profiles}
+    assert by_name["turn_idx"].p99 is not None
+    assert by_name["conv_id"].p99 is None  # strings carry no tail
+    suite = suggest_suite(tdf, "s", profiles=profiles)
+    tail = suite.spec("tail_turn_idx").params
+    assert tail["q"] == 0.99 and "hi" not in tail and "lo" not in tail
+    assert tail["warn_hi"] >= by_name["turn_idx"].p99 + 1.0
+    # profile_to_df carries the tail column
+    assert "p99" in profile_to_df(tdf.sparkSession, profiles).columns
+
+
 def test_cli_suggest_suite_flag(spark, tdf, tmp_path, capsys):
     """--suggest-suite profiles --table, writes loadable declarative JSON,
     and exits; validating the table against the written file passes.
