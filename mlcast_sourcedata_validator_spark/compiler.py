@@ -166,7 +166,8 @@ class SuiteRunResult:
 
 #: kinds whose default semantics differ between a whole-table run and a
 #: single-partition batch (properties that are not locally decidable)
-_PARTITION_SCOPED_KINDS = {"turn_contiguity", "role_transitions"}
+_PARTITION_SCOPED_KINDS = {"turn_contiguity", "role_transitions",
+                           "reconciliation"}
 
 
 def compile_suite(

@@ -50,7 +50,8 @@ def compile_refint(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
     return [RowCheck(spec.check_id, pred, detail, verdict, needs_window=True)]
 
 
-def compile_reconciliation(spec: CheckSpec, suite: CheckSuite):
+def compile_reconciliation(spec: CheckSpec, suite: CheckSuite,
+                           partition_scoped: bool = False):
     """Cross-table aggregate reconciliation against the registry:
     per-key aggregates of the validated table must equal declared
     registry columns within tolerance (e.g. ``min(ts)`` per conversation
@@ -92,6 +93,19 @@ def compile_reconciliation(spec: CheckSpec, suite: CheckSuite):
     if severity not in (WARNING, FAIL):
         raise ValueError(f"reconciliation severity must be WARNING or "
                          f"FAIL, got {severity!r}")
+    if partition_scoped:
+        # a one-date-partition batch sees only a conversation's SLICE:
+        # its per-key aggregates (min(ts), counts, sums) legitimately
+        # differ from the registry's whole-conversation declarations —
+        # comparing them would false-FAIL every conversation that spans
+        # partitions. Whole-table reconciliation is the rollup/audit
+        # layer's job in checkpointed mode (functions/rollup.py), so the
+        # check declares itself out of scope instead of guessing.
+        raise ValueError(
+            f"{spec.check_id}: reconciliation is whole-table only — a "
+            "partition batch's per-key aggregates cannot be compared to "
+            "the registry's whole-conversation declarations; run it via "
+            "--whole-table or reconcile the maintained rollup instead")
 
     def fn(ctx) -> ValidationReport:
         report = ValidationReport()

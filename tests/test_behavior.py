@@ -208,6 +208,10 @@ def test_reconciliation_check_kind(spark):
     from mlcast_sourcedata_validator_spark.compiler import compile_suite
     with pytest.raises(ValueError, match="needs 'rules'"):
         compile_suite(suite({"rules": []}))
+    # partition-scoped compilation refuses: a partition batch's per-key
+    # aggregates can't be compared to whole-conversation declarations
+    with pytest.raises(ValueError, match="whole-table only"):
+        compile_suite(suite({}), partition_scoped=True)
     with pytest.raises(ValueError, match="missing"):
         compile_suite(suite({"rules": [{"agg_sql": "min(ts)"}]}))
     with pytest.raises(ValueError, match="severity"):
