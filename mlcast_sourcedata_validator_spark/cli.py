@@ -134,6 +134,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "partitioned run, a per-partition breakdown) — "
                         "the CI-pipeline surface beside the console "
                         "print and the results store")
+    p.add_argument("--sample", type=float, default=None, metavar="FRACTION",
+                   help="run the suite on a deterministic conversation-"
+                        "level hash sample (sampled.py): FAILs are true "
+                        "FAILs, PASSes carry a one-sided upper bound on "
+                        "the violating-conversation share")
+    p.add_argument("--sample-seed", type=int, default=0,
+                   help="hash seed for --sample (default 0)")
+    p.add_argument("--certify-rate", type=float, default=None, metavar="P",
+                   help="with --sample: target violating-conversation "
+                        "share to certify; checks whose bound cannot "
+                        "reach P at this sample size report WARNING")
+    p.add_argument("--confidence", type=float, default=0.95,
+                   help="certificate confidence level (default 0.95)")
     p.add_argument("--violations-limit", type=int, default=None,
                    metavar="N",
                    help="cap the violations sink to N example rows per "
@@ -505,6 +518,29 @@ def main(argv: list[str] | None = None) -> int:
         storage_options=storage_options,
         violations_limit=args.violations_limit,
     )
+    if args.sample is not None:
+        from .sampled import run_suite_sampled
+
+        sres = run_suite_sampled(
+            ctx, fraction=args.sample, seed=args.sample_seed,
+            delta=1.0 - args.confidence, certify_rate=args.certify_rate)
+        sres.report.console_print()
+        res = sres.result
+        print(f"sampled run: fraction={args.sample:g} "
+              f"seed={args.sample_seed} -> {sres.n_convs_sampled} "
+              f"conversations, {res.n_input_rows} rows "
+              f"(est. totals: {sres.est_total_convs:.0f} convs, "
+              f"{sres.est_total_rows:.0f} rows)")
+        print(f"{res.n_violations} violation rows in sample")
+        if args.report_json:
+            from .sources import fs as _fs
+
+            _fs.write_text(args.report_json,
+                           sres.report.to_json(suite.suite_id, ctx.run_id))
+            print(f"report JSON written to {args.report_json}")
+        # exit 1 iff a sampled FAIL (a true FAIL by subset monotonicity);
+        # an unmet --certify-rate is a WARNING certificate row, advisory
+        return res.exit_code()
     res = run_suite(ctx)
     res.report.console_print()
     if args.report_json:
