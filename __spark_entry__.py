@@ -1241,6 +1241,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.vocab_topk(_t(spark, sf, "documents"), "text", k=50)
     q["vocab_topk_documents"] = vocab_topk_documents
 
+    def bm25_topk_documents(spark, sf):
+        """BM25 keyword top-15 (functions/search.py): one stats agg job
+        (N/avgdl/df as plan literals), then map-side scoring + TakeOrdered
+        — no join, no shuffle. Ranked on the ROUNDED score with doc_id
+        tiebreak so boundary membership is engine-stable (scores tie
+        exactly in a bag-of-words corpus; ln() may differ 1 ULP)."""
+        from mlcast_sourcedata_validator_spark.functions import search as srch
+
+        d = _t(spark, sf, "documents")
+        terms = ["spark", "merge", "window"]
+        st = srch.bm25_stats(d, terms)
+        score = srch.bm25_score_expr(F.col("text"), terms, st)
+        return (
+            d.select("doc_id", F.round(score, 6).alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(15)
+        )
+    q["bm25_topk_documents"] = bm25_topk_documents
+
     def pii_profile_documents(spark, sf):
         """Per-doc PII screen (email/ipv4/ssn/phone regexp counts) plus a
         redaction-idempotence bit: redacted == original iff no PII —
@@ -2756,6 +2776,42 @@ def _all_oracles() -> dict[str, str]:
         WHERE length(t) > 0
         GROUP BY t ORDER BY n DESC, token ASC LIMIT 50"""
 
+    # mirrors functions/search.py arithmetic exactly: left-assoc term sum
+    # starting at 0.0, norm = k1*((1-b) + (b*dl)/avgdl), idf over exact
+    # integer (n, df). Rank on the rounded score (see the query docstring).
+    o["bm25_topk_documents"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(coalesce(text, '')), ' '),
+                             t -> t <> '') AS tk
+          FROM documents),
+        meas AS (
+          SELECT doc_id, len(tk)::DOUBLE AS dl,
+                 len(list_filter(tk, t -> t = 'spark'))::DOUBLE AS tf0,
+                 len(list_filter(tk, t -> t = 'merge'))::DOUBLE AS tf1,
+                 len(list_filter(tk, t -> t = 'window'))::DOUBLE AS tf2
+          FROM toks),
+        st AS (
+          SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                 sum((tf0 > 0)::INT)::DOUBLE AS df0,
+                 sum((tf1 > 0)::INT)::DOUBLE AS df1,
+                 sum((tf2 > 0)::INT)::DOUBLE AS df2
+          FROM meas),
+        scored AS (
+          SELECT m.doc_id,
+                 0.0
+                 + (ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) * m.tf0
+                    * 2.2) / (m.tf0 + 1.2 * (0.25 + (0.75 * m.dl) / st.avgdl))
+                 + (ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) * m.tf1
+                    * 2.2) / (m.tf1 + 1.2 * (0.25 + (0.75 * m.dl) / st.avgdl))
+                 + (ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) * m.tf2
+                    * 2.2) / (m.tf2 + 1.2 * (0.25 + (0.75 * m.dl) / st.avgdl))
+                 AS score
+          FROM meas m CROSS JOIN st)
+        SELECT doc_id, round(score, 6) AS score FROM scored
+        WHERE round(score, 6) > 0
+        ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 15"""
+
     o["semantic_dedup_embeddings"] = """
         SELECT e.vec_id, e.label FROM embeddings e
         WHERE NOT EXISTS (
@@ -3369,6 +3425,10 @@ _EXTRA_ORDER = [
     "gopher_repetition_documents",
     # corpus vocabulary top-k (deterministic tie-break)
     "vocab_topk_documents",
+    # BM25 keyword relevance top-k (stats as plan literals, map-side
+    # scoring, TakeOrdered; ranked on rounded score for engine-stable
+    # boundary membership)
+    "bm25_topk_documents",
     # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
     # the clustered scale path is superset-pinned in tests
     "semantic_dedup_embeddings",
