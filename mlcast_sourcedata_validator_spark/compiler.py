@@ -100,6 +100,9 @@ _COMPILERS = {
     "turn_contiguity": ordering.compile_turn_contiguity,
     "ts_monotonic": ordering.compile_ts_monotonic,
     "variable_timestep": ordering.compile_variable_timestep,
+    # inter-turn gap tail budget (rides the shared window enrichment +
+    # post-window Observation; see ordering.compile_gap_bounds)
+    "gap_bounds": ordering.compile_gap_bounds,
     "max_conv_turns": ordering.compile_max_conv_turns,
     "role_transitions": ordering.compile_role_transitions,
     "fd_constant": ordering.compile_fd_constant,

@@ -378,3 +378,60 @@ def compile_fd_constant(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
 
     return [RowCheck(spec.check_id, pred, detail, verdict,
                      needs_window=True, severity=severity)]
+
+
+def compile_gap_bounds(spec: CheckSpec, suite: CheckSuite):
+    """A quantile of the inter-turn gap (seconds between consecutive
+    turns within a conversation) within [lo, hi]; WARNING band like
+    ``quantile_bounds``. The latency twin of the text-length tail
+    budget: agent loops that stall (p95 gap explodes) or replayed logs
+    (p50 gap collapses to 0) move the gap tails long before any
+    per-row check fires.
+
+    params: q in (0, 1); lo/hi/warn_lo/warn_hi in SECONDS (all
+    optional); accuracy (percentile_approx knob, default 10000).
+
+    Scale: rides the SAME conv_id window enrichment every ordering
+    check shares — ``needs=('dt',)`` makes the compiler emit the
+    ``_dt`` lag-difference column it already knows how to build — and
+    the quantile is a mergeable percentile_approx sketch riding the
+    post-window Observation: zero extra shuffles, zero extra jobs.
+    Reference analog: the timestep-regularity analysis
+    (checks/coords/variable_timestep.py:12-57) which bounds the SAME
+    consecutive-diff series, there as exact equality, here as a
+    tail budget.
+    """
+    from ..suite import PostAggCheck
+
+    q = float(spec.params["q"])
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"{spec.check_id}: q must be in (0, 1), got {q}")
+    accuracy = int(spec.params.get("accuracy", 10000))
+    lo, hi = spec.params.get("lo"), spec.params.get("hi")
+    warn_lo, warn_hi = spec.params.get("warn_lo"), spec.params.get("warn_hi")
+    cid = spec.check_id
+    # _dt is in microseconds (unix_micros lag difference)
+    exprs = {f"{cid}__gq": F.percentile_approx(F.col("_dt"), q, accuracy)}
+
+    def verdict(m: dict[str, Any], ctx) -> ValidationReport:
+        report = ValidationReport()
+        v = m.get(f"{cid}__gq")
+        if v is None:
+            report.add(spec.section, spec.requirement, WARNING,
+                       "no consecutive-turn pairs — gap quantile undefined")
+            return stamp(report, _MOD, "compile_gap_bounds")
+        sec = float(v) / 1e6
+        detail = f"inter-turn gap p{q * 100:g}={sec:.3f}s"
+        if (lo is not None and sec < lo) or (hi is not None and sec > hi):
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} outside [{lo}, {hi}]")
+        elif (warn_lo is not None and sec < warn_lo) or \
+                (warn_hi is not None and sec > warn_hi):
+            report.add(spec.section, spec.requirement, WARNING,
+                       f"{detail} outside advisory band "
+                       f"[{warn_lo}, {warn_hi}]")
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_gap_bounds")
+
+    return PostAggCheck(cid, exprs, verdict, needs=("dt",))

@@ -136,6 +136,13 @@ def suite() -> CheckSuite:
             {"expr": "length(text)", "q": 0.95, "warn_hi": 100_000},
         ),
         CheckSpec(
+            "gap_tail", "gap_bounds", "4.4 payload stats",
+            "The p95 inter-turn gap SHOULD stay within the latency "
+            "budget (stalled agent loops blow the gap tail; replayed "
+            "logs collapse it) — advisory band, in seconds.",
+            {"q": 0.95, "warn_hi": 86_400.0},
+        ),
+        CheckSpec(
             "conv_cardinality", "cardinality", "4.5 cardinality",
             "The table MUST contain at least 2 distinct conversations "
             "(HyperLogLog estimate).",
