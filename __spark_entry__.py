@@ -3334,7 +3334,10 @@ _DRIVER_ORDER = [
     "funnel_conversion_events", "window_funcs_events",
     "semi_join_big_spenders",
     "setop_users_without_high_value", "rollup_region_nation",
-    "pivot_user_event_counts",
+    # BM25 keyword relevance search (stats-as-literals map-side scoring;
+    # pivot_user_event_counts rotated to extras as a relational twin of
+    # in-window rollup_region_nation)
+    "bm25_topk_documents",
     "sql_api_revenue_by_priority", "pandas_udaf_median_value_events",
     "udtf_sentences_documents",
 ]
@@ -3343,6 +3346,9 @@ _EXTRA_ORDER = [
     # cumulative-window twin of in-window window_funcs_events (rotated
     # out for funnel_conversion_events in round 4)
     "running_revenue_customers",
+    # conditional-aggregation twin of in-window rollup_region_nation
+    # (rotated out for bm25_topk_documents in round 4)
+    "pivot_user_event_counts",
     # behavioral analytics companions of in-window funnel_conversion:
     # single-shuffle weekly cohort retention matrix, and header-vs-
     # detail cross-table reconciliation (the engine behind the
@@ -3425,10 +3431,6 @@ _EXTRA_ORDER = [
     "gopher_repetition_documents",
     # corpus vocabulary top-k (deterministic tie-break)
     "vocab_topk_documents",
-    # BM25 keyword relevance top-k (stats as plan literals, map-side
-    # scoring, TakeOrdered; ranked on rounded score for engine-stable
-    # boundary membership)
-    "bm25_topk_documents",
     # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
     # the clustered scale path is superset-pinned in tests
     "semantic_dedup_embeddings",
