@@ -544,8 +544,20 @@ def run_partitioned(
     storage_options: Optional[dict] = None,
     violations_limit: Optional[int] = None,
     max_concurrent: int = 1,
+    sample_fraction: Optional[float] = None,
+    sample_seed: int = 0,
 ) -> PartitionedRunSummary:
     """Validate every uncommitted date-partition of ``table_path``.
+
+    ``sample_fraction`` validates each partition batch on a
+    deterministic conversation-level hash sample (sampled.py semantics:
+    a FAIL found is a true FAIL; a PASS certifies nothing beyond the
+    sample). The ``__sample_fraction`` metric is stamped into every
+    sampled run's metrics store rows so history audits can tell sampled
+    counts from full counts. Commit markers are keyed by suite_id alone
+    — point sampled sweeps at their OWN results_path (or a suite cloned
+    with a distinct suite_id) so a 1% sampled commit never masks a
+    partition for the full nightly run.
 
     ``max_concurrent > 1`` pipelines that many partition validations
     through the shared SparkSession from driver threads. A single
@@ -599,6 +611,15 @@ def run_partitioned(
         batch = spark.read.option("basePath", table_path).parquet(
             fs.join(table_path, f"{partition_key}={p}")
         ).drop(partition_key)
+        if sample_fraction is not None:
+            from .functions.sampling import hash_uniform
+
+            if not 0.0 < sample_fraction <= 1.0:
+                raise ValueError(
+                    f"sample_fraction must be in (0, 1], got {sample_fraction}")
+            batch = batch.where(
+                hash_uniform(F.col(suite.conv_col), sample_seed)
+                < F.lit(sample_fraction))
         ctx = RunContext(
             spark=spark, df=batch, suite=suite, run_id=run_id,
             partition_id=p, registry_df=registry_df,
@@ -607,6 +628,10 @@ def run_partitioned(
             violations_limit=violations_limit,
         )
         res = run_suite(ctx)
+        if sample_fraction is not None:
+            # stamp the fraction into the trendable metrics so history
+            # audits can separate sampled counts from full counts
+            res.metrics["__sample_fraction"] = float(sample_fraction)
 
         # idempotent per-partition data writes: the path store's targets
         # are DISTINCT partition_id=<p> directories (each write job

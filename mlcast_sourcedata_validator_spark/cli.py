@@ -291,7 +291,14 @@ def main(argv: list[str] | None = None) -> int:
             storage_options=storage_options,
             violations_limit=args.violations_limit,
             max_concurrent=args.max_concurrent,
+            sample_fraction=args.sample,
+            sample_seed=args.sample_seed,
         )
+        if args.sample is not None:
+            print(f"sampled partitioned run (fraction={args.sample:g} "
+                  f"seed={args.sample_seed}): FAILs are true FAILs; use a "
+                  f"dedicated --results path so sampled commits never "
+                  f"mask the full run")
         print(
             f"run {summary.run_id}: processed {len(summary.processed)} "
             f"partitions, skipped {len(summary.skipped)} (committed), "
