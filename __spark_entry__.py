@@ -1241,6 +1241,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.vocab_topk(_t(spark, sf, "documents"), "text", k=50)
     q["vocab_topk_documents"] = vocab_topk_documents
 
+    def corr_profile_events(spark, sf):
+        """Pairwise Pearson corr + covariance profile
+        (profiler.numeric_correlations): all pairs as codegen'd
+        co-moment aggregates in ONE scan, long-form output via a
+        driver-free explode of the single aggregate row. Spark/DuckDB
+        co-moment merges agree to ~1e-14; rounded to 6."""
+        from mlcast_sourcedata_validator_spark.profiler import (
+            numeric_correlations,
+        )
+
+        e = _t(spark, sf, "events")
+        out = numeric_correlations(e, ["event_id", "user_id", "value"])
+        return out.select(
+            "col_a", "col_b",
+            F.round("corr", 6).alias("corr"),
+            F.round("covar", 6).alias("covar"),
+            "n",
+        )
+    q["corr_profile_events"] = corr_profile_events
+
     def bm25_topk_documents(spark, sf):
         """BM25 keyword top-15 (functions/search.py): one stats agg job
         (N/avgdl/df as plan literals), then map-side scoring + TakeOrdered
@@ -2776,6 +2796,28 @@ def _all_oracles() -> dict[str, str]:
         WHERE length(t) > 0
         GROUP BY t ORDER BY n DESC, token ASC LIMIT 50"""
 
+    o["corr_profile_events"] = """
+        WITH s AS (SELECT
+          corr(event_id, user_id) AS r01, covar_samp(event_id, user_id) AS c01,
+          count(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+                THEN 1 END) AS n01,
+          corr(event_id, value) AS r02, covar_samp(event_id, value) AS c02,
+          count(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL
+                THEN 1 END) AS n02,
+          corr(user_id, value) AS r12, covar_samp(user_id, value) AS c12,
+          count(CASE WHEN user_id IS NOT NULL AND value IS NOT NULL
+                THEN 1 END) AS n12
+        FROM events)
+        SELECT 'event_id' AS col_a, 'user_id' AS col_b,
+               round(r01, 6) AS corr, round(c01, 6) AS covar,
+               n01::BIGINT AS n FROM s
+        UNION ALL
+        SELECT 'event_id', 'value', round(r02, 6), round(c02, 6),
+               n02::BIGINT FROM s
+        UNION ALL
+        SELECT 'user_id', 'value', round(r12, 6), round(c12, 6),
+               n12::BIGINT FROM s"""
+
     # mirrors functions/search.py arithmetic exactly: left-assoc term sum
     # starting at 0.0, norm = k1*((1-b) + (b*dl)/avgdl), idf over exact
     # integer (n, df). Rank on the rounded score (see the query docstring).
@@ -3431,6 +3473,9 @@ _EXTRA_ORDER = [
     "gopher_repetition_documents",
     # corpus vocabulary top-k (deterministic tie-break)
     "vocab_topk_documents",
+    # pairwise corr/covariance profile (one-scan co-moment aggregates,
+    # driver-free long-form explode)
+    "corr_profile_events",
     # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
     # the clustered scale path is superset-pinned in tests
     "semantic_dedup_embeddings",

@@ -312,3 +312,60 @@ def profile_to_df(spark, profiles: list[ColumnProfile]) -> DataFrame:
         "min_value string, max_value string, domain array<string>, "
         "p99 double",
     )
+
+
+def numeric_correlations(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the given
+    numeric columns, in ONE aggregate job.
+
+    Output is long-form: (col_a, col_b, corr, covar, n) for every
+    unordered pair (col_a < col_b positionally), where n counts rows
+    with both sides non-null (the pairs both aggregates actually used).
+
+    Shape at scale: all C(k,2) corr/covar/count aggregates are
+    codegen'd JVM aggregates (streaming co-moment partials, map-side
+    combine) evaluated in a single scan; the long-form pivot is a
+    driver-free explode of a literal-indexed struct array over the ONE
+    aggregate row. No Python rows, no second pass, no shuffle beyond
+    the single aggregate exchange.
+
+    Profiling use: a |r| ~ 1 pair is a redundant (derivable) column —
+    a dedup candidate at storage time and an fd_constant/sql_predicate
+    candidate in a suggested suite; an unexpectedly-zero r where the
+    schema implies dependence is a wiring bug surfaced before training.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns to correlate")
+    aggs = []
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            pairs.append((a, b))
+            aggs.append(F.corr(a, b).alias(f"__r_{i}_{j}"))
+            aggs.append(F.covar_samp(a, b).alias(f"__c_{i}_{j}"))
+            aggs.append(
+                F.count(F.when(F.col(a).isNotNull()
+                               & F.col(b).isNotNull(), 1))
+                .alias(f"__n_{i}_{j}")
+            )
+    agg = df.agg(*aggs)
+    structs = []
+    k = 0
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = pairs[k]
+            structs.append(F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__r_{i}_{j}").alias("corr"),
+                F.col(f"__c_{i}_{j}").alias("covar"),
+                F.col(f"__n_{i}_{j}").alias("n"),
+            ))
+            k += 1
+    return (
+        agg.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr", "p.covar", "p.n")
+    )

@@ -175,3 +175,50 @@ def test_cli_suggest_suite_flag(spark, tdf, tmp_path, capsys):
     rc3 = main(["--suggest-suite", out_json, "--cores", "8"])
     assert rc3 == 2
     assert "--suggest-suite requires --table" in capsys.readouterr().err
+
+
+def test_numeric_correlations_matches_numpy(spark):
+    import numpy as np
+    from mlcast_sourcedata_validator_spark.profiler import (
+        numeric_correlations,
+    )
+
+    rows = [(1.0, 2.0, 10.0), (2.0, 1.0, 14.0), (3.0, 5.0, 9.0),
+            (4.0, 4.0, 20.0), (5.0, None, 31.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r["col_a"], r["col_b"]): r
+           for r in numeric_correlations(df, ["a", "b", "c"]).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # pairwise-complete semantics: the b-null row drops from (a,b),(b,c)
+    ab = [(1, 2), (2, 1), (3, 5), (4, 4)]
+    x, y = np.array([p[0] for p in ab], float), np.array(
+        [p[1] for p in ab], float)
+    assert out[("a", "b")]["n"] == 4
+    assert out[("a", "b")]["corr"] == pytest.approx(
+        float(np.corrcoef(x, y)[0, 1]))
+    assert out[("a", "b")]["covar"] == pytest.approx(
+        float(np.cov(x, y, ddof=1)[0, 1]))
+    ac_x = np.array([1, 2, 3, 4, 5], float)
+    ac_y = np.array([10, 14, 9, 20, 31], float)
+    assert out[("a", "c")]["n"] == 5
+    assert out[("a", "c")]["corr"] == pytest.approx(
+        float(np.corrcoef(ac_x, ac_y)[0, 1]))
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="two columns"):
+        numeric_correlations(df, ["a"])
+
+
+def test_numeric_correlations_single_scan_plan(spark):
+    from mlcast_sourcedata_validator_spark.profiler import (
+        numeric_correlations,
+    )
+
+    df = spark.range(100).selectExpr("id * 1.0 as a", "id * 2.0 as b",
+                                     "(id % 7) * 1.0 as c")
+    plan = numeric_correlations(df, ["a", "b", "c"])
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    # one partial/final aggregate pair -> exactly one Exchange; the
+    # long-form pivot is a Generate over the single aggregate row
+    assert txt.count("Exchange") == 1
+    assert "Generate" in txt
