@@ -24,6 +24,7 @@ overwrite + append-only marker files.
 
 from __future__ import annotations
 
+import hashlib
 import threading
 import time
 import uuid
@@ -42,7 +43,8 @@ from .suite import CheckSuite, RunContext
 LINEAGE_SCHEMA = (
     "suite_id string, run_id string, partition_id string, status string, "
     "n_input_rows long, n_violations long, n_fails long, n_warnings long, "
-    "n_passes long, wall_sec double, committed_at double"
+    "n_passes long, wall_sec double, committed_at double, "
+    "fingerprint string"
 )
 
 METRICS_SCHEMA = (
@@ -178,6 +180,31 @@ class CatalogResultsStore:
             .select("partition_id").distinct().collect()
         )
         return {r["partition_id"] for r in rows}
+
+    def committed_fingerprints(
+            self, suite_id: str) -> dict[str, Optional[str]]:
+        """partition_id -> latest committed fingerprint (None when the
+        lineage table predates the column — change-aware resume then
+        revalidates, the safe direction)."""
+        tbl = self._tbl("lineage")
+        if not self.spark.catalog.tableExists(tbl):
+            return {}
+        from pyspark.sql import Window
+
+        df = self.spark.table(tbl)
+        if "fingerprint" not in df.columns:
+            df = df.withColumn("fingerprint", F.lit(None).cast("string"))
+        w = Window.partitionBy("partition_id") \
+            .orderBy(F.col("committed_at").desc(), F.col("run_id"))
+        rows = (
+            df.where((F.col("suite_id") == suite_id)
+                     & (F.col("status") == "COMMITTED"))
+            .withColumn("_k", F.row_number().over(w))
+            .where(F.col("_k") == 1)
+            .select("partition_id", "fingerprint")
+            .collect()
+        )
+        return {r["partition_id"]: r["fingerprint"] for r in rows}
 
     def read(self, kind: str) -> DataFrame:
         return self.spark.table(self._tbl(kind))
@@ -358,6 +385,66 @@ def committed_partitions(
         .collect()
     )
     return {r["partition_id"] for r in rows}
+
+
+def partition_fingerprint(
+    table_path: str, partition_id: str, *, partition_key: str = "date",
+    storage_options: Optional[dict] = None,
+) -> str:
+    """Content fingerprint of ONE date-partition directory: md5 over the
+    sorted ``(relative-path, size)`` listing of its visible files. A
+    LISTING, never a data read — O(files-per-partition) driver time.
+
+    Why name+size is enough: Spark (and every Hadoop-committer writer)
+    never modifies a data file in place — any overwrite, append, or
+    compaction lands NEW uniquely-named part files — so an unchanged
+    listing means unchanged content for Spark-written tables. Files the
+    readers ignore (``_SUCCESS``, ``.crc`` sidecars, staging dirs) are
+    excluded so a committer's bookkeeping can't fake a data change."""
+    pdir = fs.join(table_path, f"{partition_key}={partition_id}")
+    lines = []
+    base = pdir.rstrip("/") + "/"
+    for fpath, size in fs.stat_files(pdir, storage_options):
+        rel = fpath[len(base):] if fpath.startswith(base) else fpath
+        name = rel.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")) or "/_" in rel or "/." in rel:
+            continue
+        lines.append(f"{rel}:{size}")
+    lines.sort()
+    return hashlib.md5("\n".join(lines).encode("utf-8")).hexdigest()
+
+
+def committed_fingerprints(
+    spark: SparkSession, results_path: str, suite_id: str,
+    storage_options: Optional[dict] = None,
+) -> dict[str, Optional[str]]:
+    """partition_id -> fingerprint of its LATEST committed marker.
+    ``None`` when that marker predates fingerprint stamping (pre-round-4
+    lineage files lack the column; the explicit read schema fills it
+    with null) — change-aware resume treats None as "unknown, so
+    revalidate", the safe direction."""
+    lineage_dir = fs.join(results_path, "lineage")
+    try:
+        if not fs.isdir(lineage_dir, storage_options) or \
+                not fs.list_parquet_files(lineage_dir, limit=1,
+                                          storage_options=storage_options):
+            return {}
+    except fs.FsUnavailable:
+        return {}
+    from pyspark.sql import Window
+
+    df = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
+    w = Window.partitionBy("partition_id") \
+        .orderBy(F.col("committed_at").desc(), F.col("run_id"))
+    rows = (
+        df.where((F.col("suite_id") == suite_id)
+                 & (F.col("status") == "COMMITTED"))
+        .withColumn("_k", F.row_number().over(w))
+        .where(F.col("_k") == 1)
+        .select("partition_id", "fingerprint")
+        .collect()
+    )
+    return {r["partition_id"]: r["fingerprint"] for r in rows}
 
 
 @dataclass
@@ -546,8 +633,24 @@ def run_partitioned(
     max_concurrent: int = 1,
     sample_fraction: Optional[float] = None,
     sample_seed: int = 0,
+    detect_changes: bool = False,
 ) -> PartitionedRunSummary:
     """Validate every uncommitted date-partition of ``table_path``.
+
+    ``detect_changes`` makes resume CONTENT-aware: a committed partition
+    is skipped only while its current :func:`partition_fingerprint`
+    (file-name+size listing) still equals the one stamped into its
+    latest commit marker — a backfill or compaction that rewrites an
+    already-validated partition re-enters the todo list instead of being
+    masked forever by its old marker. Markers missing a fingerprint
+    (pre-round-4 lineage, explicit-schema read fills null) revalidate —
+    the safe direction. Cost: one directory LISTING per committed
+    partition at plan time (O(days) listings, no data reads); on Iceberg
+    the same decision reads snapshot ids from table metadata instead.
+    Every marker stamps the fingerprint observed BEFORE the partition
+    was read, so a write racing the validation makes the next
+    change-aware run redo the partition rather than trust a verdict
+    computed over a moving input.
 
     ``sample_fraction`` validates each partition batch on a
     deterministic conversation-level hash sample (sampled.py semantics:
@@ -595,9 +698,24 @@ def run_partitioned(
         done = committed_partitions(
             spark, results_path, suite.suite_id, storage_options)
 
+    fps: dict[str, Optional[str]] = {}
+    if detect_changes and done:
+        if store is not None:
+            fps = store.committed_fingerprints(suite.suite_id)
+        else:
+            fps = committed_fingerprints(
+                spark, results_path, suite.suite_id, storage_options)
+
     todo: list[str] = []
     for p in partitions:
         if p in done:
+            if detect_changes:
+                cur = partition_fingerprint(
+                    table_path, p, partition_key=partition_key,
+                    storage_options=storage_options)
+                if fps.get(p) is None or fps[p] != cur:
+                    todo.append(p)  # rewritten (or unknown) — revalidate
+                    continue
             summary.skipped.append(p)
         else:
             todo.append(p)
@@ -608,6 +726,12 @@ def run_partitioned(
     outcomes: dict[str, tuple[SuiteRunResult, dict]] = {}
 
     def _process(p: str) -> None:
+        # fingerprint BEFORE the read: if a writer races the validation,
+        # the stamped value is stale and the next change-aware run redoes
+        # the partition (safe) instead of trusting a moving input
+        fp = partition_fingerprint(
+            table_path, p, partition_key=partition_key,
+            storage_options=storage_options)
         batch = spark.read.option("basePath", table_path).parquet(
             fs.join(table_path, f"{partition_key}={p}")
         ).drop(partition_key)
@@ -666,7 +790,7 @@ def run_partitioned(
             marker = spark.createDataFrame(
                 [(suite.suite_id, run_id, p, "COMMITTED", res.n_input_rows,
                   res.n_violations, s["FAIL"], s["WARNING"], s["PASS"],
-                  res.wall_sec, time.time())],
+                  res.wall_sec, time.time(), fp)],
                 schema=LINEAGE_SCHEMA,
             )
             if store is not None:
@@ -734,7 +858,11 @@ def read_lineage(spark: SparkSession, results_path: str) -> DataFrame:
     store = _maybe_store(spark, results_path)
     if store is not None:
         return store.read("lineage")
-    return spark.read.parquet(fs.join(results_path, "lineage"))
+    # explicit schema: a lineage dir can mix pre- and post-fingerprint
+    # marker files; schema inference from one footer would make the
+    # column's presence depend on which file it sampled
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(
+        fs.join(results_path, "lineage"))
 
 
 def maintain_rollup(
@@ -810,7 +938,7 @@ def maintain_rollup(
         )
         marker = spark.createDataFrame(
             [(pseudo_suite, rollup_id, p, "COMMITTED", 0, 0, 0, 0, 0,
-              time.time() - t0, time.time())],
+              time.time() - t0, time.time(), None)],
             schema=LINEAGE_SCHEMA,
         )
         with commit_lock:
@@ -970,9 +1098,9 @@ def compact_rollup(
     )
     now = time.time()
     markers = [(pseudo_suite, rollup_id, base, "COMMITTED", 0, 0, 0, 0, 0,
-                now - t0, now)]
+                now - t0, now, None)]
     markers += [(pseudo_suite, rollup_id, p, "COMPACTED", 0, 0, 0, 0, 0,
-                 0.0, now) for p in sorted(active)]
+                 0.0, now, None) for p in sorted(active)]
     spark.createDataFrame(markers, schema=LINEAGE_SCHEMA) \
         .coalesce(1).write.mode("append") \
         .parquet(fs.join(rollup_path, "lineage"))

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                                      "lineage/metrics as catalog tables — "
                                      "Iceberg snapshot commits when the "
                                      "runtime is on the classpath)")
+    p.add_argument("--detect-changes", action="store_true",
+                   help="content-aware resume: re-validate a committed "
+                        "partition when its file listing (name+size "
+                        "fingerprint) no longer matches the one stamped "
+                        "at commit time — catches backfills/compactions "
+                        "that plain resume would mask forever")
     p.add_argument("--no-resume", action="store_true",
                    help="reprocess already-committed partitions")
     p.add_argument("--max-partitions", type=int, default=None,
@@ -293,6 +299,7 @@ def main(argv: list[str] | None = None) -> int:
             max_concurrent=args.max_concurrent,
             sample_fraction=args.sample,
             sample_seed=args.sample_seed,
+            detect_changes=args.detect_changes,
         )
         if args.sample is not None:
             print(f"sampled partitioned run (fraction={args.sample:g} "

@@ -189,6 +189,40 @@ def iter_files(
             )
 
 
+def stat_files(
+    path: str, storage_options: Optional[dict] = None
+) -> Iterator[tuple[str, int]]:
+    """Yield ``(file_path, size_bytes)`` for every file under ``path``.
+    A LISTING, never a read — the consumer is partition fingerprinting
+    (checkpoint.partition_fingerprint), which hashes names + sizes of a
+    single date-partition directory (O(files-per-partition), not
+    O(table)). Ordering follows :func:`iter_files`; fingerprint callers
+    sort, so backend-defined directory order is irrelevant."""
+    scheme, rest = split_scheme(path)
+    if scheme in (None, "file"):
+        for root, dirs, files in os.walk(rest):
+            dirs.sort()
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                yield full, os.path.getsize(full)
+        return
+    if scheme == "memory":
+        prefix = _mem_key(rest)
+        for k in sorted(_MEMFS):
+            if k.startswith(prefix + "/") or k == prefix:
+                yield f"memory://{k.lstrip('/')}", len(_MEMFS[k])
+        return
+    fs = _fsspec_fs(scheme, storage_options)
+    info = fs.find(path, detail=True)
+    for p in sorted(info):
+        meta = info[p]
+        if meta.get("type") == "directory":
+            continue
+        yield (f"{scheme}://{p}".replace(f"{scheme}://{scheme}://",
+                                         f"{scheme}://"),
+               int(meta.get("size") or 0))
+
+
 def list_parquet_files(
     path: str, limit: Optional[int] = None,
     storage_options: Optional[dict] = None,

@@ -212,6 +212,76 @@ def test_no_resume_reprocesses(spark, table, registry, tmp_path):
     assert s2.processed == s1.processed and not s2.skipped
 
 
+def test_change_aware_resume_revalidates_rewritten_partition(
+        spark, tmp_path):
+    """detect_changes: a committed partition whose files were rewritten
+    (backfill) re-enters the todo list; untouched partitions stay
+    skipped; markers missing a fingerprint (pre-round-4 lineage)
+    revalidate — the safe direction."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        committed_fingerprints, partition_fingerprint)
+
+    tbl = str(tmp_path / "tbl")
+    df = generate_transcripts(spark, n_convs=30, seed=23)
+    df = df.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(3)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    write_partitioned_transcripts(df, tbl)
+    write_table_properties(tbl, {"license": "CC-BY-4.0",
+                                 "consistent_timestep_start": "true"})
+    reg = generate_conversations_registry(
+        spark.read.parquet(tbl)).localCheckpoint()
+    results = str(tmp_path / "store")
+    suite = get_suite("transcripts_v1")
+
+    s1 = run_partitioned(spark, suite, tbl, results, registry_df=reg)
+    parts = sorted(s1.processed)
+    assert len(parts) >= 2
+    fps = committed_fingerprints(spark, results, suite.suite_id)
+    assert set(fps) == set(parts) and all(fps.values())
+
+    # unchanged table: change-aware resume skips everything
+    s2 = run_partitioned(spark, suite, tbl, results, registry_df=reg,
+                         detect_changes=True)
+    assert not s2.processed and sorted(s2.skipped) == parts
+
+    # rewrite ONE partition's files (same data, new part files — the
+    # committer never modifies in place, so the listing changes)
+    target = parts[0]
+    pdir = f"{tbl}/date={target}"
+    pdata = spark.read.parquet(pdir).localCheckpoint()
+    before = partition_fingerprint(tbl, target)
+    pdata.repartition(2).write.mode("overwrite").parquet(pdir)
+    assert partition_fingerprint(tbl, target) != before
+
+    # plain resume is blind to the rewrite; change-aware resume is not
+    s3 = run_partitioned(spark, suite, tbl, results, registry_df=reg)
+    assert not s3.processed
+    s4 = run_partitioned(spark, suite, tbl, results, registry_df=reg,
+                         detect_changes=True)
+    assert s4.processed == [target]
+    assert sorted(s4.skipped) == parts[1:]
+    # the redo stamped the NEW fingerprint — a fifth run skips again
+    s5 = run_partitioned(spark, suite, tbl, results, registry_df=reg,
+                         detect_changes=True)
+    assert not s5.processed and sorted(s5.skipped) == parts
+
+    # pre-fingerprint lineage (column absent): change-aware resume
+    # treats None as unknown and revalidates everything
+    lin_dir = f"{results}/lineage"
+    legacy = spark.read.parquet(lin_dir).drop(
+        "fingerprint").localCheckpoint()
+    legacy.write.mode("overwrite").parquet(lin_dir)
+    assert all(v is None for v in committed_fingerprints(
+        spark, results, suite.suite_id).values())
+    s6 = run_partitioned(spark, suite, tbl, results, registry_df=reg,
+                         detect_changes=True)
+    assert sorted(s6.processed) == parts and not s6.skipped
+
+
 def test_metrics_store_written_and_outlier_detection(spark, table, registry, tmp_path):
     """run_partitioned persists per-partition scalar metrics (north_star:
     'lineage and metrics'); metric_outlier_partitions flags a planted
@@ -467,6 +537,14 @@ def test_catalog_results_store_commit_resume_parity(spark, table, registry):
         read_metrics(spark, ref).count()
     assert read_lineage(spark, "valstore") \
         .where("status = 'COMMITTED'").count() >= len(done)
+
+    # change-aware resume reads fingerprints through the store too:
+    # every commit stamped one, and an unchanged table skips everything
+    fps = store.committed_fingerprints(suite.suite_id)
+    assert set(fps) == done and all(fps.values())
+    s_cw = run_partitioned(spark, suite, table, "valstore",
+                           registry_df=registry, detect_changes=True)
+    assert not s_cw.processed and set(s_cw.skipped) == done
 
     for t in ("valstore_results", "valstore_violations",
               "valstore_lineage", "valstore_metrics"):
