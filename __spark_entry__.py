@@ -1093,6 +1093,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", "label")
     q["semantic_dedup_embeddings"] = semantic_dedup_embeddings
 
+    def embedding_drift_embeddings(spark, sf):
+        """Vector drift between two halves of the embeddings table
+        (vec_id parity as current/baseline): mean-vector cosine + L2
+        gap + norm shift. One pass per side — norm fold + posexplode
+        share a select, per-dim sums ride one hash aggregate (shuffle
+        = d rows/task), so the oracle is plain per-ordinality SQL."""
+        emb = _t(spark, sf, "embeddings")
+        return sim.embedding_drift(
+            emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+        )
+    q["embedding_drift_embeddings"] = embedding_drift_embeddings
+
     def embedding_lsh_near_dup_pairs_q(spark, sf):
         """Multi-table RHP-LSH near-dup pairs; every emitted pair is
         exact-cosine-verified, so the oracle is the brute-force SQL with
@@ -2863,6 +2876,42 @@ def _all_oracles() -> dict[str, str]:
                                              e.embedding::DOUBLE[]), 6)
                 >= 0.4)"""
 
+    o["embedding_drift_embeddings"] = """
+        WITH e AS (
+          -- two unnests in one SELECT zip in lockstep (DuckDB has no
+          -- WITH ORDINALITY): positions from generate_series, values
+          -- from the list
+          SELECT vec_id % 2 AS grp,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS val,
+                 sqrt(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   AS nrm
+          FROM embeddings),
+        agg AS (
+          SELECT grp, pos, sum(val) AS s, count(*) AS n, sum(nrm) AS ns
+          FROM e GROUP BY grp, pos),
+        j AS (
+          SELECT c.s / c.n AS mc, b.s / b.n AS mb, c.n AS n_c,
+                 c.ns AS ns_c, b.n AS n_b, b.ns AS ns_b
+          FROM (SELECT * FROM agg WHERE grp = 0) c
+          JOIN (SELECT * FROM agg WHERE grp = 1) b USING (pos)),
+        f AS (
+          SELECT sum(mc * mb) AS dt, sum(mc * mc) AS cc,
+                 sum(mb * mb) AS bb,
+                 sum((mc - mb) * (mc - mb)) AS gap2,
+                 max(n_c) AS n_cur, max(ns_c) AS nsc,
+                 max(n_b) AS n_base, max(ns_b) AS nsb
+          FROM j)
+        SELECT round(dt / (sqrt(cc) * sqrt(bb)), 6) AS mean_cosine,
+               round(sqrt(gap2), 6) AS mean_l2_gap,
+               round(nsc / n_cur, 6) AS avg_norm_cur,
+               round(nsb / n_base, 6) AS avg_norm_base,
+               round((nsc / n_cur - nsb / n_base) / (nsb / n_base), 6)
+                 AS norm_shift,
+               n_cur, n_base
+        FROM f"""
+
     # PII patterns are restricted to syntax valid in BOTH java.util.regex
     # and RE2 (no lookaround), so the oracle runs them verbatim
     from mlcast_sourcedata_validator_spark.functions.text import PII_PATTERNS
@@ -3479,6 +3528,9 @@ _EXTRA_ORDER = [
     # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
     # the clustered scale path is superset-pinned in tests
     "semantic_dedup_embeddings",
+    # vector drift profile (mean-vector cosine/L2 + norm shift) between
+    # two embedding sets — the embedding complement of the drift family
+    "embedding_drift_embeddings",
     # exact-k deterministic global sample (TakeOrdered on the id-uniform)
     "deterministic_take_documents",
     # near-exact dedup over the normalization key (case/whitespace)

@@ -1004,3 +1004,70 @@ def ivfpq_topk(
         .join(scored.select(id_col), id_col, "left_semi")
     )
     return _cosine_topk_over(cand, id_col, vec_col, query_vec, k)
+
+
+def embedding_drift(cur: DataFrame, base: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """One-row drift profile between two embedding sets: has the corpus
+    MOVED in embedding space since the baseline snapshot?
+
+    Numeric/categorical drift (operators/drift.py) is blind to the
+    embedding column; this is its vector complement — the check a
+    training-data pipeline runs when the upstream encoder is re-deployed
+    or a new source shifts the topic mixture. Columns:
+
+    - ``mean_cosine``: cosine between the two corpora's MEAN vectors
+      (1.0 = same direction; re-encoded or re-centered corpora drop it),
+    - ``mean_l2_gap``: L2 distance between the mean vectors,
+    - ``avg_norm_cur`` / ``avg_norm_base`` and ``norm_shift``
+      (relative): scale drift — e.g. an encoder that stopped
+      L2-normalizing,
+    - ``n_cur`` / ``n_base``: row volumes.
+
+    Scale shape: ONE pass per side — a single select computes the row
+    norm (codegen'd ``aggregate`` fold) and ``posexplode``s the vector,
+    so the per-dim sums AND the norm sum ride one hash aggregate whose
+    map-side partials bound the shuffle to d rows per task (d = vector
+    dim, not corpus size). The d-row join + final fold are trivial.
+    The per-pos ``sum(norm)``/``count`` are constant across pos (every
+    row contributes to every pos), so the final ``max`` re-agg reads
+    them without a second corpus scan.
+    """
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col)
+        norm = F.sqrt(F.aggregate(
+            v, F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double")))
+        e = df.select(norm.alias("_norm"),
+                      F.posexplode(v).alias("pos", "val"))
+        return e.groupBy("pos").agg(
+            F.sum(F.col("val").cast("double")).alias(f"s_{tag}"),
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("_norm").alias(f"ns_{tag}"),
+        )
+
+    j = _side(cur, "c").join(_side(base, "b"), "pos")
+    mc = (F.col("s_c") / F.col("n_c"))
+    mb = (F.col("s_b") / F.col("n_b"))
+    folded = j.select(
+        (mc * mb).alias("_dot"), (mc * mc).alias("_cc"),
+        (mb * mb).alias("_bb"),
+        ((mc - mb) * (mc - mb)).alias("_gap2"),
+        "n_c", "ns_c", "n_b", "ns_b",
+    ).agg(
+        F.sum("_dot").alias("_dot"), F.sum("_cc").alias("_cc"),
+        F.sum("_bb").alias("_bb"), F.sum("_gap2").alias("_gap2"),
+        F.max("n_c").alias("n_cur"), F.max("ns_c").alias("_nsc"),
+        F.max("n_b").alias("n_base"), F.max("ns_b").alias("_nsb"),
+    )
+    anc = F.col("_nsc") / F.col("n_cur")
+    anb = F.col("_nsb") / F.col("n_base")
+    return folded.select(
+        F.round(F.col("_dot")
+                / (F.sqrt("_cc") * F.sqrt("_bb")), 6).alias("mean_cosine"),
+        F.round(F.sqrt("_gap2"), 6).alias("mean_l2_gap"),
+        F.round(anc, 6).alias("avg_norm_cur"),
+        F.round(anb, 6).alias("avg_norm_base"),
+        F.round((anc - anb) / anb, 6).alias("norm_shift"),
+        "n_cur", "n_base",
+    )

@@ -1308,3 +1308,38 @@ class TestStreamFingerprint:
         assert fp["p"]["fp_xor"] == fp["q"]["fp_xor"]  # the xor blind spot
         assert fp["p"]["n_rows"] != fp["q"]["n_rows"]
         assert dd.duplicate_streams(df, "k", self._sig()).count() == 0
+
+
+def test_embedding_drift_detects_scale_and_direction_shift(spark):
+    """Identical sets: cosine 1, zero gap/shift. Uniformly rescaled
+    current: pure norm drift, direction unchanged. Rotated current:
+    mean-cosine drops while norms stay put."""
+    import math
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(30)],
+        "id long, emb array<float>",
+    )
+    same = sim.embedding_drift(base, base, "emb").first()
+    assert same["mean_cosine"] == 1.0
+    assert same["mean_l2_gap"] == 0.0
+    assert same["norm_shift"] == 0.0
+    assert same["n_cur"] == same["n_base"] == 30
+
+    scaled = base.select(
+        "id", F.transform("emb", lambda x: x * 2.0).alias("emb"))
+    sc = sim.embedding_drift(scaled, base, "emb").first()
+    assert sc["mean_cosine"] == 1.0  # direction unchanged
+    assert abs(sc["norm_shift"] - 1.0) < 1e-6  # norms doubled
+
+    # collapse every vector to the same axis: norms stay unit (zero
+    # norm shift) but the mean direction moves from (1,1,1)/3 to
+    # (1,0,0) -> cosine 1/sqrt(3), gap sqrt(2/3)
+    collapsed = base.select(
+        "id", F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+        .cast("array<float>").alias("emb"))
+    col = sim.embedding_drift(collapsed, base, "emb").first()
+    assert col["norm_shift"] == 0.0
+    assert math.isclose(col["mean_cosine"], 1 / math.sqrt(3), abs_tol=1e-6)
+    assert math.isclose(col["mean_l2_gap"], math.sqrt(2 / 3), abs_tol=1e-6)
