@@ -1977,6 +1977,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cohort_retention(_t(spark, sf, "events"))
     q["cohort_retention_events"] = cohort_retention_events
 
+    def loop_runs_events(spark, sf):
+        """Gaps-and-islands repeat-run profile per user: longest
+        consecutive run of an identical event_type, qualifying-run and
+        repeated-row counts. One user-key exchange (lag change-flag +
+        running-sum run id share the window); run lengths reduce
+        map-side before their shuffle. The analytics twin of the
+        consecutive_dup check kind. functions/behavior.py
+        `repeat_runs`."""
+        from mlcast_sourcedata_validator_spark.functions.behavior import (
+            repeat_runs)
+        return repeat_runs(_t(spark, sf, "events"), "user_id",
+                           ["ts", "event_id"], "event_type", min_run=3)
+    q["loop_runs_events"] = loop_runs_events
+
     def reconcile_orders_lineitem(spark, sf):
         """Cross-table aggregate reconciliation (header vs detail): per
         order, sum(extprice*(1-disc)*(1+tax)) over lineitem compared to
@@ -3302,6 +3316,29 @@ def _all_oracles() -> dict[str, str]:
         FROM per JOIN firsts USING (user_id)
         GROUP BY cohort, "offset" """
 
+    o["loop_runs_events"] = """
+        WITH l AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_type IS DISTINCT FROM lag(event_type)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      THEN 1 ELSE 0 END AS chg
+          FROM events),
+        r AS (
+          SELECT user_id,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM l),
+        runs AS (
+          SELECT user_id, run_id, count(*) AS run_len
+          FROM r GROUP BY user_id, run_id)
+        SELECT user_id, max(run_len)::BIGINT AS max_run,
+               coalesce(sum(CASE WHEN run_len >= 3 THEN 1 END), 0)::BIGINT
+                 AS n_runs,
+               coalesce(sum(CASE WHEN run_len >= 3 THEN run_len - 1 END),
+                        0)::BIGINT AS n_repeat_rows
+        FROM runs GROUP BY user_id
+        HAVING max(run_len) >= 3"""
+
     o["reconcile_orders_lineitem"] = """
         WITH agg AS (
           SELECT l_orderkey,
@@ -3531,6 +3568,9 @@ _EXTRA_ORDER = [
     # vector drift profile (mean-vector cosine/L2 + norm shift) between
     # two embedding sets — the embedding complement of the drift family
     "embedding_drift_embeddings",
+    # gaps-and-islands repeat-run profile (analytics twin of the
+    # consecutive_dup agent-loop check kind)
+    "loop_runs_events",
     # exact-k deterministic global sample (TakeOrdered on the id-uniform)
     "deterministic_take_documents",
     # near-exact dedup over the normalization key (case/whitespace)

@@ -106,6 +106,8 @@ _COMPILERS = {
     "max_conv_turns": ordering.compile_max_conv_turns,
     "role_transitions": ordering.compile_role_transitions,
     "fd_constant": ordering.compile_fd_constant,
+    # within-conversation immediate repetition (agent-loop signature)
+    "consecutive_dup": ordering.compile_consecutive_dup,
     "refint": refint.compile_refint,
     # cross-table aggregate reconciliation (own bounded key-agg job)
     "reconciliation": refint.compile_reconciliation,
@@ -386,6 +388,19 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite,
                 F.col(s.params["column"]).cast("string")
                 .alias(ordering.fd_val_name(s.check_id))
             )
+        # consecutive_dup checks: ship an 8-byte turn-identity hash (not
+        # the payload text) through the shuffle, one per declared check.
+        # The sentinel coalesce keeps NULL distinct from absent: a NULL
+        # arg to xxhash64 is SKIPPED, so (NULL,'x') would otherwise
+        # collide with ('x', NULL)
+        cd_specs = [s for s in suite.checks if s.kind == "consecutive_dup"]
+        for s in cd_specs:
+            ident = [
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                for c in s.params.get("columns", ["role", "text"])
+            ]
+            slim_cols.append(
+                F.xxhash64(*ident).alias(ordering.cd_hash_name(s.check_id)))
         slim = df.select(*slim_cols)
 
         if need_registry:
@@ -417,6 +432,10 @@ def build_suite_plan(ctx: RunContext, cs: CompiledSuite,
                 enriched = enriched.withColumn(
                     ordering.fd_lag_name(s.check_id),
                     F.lag(ordering.fd_val_name(s.check_id)).over(w))
+            for s in cd_specs:
+                enriched = enriched.withColumn(
+                    ordering.cd_lag_name(s.check_id),
+                    F.lag(ordering.cd_hash_name(s.check_id)).over(w))
             if need_dt:
                 # unix_micros over an explicit TIMESTAMP cast: NTZ inputs
                 # cannot cast straight to BIGINT under ANSI mode

@@ -251,3 +251,56 @@ def _epoch_or_cast(col: Column, dt) -> Column | None:
     if isinstance(dt, T.NumericType):
         return col.cast("double")
     return None
+
+
+def repeat_runs(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    min_run: int = 2,
+) -> DataFrame:
+    """Consecutive-repeat run profile per key: for each key, the longest
+    run of an identical ``val_col`` value over the ordered sequence, how
+    many runs reach ``min_run``, and how many rows those runs repeat —
+    the gaps-and-islands analysis behind loop detection (an agent
+    emitting the same event/turn over and over), returned as analytics
+    rather than a pass/fail verdict (that is the ``consecutive_dup``
+    check kind).
+
+    Scale shape: ONE exchange on the key — the change flag (null-safe
+    lag inequality) and the running-sum run id share the same window
+    partitioning, so Catalyst plans one Exchange + one Sort; the
+    run-length groupBy's map-side partial aggregation then reduces each
+    partition to run-level rows (#runs, not #rows) before its shuffle,
+    and the per-key fold is over runs. Adjacent NULLs count as one run
+    (eqNullSafe), matching SQL's IS NOT DISTINCT FROM.
+
+    Output: (key_col, max_run, n_runs, n_repeat_rows) for keys whose
+    longest run reaches ``min_run``; n_runs counts qualifying runs,
+    n_repeat_rows counts their repeated rows (run length - 1 each).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    changed = (~F.col(val_col).eqNullSafe(
+        F.lag(val_col).over(w))).cast("long")
+    run_id = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        df.withColumn("_run", run_id)
+        .groupBy(key_col, "_run")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    qual = F.col("_len") >= min_run
+    return (
+        runs.groupBy(key_col)
+        .agg(
+            F.max("_len").alias("max_run"),
+            F.sum(qual.cast("long")).alias("n_runs"),
+            F.coalesce(
+                F.sum(F.when(qual, F.col("_len") - 1)), F.lit(0)
+            ).alias("n_repeat_rows"),
+        )
+        .where(F.col("max_run") >= min_run)
+    )

@@ -380,6 +380,68 @@ def compile_fd_constant(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
                      needs_window=True, severity=severity)]
 
 
+def cd_hash_name(check_id: str) -> str:
+    """Slim-projection column carrying one consecutive_dup check's turn
+    identity hash (8 bytes) through the window shuffle."""
+    return f"_cdh_{check_id}"
+
+
+def cd_lag_name(check_id: str) -> str:
+    return f"_cdl_{check_id}"
+
+
+def compile_consecutive_dup(spec: CheckSpec, suite: CheckSuite) -> list[RowCheck]:
+    """Within-conversation immediate repetition: a turn whose identity
+    columns (default role+text) are identical to the PREVIOUS turn's —
+    the signature of a stuck agent loop (same assistant message emitted
+    over and over) or a producer that replays its last event. Distinct
+    from conv_duplicates (whole conversations duplicated across the
+    corpus) and unique_key (key collisions): here the KEYS are fine and
+    the PAYLOAD repeats turn-over-turn.
+
+    Rides the SHARED conversation window: the compiler ships one
+    xxhash64 of the identity columns (8 B, null-safe via a sentinel
+    coalesce) through the slim projection and lags it next to
+    lag(ts)/lag(turn) — zero extra shuffles. A hash collision flagging a
+    false repeat has probability ~2^-64 per adjacent pair; exactness at
+    that tolerance is the same trade every content-hash dedup path in
+    this engine makes (functions/dedup.py).
+
+    Partition-scoped batches miss only a repeat straddling the partition
+    boundary (lag NULL on the batch's first row) — ts_monotonic policy;
+    the rollup boundary audit owns boundaries.
+
+    params: columns (default ['role', 'text']); severity ('FAIL'
+    default, or 'WARNING').
+    """
+    columns = list(spec.params.get("columns", ["role", "text"]))
+    severity = spec.params.get("severity", FAIL)
+    cur = F.col(cd_hash_name(spec.check_id))
+    prev = F.col(cd_lag_name(spec.check_id))
+    # turn_idx must ADVANCE: an exact row duplicate (same turn_idx, e.g.
+    # a re-appended row) is unique_key's finding — each planted
+    # violation class trips exactly one check
+    pred = (prev.isNotNull() & (cur == prev)
+            & (F.col(suite.turn_col) != F.col(LAG_TURN)))
+    detail = F.lit(
+        f"turn repeats the previous turn ({', '.join(columns)} identical)")
+
+    def verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        if n_viol:
+            report.add(spec.section, spec.requirement, severity,
+                       f"{n_viol} turns repeat their previous turn "
+                       f"verbatim ({', '.join(columns)})")
+        else:
+            report.add(spec.section, spec.requirement, PASS,
+                       "no turn repeats its previous turn "
+                       f"({', '.join(columns)})")
+        return stamp(report, _MOD, "compile_consecutive_dup")
+
+    return [RowCheck(spec.check_id, pred, detail, verdict,
+                     needs_window=True, severity=severity)]
+
+
 def compile_gap_bounds(spec: CheckSpec, suite: CheckSuite):
     """A quantile of the inter-turn gap (seconds between consecutive
     turns within a conversation) within [lo, hi]; WARNING band like

@@ -93,6 +93,13 @@ def suite() -> CheckSuite:
             {"allow_variable_timestep": True},
         ),
         CheckSpec(
+            "loop_detection", "consecutive_dup", "3.4 grammar",
+            "A turn MUST NOT repeat the previous turn verbatim (same "
+            "role and text) — consecutive duplicates are the signature "
+            "of a stuck agent loop or a replaying producer.",
+            {"columns": ["role", "text"]},
+        ),
+        CheckSpec(
             "max_conv_turns", "max_conv_turns", "3.4 grammar",
             "A conversation MUST NOT exceed 10000 turns (also the bound "
             "the engine's per-conversation window shuffle relies on for "

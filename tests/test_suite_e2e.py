@@ -541,3 +541,44 @@ def test_freshness_check(spark, clean):
                       {"as_of": stale_as_of, "max_age_hours": 24.0})]),
         run_id="fr-empty"))
     assert res_empty.exit_code() == 1
+
+
+def test_consecutive_dup_loop_detection(spark):
+    """Agent-loop check: a turn repeating the PREVIOUS turn's (role,
+    text) with an advancing turn_idx is flagged; same payload under a
+    different role is not; an exact row duplicate (same turn_idx) is
+    unique_key's finding, not this check's."""
+    from mlcast_sourcedata_validator_spark.suite import CheckSpec, CheckSuite
+
+    suite = CheckSuite("l", [CheckSpec(
+        "loops", "consecutive_dup", "3.9 grammar",
+        "a turn MUST NOT repeat the previous turn verbatim",
+        {"columns": ["role", "text"]})])
+    rows = [
+        # c1: assistant stuck in a loop — turns 2 and 3 repeat turn 1
+        ("c1", 0, "user", "hi", None),
+        ("c1", 1, "assistant", "working on it", None),
+        ("c1", 2, "assistant", "working on it", None),
+        ("c1", 3, "assistant", "working on it", None),
+        ("c1", 4, "assistant", "done", None),
+        # c2: same text under a different role — not a repeat
+        ("c2", 0, "user", "ok", None),
+        ("c2", 1, "assistant", "ok", None),
+        # c3: exact row duplicate (same turn_idx) — unique_key's job
+        ("c3", 0, "user", "dup", None),
+        ("c3", 0, "user", "dup", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string",
+    ).withColumn("ts", F.current_timestamp())
+    res = run_suite(RunContext(spark=spark, df=df, suite=suite, run_id="l"))
+    assert res.report.has_fails()
+    v = sorted((r.conv_id, r.turn_idx) for r in res.violations.collect())
+    assert v == [("c1", 2), ("c1", 3)]
+
+    # clean input passes
+    res2 = run_suite(RunContext(
+        spark=spark, df=df.where("conv_id = 'c2'"), suite=suite,
+        run_id="l2"))
+    assert not res2.report.has_fails() and res2.n_violations == 0
