@@ -96,44 +96,55 @@ def ensure_bench_table(spark) -> None:
     from mlcast_sourcedata_validator_spark.checkpoint import (
         write_partitioned_transcripts,
     )
-    from mlcast_sourcedata_validator_spark.operators.drift import build_baseline
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_suite_baseline,
+    )
+    from mlcast_sourcedata_validator_spark.suite import get_suite
     from mlcast_sourcedata_validator_spark.synth import generate_transcripts
 
-    if (os.path.isdir(BENCH_TABLE) and os.path.isdir(BENCH_BASELINE)
-            and os.path.isdir(BENCH_REGISTRY)):
-        try:
-            meta = json.load(open(BENCH_META))
-        except Exception:
-            meta = {}
-        if meta.get("n_convs") == N_CONVS:
-            return
-        # size changed (e.g. the 9.9M -> 40M turn bump): rebuild
-    shutil.rmtree(BENCH_TABLE, ignore_errors=True)
+    # rev 2: suite-driven baseline (covers the categorical + joint-drift
+    # metrics the hand-built rev-1 baseline lacked, so those checks ran
+    # as missing-baseline WARNINGs at bench time)
+    baseline_rev = 2
+    try:
+        meta = json.load(open(BENCH_META))
+    except Exception:
+        meta = {}
+    table_ok = (os.path.isdir(BENCH_TABLE) and os.path.isdir(BENCH_REGISTRY)
+                and meta.get("n_convs") == N_CONVS)
+    baseline_ok = (os.path.isdir(BENCH_BASELINE)
+                   and meta.get("baseline_rev") == baseline_rev)
+    if table_ok and baseline_ok:
+        return
+    if not table_ok:
+        # size changed (e.g. the 9.9M -> 40M turn bump): rebuild all
+        shutil.rmtree(BENCH_TABLE, ignore_errors=True)
+        shutil.rmtree(BENCH_REGISTRY, ignore_errors=True)
+        df = generate_transcripts(spark, n_convs=N_CONVS, seed=42,
+                                  n_output_partitions=CPUS * 2)
+        # 1 file per date partition: at 10M rows, 8 files/partition
+        # yields ~76 KB files and the suite measures file-open overhead
+        # instead of compute (measured 14.6s -> 7.9s warm, 143s -> 9s
+        # cold). Real tables size files toward 128 MB-1 GB;
+        # 1/partition is the honest analog here.
+        write_partitioned_transcripts(df, BENCH_TABLE, files_per_partition=1)
+        from mlcast_sourcedata_validator_spark.sources.properties import (
+            write_table_properties,
+        )
+        write_table_properties(BENCH_TABLE,
+                               {"license": "CC-BY-4.0",
+                                "consistent_timestep_start": "true"})
+        # registry is its own table at real scale — precompute once
+        spark.read.parquet(BENCH_TABLE).select("conv_id").distinct() \
+            .coalesce(4).write.mode("overwrite").parquet(BENCH_REGISTRY)
+    # baseline alone is cheap (N_CONVS/20 clean convs) — a rev bump
+    # never forces regenerating the multi-GB bench table
     shutil.rmtree(BENCH_BASELINE, ignore_errors=True)
-    shutil.rmtree(BENCH_REGISTRY, ignore_errors=True)
-    df = generate_transcripts(spark, n_convs=N_CONVS, seed=42,
-                              n_output_partitions=CPUS * 2)
-    # 1 file per date partition: at 10M rows, 8 files/partition yields
-    # ~76 KB files and the suite measures file-open overhead instead of
-    # compute (measured 14.6s -> 7.9s warm, 143s -> 9s cold). Real tables
-    # size files toward 128 MB-1 GB; 1/partition is the honest analog here.
-    write_partitioned_transcripts(df, BENCH_TABLE, files_per_partition=1)
-    from mlcast_sourcedata_validator_spark.sources.properties import (
-        write_table_properties,
-    )
-    write_table_properties(BENCH_TABLE, {"license": "CC-BY-4.0",
-                                         "consistent_timestep_start": "true"})
-    # registry is its own table at real scale — precompute once
-    spark.read.parquet(BENCH_TABLE).select("conv_id").distinct() \
-        .coalesce(4).write.mode("overwrite").parquet(BENCH_REGISTRY)
     clean = generate_transcripts(spark, n_convs=max(2000, N_CONVS // 20), seed=43)
-    b1 = build_baseline(clean, expr="length(text)", metric="turn_len_chars",
-                        scale="log", lo=1.0, hi=10000.0, n_bins=32)
-    b2 = build_baseline(clean, expr="hour(ts) + 1", metric="ts_hour",
-                        scale="linear", lo=1.0, hi=25.0, n_bins=24)
-    b1.unionByName(b2).coalesce(1).write.mode("overwrite").parquet(BENCH_BASELINE)
+    build_suite_baseline(clean, get_suite("transcripts_v1")) \
+        .coalesce(1).write.mode("overwrite").parquet(BENCH_BASELINE)
     with open(BENCH_META, "w") as f:
-        json.dump({"n_convs": N_CONVS}, f)
+        json.dump({"n_convs": N_CONVS, "baseline_rev": baseline_rev}, f)
     _ = F  # keep import local-use explicit
 
 

@@ -261,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
 
     if args.demo:
-        from .operators.drift import build_baseline, build_categorical_baseline
+        from .operators.drift import build_suite_baseline
         from .synth import (
             dangling_conv_ids,
             generate_conversations_registry,
@@ -274,17 +274,11 @@ def main(argv: list[str] | None = None) -> int:
         registry = generate_conversations_registry(
             dirty, drop_convs=dangling_conv_ids(_expected)
         )
-        baseline = build_baseline(
-            clean, expr="length(text)", metric="turn_len_chars"
-        ).unionByName(build_categorical_baseline(
-            clean, expr="role",
-            categories=["system", "user", "assistant", "tool"],
-            metric="role_dist",
-        )).unionByName(build_categorical_baseline(
-            clean, expr="coalesce(tool, '<none>')",
-            categories=["<none>", "search", "python", "browser", "sql"],
-            metric="tool_dist",
-        ))
+        # suite-driven: every drift metric the suite declares gets a
+        # baseline, including ones added to the plan later
+        has_drift = any(c.kind in ("drift", "categorical_drift")
+                        for c in suite.checks)
+        baseline = build_suite_baseline(clean, suite) if has_drift else None
         df = dirty
     elif args.table and not args.whole_table and args.results:
         from .checkpoint import run_partitioned

@@ -313,6 +313,39 @@ def build_categorical_baseline(
     )
 
 
+def build_suite_baseline(df: DataFrame, suite) -> DataFrame:
+    """Baseline snapshot for EVERY drift check a suite declares, in one
+    DataFrame (metric, bin, count). Walks ``suite.checks`` so a drift
+    check added to a plan gets its baseline at every call site (CLI
+    demo, test fixtures, bench setup) automatically — before this,
+    each site hand-maintained the metric list and a new drift check
+    silently degraded to the missing-baseline WARNING there.
+
+    One union plan over the same input: Catalyst evaluates each
+    branch's bucket against a shared scan of ``df`` when it is cached /
+    checkpointed (the fixture pattern); at scale, prefer
+    :func:`maintain_baseline` per metric, which this mirrors."""
+    parts = []
+    for spec in suite.checks:
+        p = spec.params
+        if spec.kind == "drift":
+            parts.append(build_baseline(
+                df, expr=p["expr"], metric=p["metric"],
+                scale=p.get("scale", "log"), lo=p["lo"], hi=p["hi"],
+                n_bins=p.get("n_bins", 32)))
+        elif spec.kind == "categorical_drift":
+            parts.append(build_categorical_baseline(
+                df, expr=p["expr"], categories=list(p["categories"]),
+                metric=p["metric"]))
+    if not parts:
+        raise ValueError(
+            f"suite '{suite.suite_id}' declares no drift checks")
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Incremental baseline maintenance (rollup-machinery backed).
 # ---------------------------------------------------------------------------

@@ -201,6 +201,23 @@ def suite() -> CheckSuite:
              "warn_psi": 0.2, "max_psi": 0.5},
         ),
         CheckSpec(
+            "drift_role_tool_joint", "categorical_drift", "5.2 drift",
+            "The JOINT (role, tool) distribution SHOULD NOT drift from "
+            "the baseline — correlation shifts (a framework that starts "
+            "routing tool calls differently, tool values leaking onto "
+            "non-tool roles) are invisible to the two marginal mixes.",
+            {"metric": "role_tool_joint",
+             "expr": "concat(role, ':', coalesce(tool, '<none>'))",
+             # the well-formed joint cells; any other combination
+             # (e.g. a tool value on an assistant row) pools into
+             # <other> and shows up as joint mass the marginals miss
+             "categories": ["system:<none>", "user:<none>",
+                            "assistant:<none>"]
+                           + [f"tool:{t}" for t in TOOLS],
+             "warn_tvd": 0.10, "max_tvd": 0.25,
+             "warn_psi": 0.2, "max_psi": 0.5},
+        ),
+        CheckSpec(
             "license", "license", "5.3 licensing",
             "The table MUST declare a 'license' property; it SHOULD be a "
             "valid SPDX identifier from the recommended list; NC/ND "

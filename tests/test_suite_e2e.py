@@ -28,19 +28,14 @@ def clean(spark):
 
 @pytest.fixture(scope="module")
 def baseline(spark, clean):
-    b1 = build_baseline(clean, expr="length(text)", metric="turn_len_chars",
-                        scale="log", lo=1.0, hi=10000.0, n_bins=32)
-    b2 = build_baseline(clean, expr="hour(ts) + 1", metric="ts_hour",
-                        scale="linear", lo=1.0, hi=25.0, n_bins=24)
-    b3 = build_categorical_baseline(
-        clean, expr="role",
-        categories=["system", "user", "assistant", "tool"],
-        metric="role_dist")
-    b4 = build_categorical_baseline(
-        clean, expr="coalesce(tool, '<none>')",
-        categories=["<none>", "search", "python", "browser", "sql"],
-        metric="tool_dist")
-    return b1.unionByName(b2).unionByName(b3).unionByName(b4).localCheckpoint()
+    # suite-driven: every drift metric transcripts_v1 declares gets its
+    # baseline here automatically (no hand-maintained metric list)
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_suite_baseline,
+    )
+
+    return build_suite_baseline(
+        clean, get_suite("transcripts_v1")).localCheckpoint()
 
 
 @pytest.fixture(scope="module")
@@ -150,7 +145,7 @@ def test_missing_baseline_degrades_to_warning(spark, clean):
     res = run_suite(ctx)
     assert res.report.summarize()[FAIL] == 0
     drift_rows = [r for r in res.report.results if "drift skipped" in r.detail]
-    assert len(drift_rows) == 4 and all(r.status == WARNING for r in drift_rows)
+    assert len(drift_rows) == 5 and all(r.status == WARNING for r in drift_rows)
 
 
 def test_quarantine_splits_clean_and_flagged(spark, clean, baseline):
