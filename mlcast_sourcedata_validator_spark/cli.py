@@ -165,6 +165,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "window verdicts) to this parquet path — the "
                         "pipeline-stage form: clean rows flow on, flagged "
                         "rows are parked for inspection")
+    p.add_argument("--repair", default=None, metavar="PATH",
+                   help="also write a canonically REPAIRED copy of the "
+                        "input to this parquet path (case-mangled roles "
+                        "normalized, stray tool values nulled, duplicate "
+                        "keys keep-one, turn_idx re-contiguized — one "
+                        "conv_id shuffle; unrepairable violations are "
+                        "left for revalidation to flag)")
     p.add_argument("--list", action="store_true", help="list available suites")
     p.add_argument("--demo", action="store_true",
                    help="run the suite on synthetic dirty data")
@@ -566,6 +573,14 @@ def main(argv: list[str] | None = None) -> int:
         _clean, flagged = quarantine(ctx)
         flagged.write.mode("overwrite").parquet(args.quarantine)
         print(f"quarantined rows written to {args.quarantine}")
+    if args.repair:
+        from .functions.repair import repair_transcripts
+
+        repair_transcripts(
+            df, conv_col=suite.conv_col, turn_col=suite.turn_col,
+        ).write.mode("overwrite").parquet(args.repair)
+        print(f"repaired table written to {args.repair} — revalidate it "
+              f"to confirm which violations remain")
     return res.exit_code()
 
 

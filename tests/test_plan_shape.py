@@ -244,3 +244,19 @@ def test_suite_plan_zero_exchange_on_bucketed_table(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_suite_t")
         spark.sql("DROP TABLE IF EXISTS bkt_suite_reg")
+
+
+def test_repair_transcripts_single_exchange(spark):
+    """The whole repair (role/tool normalization map-side, key dedup +
+    reindex as two Windows over the same conv_id clustering) costs ONE
+    hash exchange — the suite's own shuffle budget."""
+    from mlcast_sourcedata_validator_spark.functions.repair import (
+        repair_transcripts,
+    )
+    from mlcast_sourcedata_validator_spark.synth import generate_transcripts
+
+    out = repair_transcripts(generate_transcripts(spark, n_convs=20, seed=3))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning\(conv_id#\d+",
+                          plan)) == 1, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]

@@ -577,3 +577,56 @@ def test_consecutive_dup_loop_detection(spark):
         spark=spark, df=df.where("conv_id = 'c2'"), suite=suite,
         run_id="l2"))
     assert not res2.report.has_fails() and res2.n_violations == 0
+
+
+def test_repair_transcripts_fixes_mechanical_classes(spark, clean, baseline):
+    """repair -> revalidate: duplicate keys, turn gaps, stray tools and
+    case-mangled roles come back green; unrepairable classes (null text,
+    unknown roles, ts regressions, dangling convs) still flag. Repair is
+    idempotent."""
+    from mlcast_sourcedata_validator_spark.functions.repair import (
+        repair_transcripts,
+    )
+
+    dirty, expected = inject_violations(clean, k=K, seed=42)
+    reg = generate_conversations_registry(
+        dirty, drop_convs=dangling_conv_ids(expected))
+    repaired = repair_transcripts(dirty).localCheckpoint()
+
+    # idempotent: a second repair changes nothing
+    again = repair_transcripts(repaired)
+    assert again.exceptAll(repaired).count() == 0
+    assert repaired.exceptAll(again).count() == 0
+
+    res = run_suite(RunContext(
+        spark=spark, df=repaired, suite=get_suite("transcripts_v1"),
+        run_id="t-repair", registry_df=reg, baseline_df=baseline))
+    status = {r.requirement: r.status for r in res.report.results}
+
+    def by_req(frag):
+        hits = [s for req, s in status.items() if frag in req]
+        assert hits, frag
+        return hits[0]
+
+    # mechanically repaired classes are green again
+    assert by_req("MUST be unique") == PASS                  # dup_key
+    assert by_req("increase without gaps") == PASS           # turn_gap
+    assert by_req("role = 'tool'") == PASS                   # bad_tool
+    # unrepairable classes still flag
+    assert by_req("non-decreasing") == FAIL                  # ts_regress
+    assert by_req("conversations registry") == FAIL          # dangling
+    # repair never invents payload: the planted NULL texts survive
+    assert repaired.where(F.col("text").isNull()).count() == K
+
+    def viol_count(cid):
+        return res.violations.where(F.col("check_id") == cid).count()
+
+    # bad_role splits: case-mangled 'ASSISTANT ' (turn%3==1) normalizes
+    # away (the canonical-spelling WARNING twin goes quiet); out-of-
+    # domain 'operator'/'' are unrepairable and still flag in full
+    n_canonical = sum(1 for _, t in expected["bad_role"] if t % 3 == 1)
+    assert viol_count("role_domain") == K - n_canonical
+    assert viol_count("role_domain_canonical") == 0 and n_canonical > 0
+    assert viol_count("unique_key") == 0
+    assert viol_count("turn_contiguity") == 0
+    assert viol_count("tool_domain") == 0
