@@ -573,7 +573,7 @@ def test_results_store_routing_sticky_against_cwd_paths(
     store = CatalogResultsStore(spark, "stickystore")
     store.append_lineage(spark.createDataFrame(
         [("transcripts_v1", "r1", "2024-01-01", "COMMITTED",
-          10, 0, 0, 0, 5, 0.1, 1.0)], schema=LINEAGE_SCHEMA))
+          10, 0, 0, 0, 5, 0.1, 1.0, None)], schema=LINEAGE_SCHEMA))
     try:
         # a same-named file appears in CWD between runs -> still sticky
         (tmp_path / "stickystore").mkdir()
