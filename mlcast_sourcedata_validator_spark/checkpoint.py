@@ -879,6 +879,7 @@ def maintain_rollup(
     derive: Optional[dict] = None,
     storage_options: Optional[dict] = None,
     max_concurrent: int = 1,
+    detect_changes: bool = False,
 ) -> list[str]:
     """Incrementally maintain a keyed rollup over a date-partitioned
     table: each uncommitted partition is rolled up ALONE (one
@@ -895,6 +896,17 @@ def maintain_rollup(
     target DISTINCT directories (each job stages under its own target's
     ``_temporary``), so only the shared lineage append serializes.
 
+    ``detect_changes`` extends resume to CONTENT (same fingerprints as
+    ``run_partitioned``): a COMMITTED source partition whose files were
+    rewritten gets its delta recomputed and recommitted (delta overwrite
+    + latest-marker-wins make that safe — the read path takes one delta
+    per active partition). A COMPACTED partition whose source changed is
+    a hard error: its old mass is folded into the compacted base and the
+    specs are merge-only (no retraction — HLL can't subtract), so the
+    store must be rebuilt at a fresh rollup_path; silently skipping
+    would serve a stale rollup forever. Pre-fingerprint COMPACTED
+    markers (fingerprint unknown) keep the old skip semantics.
+
     Returns the partitions processed this call. Reuses the validation
     lineage contract with ``suite_id = "__rollup__:<rollup_id>"`` so a
     crash between delta write and marker is redone safely.
@@ -906,8 +918,8 @@ def maintain_rollup(
                                       storage_options=storage_options)
     if not partitions:
         raise ValueError(f"no '{partition_key}=' partitions under {table_path}")
-    statuses = _latest_rollup_statuses(spark, rollup_path, rollup_id,
-                                       storage_options)
+    statuses, com_fps = _latest_rollup_markers(spark, rollup_path, rollup_id,
+                                               storage_options)
     if resume:
         # every marker-bearing partition was committed at some point
         done = set(statuses)
@@ -918,6 +930,28 @@ def maintain_rollup(
         # a fresh rollup_path — the contract of any materialized aggregate.
         done = {p for p, s in statuses.items() if s == "COMPACTED"}
 
+    if detect_changes:
+        changed = []
+        for p in partitions:
+            if p not in statuses:
+                continue  # new partition: already in the todo path
+            cur = partition_fingerprint(
+                table_path, p, partition_key=partition_key,
+                storage_options=storage_options)
+            stored = com_fps.get(p)
+            if stored is not None and stored == cur:
+                continue  # unchanged since its last committed delta
+            if statuses[p] == "COMPACTED":
+                if stored is None:
+                    continue  # pre-fingerprint store: can't tell — keep
+                raise ValueError(
+                    f"source partition '{p}' changed after its delta was "
+                    f"compacted into the base (rollup '{rollup_id}'): "
+                    "merge-only specs cannot retract the old mass — "
+                    "rebuild the rollup at a fresh rollup_path")
+            changed.append(p)
+        done -= set(changed)
+
     todo = [p for p in partitions if p not in done]
     if max_partitions is not None:
         todo = todo[:max_partitions]
@@ -925,6 +959,12 @@ def maintain_rollup(
 
     def _one(p: str) -> None:
         t0 = time.time()
+        # fingerprint BEFORE the read (run_partitioned rationale: a
+        # racing writer makes the stamp stale, so the next change-aware
+        # maintenance redoes the delta instead of trusting it)
+        fp = partition_fingerprint(
+            table_path, p, partition_key=partition_key,
+            storage_options=storage_options)
         batch = spark.read.option("basePath", table_path).parquet(
             fs.join(table_path, f"{partition_key}={p}")
         ).drop(partition_key)
@@ -938,7 +978,7 @@ def maintain_rollup(
         )
         marker = spark.createDataFrame(
             [(pseudo_suite, rollup_id, p, "COMMITTED", 0, 0, 0, 0, 0,
-              time.time() - t0, time.time(), None)],
+              time.time() - t0, time.time(), fp)],
             schema=LINEAGE_SCHEMA,
         )
         with commit_lock:
@@ -948,11 +988,14 @@ def maintain_rollup(
     return _concurrent_map(spark, todo, _one, max_concurrent, "rollup")
 
 
-def _latest_rollup_statuses(
+def _latest_rollup_markers(
     spark: SparkSession, rollup_path: str, rollup_id: str,
     storage_options: Optional[dict],
-) -> dict[str, str]:
-    """partition -> latest lineage status for a rollup store. Resolution
+) -> tuple[dict[str, str], dict[str, Optional[str]]]:
+    """``(statuses, committed_fps)`` for a rollup store: partition ->
+    latest lineage status, and partition -> fingerprint of its latest
+    COMMITTED marker (None when that marker predates fingerprinting) —
+    the second map drives change-aware maintenance. Resolution
     is per-partition latest-marker-wins on ``committed_at``, with
     COMPACTED preferred at exact timestamp ties (compaction logically
     follows the commit it supersedes; ties otherwise depend on collect
@@ -967,22 +1010,36 @@ def _latest_rollup_statuses(
         if not fs.isdir(lineage_dir, storage_options) or \
                 not fs.list_parquet_files(lineage_dir, limit=1,
                                           storage_options=storage_options):
-            return {}
+            return {}, {}
     except fs.FsUnavailable:
-        return {}
+        return {}, {}
     rows = (
-        spark.read.parquet(lineage_dir)
+        spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
         .where(F.col("suite_id") == pseudo_suite)
-        .select("partition_id", "status", "committed_at")
+        .select("partition_id", "status", "committed_at", "fingerprint")
         .collect()
     )
     latest: dict[str, tuple[float, int, str]] = {}
+    com_fp: dict[str, tuple[float, Optional[str]]] = {}
     for r in rows:
         key = str(r["partition_id"])
         rank = (r["committed_at"], 1 if r["status"] == "COMPACTED" else 0)
         if key not in latest or rank > latest[key][:2]:
             latest[key] = (*rank, r["status"])
-    return {p: s for p, (_, _, s) in latest.items()}
+        if r["status"] == "COMMITTED" and (
+                key not in com_fp or r["committed_at"] > com_fp[key][0]):
+            com_fp[key] = (r["committed_at"], r["fingerprint"])
+    return ({p: s for p, (_, _, s) in latest.items()},
+            {p: fp for p, (_, fp) in com_fp.items()})
+
+
+def _latest_rollup_statuses(
+    spark: SparkSession, rollup_path: str, rollup_id: str,
+    storage_options: Optional[dict],
+) -> dict[str, str]:
+    """Statuses-only view of :func:`_latest_rollup_markers`."""
+    return _latest_rollup_markers(spark, rollup_path, rollup_id,
+                                  storage_options)[0]
 
 
 def _active_rollup_partitions(

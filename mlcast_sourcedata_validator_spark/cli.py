@@ -352,6 +352,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_partitions=args.max_partitions,
                 storage_options=storage_options,
                 max_concurrent=args.max_concurrent,
+                detect_changes=args.detect_changes,
             )
             print(f"conv rollup: {len(rolled)} partition deltas committed "
                   f"at {args.conv_rollup}")
@@ -475,6 +476,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_partitions=args.max_partitions,
                 storage_options=storage_options,
                 max_concurrent=args.max_concurrent,
+                detect_changes=args.detect_changes,
             )
             # compact FIRST when requested: the dup-group count then reads
             # the just-written base instead of re-merging every delta —

@@ -1,6 +1,7 @@
 """Incremental keyed rollup: merge(rollup(parts)) == rollup(whole) for any
 split; transcript specs; derived metrics stay out of the merge cycle."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mlcast_sourcedata_validator_spark.functions.rollup import (
@@ -617,3 +618,64 @@ def test_vacuum_rollup_deletes_only_dead_dirs(spark, tmp_path):
     assert vacuum_rollup(
         spark, store, delete_orphan_bases=False)["deleted"] == []
     assert os.path.exists(orphan)
+
+
+def test_change_aware_rollup_maintenance(spark, tmp_path):
+    """detect_changes on maintain_rollup: a rewritten source partition
+    gets its delta recomputed (merged rollup equals a fresh whole-table
+    rollup of the NEW data); an unchanged store is a no-op; a changed
+    partition whose delta was already compacted raises (merge-only
+    specs cannot retract the old mass)."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+        write_partitioned_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=40, seed=19).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+        + F.make_interval(secs=F.pmod(F.xxhash64("conv_id"), F.lit(3)) * 86400
+                          + F.col("turn_idx") * 10),
+    )
+    table = str(tmp_path / "tbl")
+    store = str(tmp_path / "roll")
+    write_partitioned_transcripts(df, table)
+    specs = transcript_rollup_specs()
+
+    parts = sorted(maintain_rollup(spark, table, store, ["conv_id"], specs))
+    assert len(parts) == 3
+    # unchanged: change-aware maintenance finds nothing to do
+    assert maintain_rollup(spark, table, store, ["conv_id"], specs,
+                           detect_changes=True) == []
+
+    # rewrite one source partition with DIFFERENT data (drop one conv)
+    target = parts[0]
+    pdir = f"{table}/date={target}"
+    pdata = spark.read.parquet(pdir).localCheckpoint()
+    drop_conv = pdata.select("conv_id").orderBy("conv_id").first()[0]
+    pdata.where(F.col("conv_id") != drop_conv) \
+        .write.mode("overwrite").parquet(pdir)
+
+    # plain maintenance is blind; change-aware recomputes exactly it
+    assert maintain_rollup(spark, table, store, ["conv_id"], specs) == []
+    redone = maintain_rollup(spark, table, store, ["conv_id"], specs,
+                             detect_changes=True)
+    assert redone == [target]
+    merged = read_rollup(spark, store, ["conv_id"], specs)
+    direct = keyed_rollup(spark.read.parquet(table).drop("date"),
+                          ["conv_id"], specs)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    # compact, then rewrite another source partition: hard error — the
+    # old mass is in the base and cannot be retracted
+    compact_rollup(spark, store, ["conv_id"], specs)
+    target2 = parts[1]
+    pdir2 = f"{table}/date={target2}"
+    p2 = spark.read.parquet(pdir2).localCheckpoint()
+    p2.repartition(2).write.mode("overwrite").parquet(pdir2)
+    with pytest.raises(ValueError, match="compacted into the base"):
+        maintain_rollup(spark, table, store, ["conv_id"], specs,
+                        detect_changes=True)
