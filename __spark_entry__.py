@@ -3437,8 +3437,13 @@ _DRIVER_ORDER = [
     "dedup_exact_documents", "dedup_keep_min_documents",
     "minhash_lsh_pairs_documents", "lsh_verified_near_dups_documents",
     "ngram_jaccard_pairs_documents", "conv_dedup_events",
-    "simhash_banded_pairs_documents", "embedding_lsh_near_dup_pairs",
-    "embedding_cosine_topk",
+    "embedding_lsh_near_dup_pairs",
+    # round-4 rotations: simhash_banded_pairs (a banded-signature twin
+    # of in-window minhash_lsh_pairs) and embedding_cosine_topk (the
+    # brute-force exactness twin of BOTH in-window ANN queries) moved to
+    # extras; in their place the agent-loop run profile and the
+    # embedding drift family the gate did not see yet
+    "loop_runs_events", "embedding_drift_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
     # text / multimodal / composed pipeline
     "text_profile_documents", "pipeline_clean_documents",
@@ -3565,12 +3570,12 @@ _EXTRA_ORDER = [
     # SemDeDup: n_lists=1 == global brute-force keep rule (exact oracle);
     # the clustered scale path is superset-pinned in tests
     "semantic_dedup_embeddings",
-    # vector drift profile (mean-vector cosine/L2 + norm shift) between
-    # two embedding sets — the embedding complement of the drift family
-    "embedding_drift_embeddings",
-    # gaps-and-islands repeat-run profile (analytics twin of the
-    # consecutive_dup agent-loop check kind)
-    "loop_runs_events",
+    # banded-signature twin of in-window minhash_lsh_pairs_documents
+    # (rotated out for loop_runs_events in round 4)
+    "simhash_banded_pairs_documents",
+    # brute-force exactness twin of the two in-window ANN queries
+    # (rotated out for embedding_drift_embeddings in round 4)
+    "embedding_cosine_topk",
     # exact-k deterministic global sample (TakeOrdered on the id-uniform)
     "deterministic_take_documents",
     # near-exact dedup over the normalization key (case/whitespace)

@@ -80,6 +80,8 @@ HEADLINE = [
     "skew_profile_events",
     "funnel_conversion_events",
     "streaming_sessions_events",
+    "loop_runs_events",
+    "embedding_drift_embeddings",
 ]
 
 
