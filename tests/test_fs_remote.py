@@ -257,3 +257,40 @@ def test_partitioning_listdir_backend_error_degrades_to_warning(monkeypatch):
     ).fn(_ctx(root))
     assert [r.status for r in rep.results] == ["WARNING"]
     assert "access denied" in rep.results[0].detail
+
+
+def test_stat_files_and_fingerprint_across_backends(tmp_path):
+    """stat_files yields (path, size) on local and memory backends;
+    partition_fingerprint built on it is stable under re-listing,
+    ignores reader-invisible files (_SUCCESS/.crc), and changes when a
+    data file's name or size changes."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        partition_fingerprint,
+    )
+
+    # local backend
+    pdir = tmp_path / "tbl" / "date=2024-01-01"
+    pdir.mkdir(parents=True)
+    (pdir / "part-0.parquet").write_bytes(b"abc")
+    (pdir / "part-1.parquet").write_bytes(b"defg")
+    stats = dict(fs.stat_files(str(pdir)))
+    assert stats[str(pdir / "part-0.parquet")] == 3
+    assert stats[str(pdir / "part-1.parquet")] == 4
+
+    f1 = partition_fingerprint(str(tmp_path / "tbl"), "2024-01-01")
+    assert f1 == partition_fingerprint(str(tmp_path / "tbl"), "2024-01-01")
+    # committer bookkeeping must not change the fingerprint
+    (pdir / "_SUCCESS").write_bytes(b"")
+    (pdir / ".part-0.parquet.crc").write_bytes(b"xxxx")
+    assert partition_fingerprint(str(tmp_path / "tbl"), "2024-01-01") == f1
+    # a grown data file must
+    (pdir / "part-1.parquet").write_bytes(b"defgh")
+    assert partition_fingerprint(str(tmp_path / "tbl"), "2024-01-01") != f1
+
+    # memory backend
+    fs.write_text("memory://mt/date=2024-01-01/part-0.parquet", "abc")
+    m1 = partition_fingerprint("memory://mt", "2024-01-01")
+    fs.write_text("memory://mt/date=2024-01-01/part-0.parquet", "abcd")
+    assert partition_fingerprint("memory://mt", "2024-01-01") != m1
+    sizes = dict(fs.stat_files("memory://mt/date=2024-01-01"))
+    assert list(sizes.values()) == [4]
