@@ -224,22 +224,12 @@ def test_full_suite_all_green_with_properties(spark, clean, tmp_path):
 
     record_schema(df, path)
     reg = generate_conversations_registry(df)
-    b1 = build_baseline(df, expr="length(text)", metric="turn_len_chars")
-    b2 = build_baseline(df, expr="hour(ts) + 1", metric="ts_hour",
-                        scale="linear", lo=1.0, hi=25.0, n_bins=24)
+    # suite-driven: every drift metric the suite declares gets a baseline
     from mlcast_sourcedata_validator_spark.operators.drift import (
-        build_categorical_baseline,
+        build_suite_baseline,
     )
 
-    b3 = build_categorical_baseline(
-        df, expr="role",
-        categories=["system", "user", "assistant", "tool"],
-        metric="role_dist")
-    b4 = build_categorical_baseline(
-        df, expr="coalesce(tool, '<none>')",
-        categories=["<none>", "search", "python", "browser", "sql"],
-        metric="tool_dist")
-    baseline = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+    baseline = build_suite_baseline(df, get_suite("transcripts_v1"))
     res = run_suite(RunContext(
         spark=spark, df=df, suite=get_suite("transcripts_v1"), run_id="g",
         registry_df=reg, baseline_df=baseline, table_path=path,
