@@ -36,7 +36,8 @@ from mlcast_sourcedata_validator_spark.suite import (  # noqa: E402
 )
 
 ADDED_IN_R3 = ["schema_drift", "drift_role_dist", "drift_tool_dist"]
-ADDED_IN_R4 = ["role_grammar"]
+ADDED_IN_R4 = ["role_grammar", "loop_detection",
+               "drift_role_tool_joint"]
 
 
 def main() -> int:
