@@ -1466,6 +1466,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "weight_q", "dsir_key")
     q["dsir_resample_documents"] = dsir_resample_documents
 
+    def lm_ppl_documents(spark, sf):
+        """CCNet-style hashed bigram-LM quality score (arXiv:1911.00359):
+        fit bucketed bigram counts on the lang='en' slice (one bounded
+        agg), score every doc with a ZERO-SHUFFLE map-side aggregate over
+        its token array (quantized log tables as plan literals). Integer
+        log-probs => exact oracle. functions/lm.py."""
+        from mlcast_sourcedata_validator_spark.functions import lm
+
+        d = _t(spark, sf, "documents")
+        return lm.lm_score(d, "doc_id", "text", F.col("lang") == "en",
+                           n_ctx=256, n_pair=4096, seed=7) \
+                 .select("doc_id", "logprob_q", "n_bigrams")
+    q["lm_ppl_documents"] = lm_ppl_documents
+
     def weighted_sample_documents(spark, sf):
         """Efraimidis–Spirakis weighted sampling without replacement
         (exponential race: k earliest -ln(u(id))/weight arrivals),
@@ -3067,6 +3081,11 @@ def _all_oracles() -> dict[str, str]:
                max(n_occ) AS max_occ
         FROM spans GROUP BY doc_id"""
 
+    from mlcast_sourcedata_validator_spark.functions.lm import lm_sql
+    o["lm_ppl_documents"] = lm_sql(
+        "documents", "doc_id", "text", "lang = 'en'", n_ctx=256,
+        n_pair=4096, seed=7)
+
     from mlcast_sourcedata_validator_spark.functions.sampling import dsir_sql
     o["dsir_weights_documents"] = dsir_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_buckets=256, seed=7)
@@ -3584,6 +3603,9 @@ _EXTRA_ORDER = [
     # quantized weights => exact oracle; Gumbel-top-k selection)
     "dsir_weights_documents",
     "dsir_resample_documents",
+    # CCNet-style hashed bigram-LM perplexity (quantized integer
+    # log-probs => exact oracle; zero-shuffle scoring)
+    "lm_ppl_documents",
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
     "skew_profile_events",
