@@ -1480,6 +1480,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("doc_id", "logprob_q", "n_bigrams")
     q["lm_ppl_documents"] = lm_ppl_documents
 
+    def nb_classify_documents(spark, sf):
+        """fastText-analog hashed Naive-Bayes quality filter (GPT-3
+        appx A / CCNet): closed-form fit on lang='en' vs rest (one
+        bounded token agg + one scalar agg), ZERO-SHUFFLE scoring via a
+        literal weight table. Integer log-odds => exact oracle.
+        functions/classify.py."""
+        from mlcast_sourcedata_validator_spark.functions import classify
+
+        d = _t(spark, sf, "documents")
+        return classify.nb_score(d, "doc_id", "text",
+                                 F.col("lang") == "en", n_feat=2048,
+                                 seed=7) \
+                       .select("doc_id", "score_q", "n_tokens", "pred")
+    q["nb_classify_documents"] = nb_classify_documents
+
     def weighted_sample_documents(spark, sf):
         """Efraimidis–Spirakis weighted sampling without replacement
         (exponential race: k earliest -ln(u(id))/weight arrivals),
@@ -3086,6 +3101,10 @@ def _all_oracles() -> dict[str, str]:
         "documents", "doc_id", "text", "lang = 'en'", n_ctx=256,
         n_pair=4096, seed=7)
 
+    from mlcast_sourcedata_validator_spark.functions.classify import nb_sql
+    o["nb_classify_documents"] = nb_sql(
+        "documents", "doc_id", "text", "lang = 'en'", n_feat=2048, seed=7)
+
     from mlcast_sourcedata_validator_spark.functions.sampling import dsir_sql
     o["dsir_weights_documents"] = dsir_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_buckets=256, seed=7)
@@ -3606,6 +3625,9 @@ _EXTRA_ORDER = [
     # CCNet-style hashed bigram-LM perplexity (quantized integer
     # log-probs => exact oracle; zero-shuffle scoring)
     "lm_ppl_documents",
+    # fastText-analog hashed Naive-Bayes quality filter (closed-form
+    # fit; quantized integer log-odds => exact oracle)
+    "nb_classify_documents",
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
     "skew_profile_events",
