@@ -1248,6 +1248,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.gopher_repetition(_t(spark, sf, "documents"), "doc_id", "text")
     q["gopher_repetition_documents"] = gopher_repetition_documents
 
+    def gopher_quality_documents(spark, sf):
+        """Gopher/MassiveText 7-rule document quality filter (Rae et
+        al. 2021 appendix A1.1): integer cross-multiplied thresholds
+        => exact verdicts, zero-shuffle map-side expressions.
+        functions/text.py gopher_quality."""
+        return tx.gopher_quality(_t(spark, sf, "documents"),
+                                 "doc_id", "text")
+    q["gopher_quality_documents"] = gopher_quality_documents
+
     def vocab_topk_documents(spark, sf):
         """Corpus-level vocabulary top-k (count desc, token asc —
         deterministic set under ties); TakeOrdered top-k, no full sort."""
@@ -2815,6 +2824,11 @@ def _all_oracles() -> dict[str, str]:
         f" / max(nc), 0.0), 6) AS top{n}gram_char_frac,"
         for n in (2, 3, 4)
     ).rstrip(",")
+    from mlcast_sourcedata_validator_spark.functions.text import (
+        gopher_quality_sql)
+    o["gopher_quality_documents"] = gopher_quality_sql(
+        "documents", "doc_id", "text")
+
     o["gopher_repetition_documents"] = f"""
         WITH d AS (
           SELECT doc_id, length(text) AS nc,
@@ -3628,6 +3642,8 @@ _EXTRA_ORDER = [
     # fastText-analog hashed Naive-Bayes quality filter (closed-form
     # fit; quantized integer log-odds => exact oracle)
     "nb_classify_documents",
+    # Gopher/MassiveText 7-rule quality filter (integer-exact verdicts)
+    "gopher_quality_documents",
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
     "skew_profile_events",

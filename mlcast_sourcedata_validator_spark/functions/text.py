@@ -480,3 +480,163 @@ def chunk_documents(
     if min_tail > 1:
         out = out.where(F.length("chunk_text") >= min_tail)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText quality-rule filter (Rae et al. 2021, appendix A1.1)
+
+#: the Gopher stop-word presence set (rule 7: a document must contain at
+#: least 2 of these words)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: rule thresholds (words, mean-word-length band, symbol/bullet/ellipsis/
+#: alpha-word fractions) — the published MassiveText values
+GOPHER_RULES = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3, max_mean_word_len=10,
+    max_symbol_ratio_pct=10,      # symbols ("#", "...") per word <= 10%
+    max_bullet_line_pct=90,       # lines starting with a bullet <= 90%
+    max_ellipsis_line_pct=30,     # lines ending with "..." <= 30%
+    min_alpha_word_pct=80,        # words containing a-z >= 80%
+    min_stopwords=2,
+)
+
+_GOPHER_BULLET_PAT = r"^\s*[-*•‣▪●◦]"
+_GOPHER_ELLIPSIS_PAT = r"(\.\.\.|…)\s*$"
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher / MassiveText document quality filter (Rae et al.
+    2021, arXiv:2112.11446, appendix A1.1 — public paper): the seven
+    published rules as one map-side row filter. Appends the raw counts,
+    one boolean per rule, and the conjunction ``gopher_pass``.
+
+    Every rule threshold is evaluated in INTEGER cross-multiplication
+    (e.g. mean word length in [3,10] <=> ``3*n_words <= n_word_chars <=
+    10*n_words``; >=80% alpha words <=> ``5*n_alpha_words >=
+    4*n_words``), so verdicts are exact and engine-portable — no float
+    crosses a comparison boundary. Counts:
+
+    - ``n_words``: whitespace tokens; ``n_word_chars``: non-whitespace
+      characters (so mean word length = n_word_chars / n_words).
+    - ``n_symbols``: non-overlapping occurrences of ``#`` or ``...``.
+    - ``n_lines`` / ``n_bullet_lines`` / ``n_ellipsis_lines``: newline-
+      separated lines, bullet-start and ellipsis-end per the published
+      rule.
+    - ``n_alpha_words``: words containing at least one ASCII letter.
+    - ``n_stopwords``: how many DISTINCT Gopher stop words appear.
+
+    Scale shape: pure codegen'd string/regex expressions — zero
+    shuffle, zero explode, pipelines with the scan (the published
+    filter's per-document independence is exactly Spark's map side).
+    NULL text yields zero counts and fails rule 1, keeping the operator
+    total. Reference analog: the reference's tri-state payload checks
+    (``/root/reference/mlcast_dataset_validator/checks/data_vars/
+    naming.py:45-158``) are membership rules on names; this is the
+    corpus-scale content analog the pipeline brief calls for.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    r = GOPHER_RULES
+    n_words = ws_token_count(t)
+    n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_symbols = (F.coalesce(F.regexp_count(t, F.lit("#")), F.lit(0))
+                 + F.coalesce(F.regexp_count(t, F.lit(r"\.\.\.")), F.lit(0)))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_GOPHER_BULLET_PAT)))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(_GOPHER_ELLIPSIS_PAT)))
+    words = F.when(F.length(F.trim(t)) > 0, F.split(F.trim(t), r"\s+")) \
+             .otherwise(F.array().cast("array<string>"))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = sum(
+        (stopword_count(t, [w]) > 0).cast("int") for w in GOPHER_STOPWORDS)
+
+    rules = {
+        "r_word_count": (n_words >= r["min_words"])
+        & (n_words <= r["max_words"]),
+        "r_mean_word_len": (n_word_chars >= r["min_mean_word_len"] * n_words)
+        & (n_word_chars <= r["max_mean_word_len"] * n_words),
+        "r_symbol_ratio":
+            n_symbols * 100 <= r["max_symbol_ratio_pct"] * n_words,
+        "r_bullet_lines":
+            n_bullet * 100 <= r["max_bullet_line_pct"] * n_lines,
+        "r_ellipsis_lines":
+            n_ellipsis * 100 <= r["max_ellipsis_line_pct"] * n_lines,
+        "r_alpha_words":
+            n_alpha * 100 >= r["min_alpha_word_pct"] * n_words,
+        "r_stopwords": n_stop >= r["min_stopwords"],
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_word_chars.cast("int").alias("n_word_chars"),
+        n_symbols.cast("int").alias("n_symbols"),
+        n_lines.cast("int").alias("n_lines"),
+        n_bullet.cast("int").alias("n_bullet_lines"),
+        n_ellipsis.cast("int").alias("n_ellipsis_lines"),
+        n_alpha.cast("int").alias("n_alpha_words"),
+        n_stop.cast("int").alias("n_stopwords"),
+        *[c.alias(k) for k, c in rules.items()],
+    )
+    passed = None
+    for k in rules:
+        passed = F.col(k) if passed is None else passed & F.col(k)
+    return out.withColumn("gopher_pass", passed)
+
+
+def gopher_quality_sql(table: str, id_expr: str, text_expr: str) -> str:
+    """DuckDB mirror of :func:`gopher_quality` — same counts, same
+    integer cross-multiplied rule arithmetic, same column names."""
+    r = GOPHER_RULES
+    stop_sum = " + ".join(
+        f"CASE WHEN regexp_matches(_t, '(?i)\\b({w})\\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+WITH d AS (SELECT {id_expr} AS doc_id, COALESCE({text_expr}, '') AS _t
+           FROM {table}),
+c AS (SELECT doc_id, _t,
+        CASE WHEN length(trim(_t)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(_t), '\\s+')) END
+            ::INT AS n_words,
+        length(regexp_replace(_t, '\\s', '', 'g'))::INT AS n_word_chars,
+        (len(regexp_extract_all(_t, '#'))
+         + len(regexp_extract_all(_t, '\\.\\.\\.')))::INT AS n_symbols,
+        len(string_split(_t, chr(10)))::INT AS n_lines,
+        len(list_filter(string_split(_t, chr(10)),
+            l -> regexp_matches(l, '^\\s*[-*•‣▪●◦]')))
+            ::INT AS n_bullet_lines,
+        len(list_filter(string_split(_t, chr(10)),
+            l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+            ::INT AS n_ellipsis_lines,
+        CASE WHEN length(trim(_t)) = 0 THEN 0
+             ELSE len(list_filter(regexp_split_to_array(trim(_t), '\\s+'),
+                      w -> regexp_matches(w, '[A-Za-z]'))) END
+            ::INT AS n_alpha_words,
+        ({stop_sum})::INT AS n_stopwords
+      FROM d)
+SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines, n_bullet_lines,
+       n_ellipsis_lines, n_alpha_words, n_stopwords,
+       (n_words >= {r['min_words']} AND n_words <= {r['max_words']})
+           AS r_word_count,
+       (n_word_chars >= {r['min_mean_word_len']} * n_words
+        AND n_word_chars <= {r['max_mean_word_len']} * n_words)
+           AS r_mean_word_len,
+       (n_symbols * 100 <= {r['max_symbol_ratio_pct']} * n_words)
+           AS r_symbol_ratio,
+       (n_bullet_lines * 100 <= {r['max_bullet_line_pct']} * n_lines)
+           AS r_bullet_lines,
+       (n_ellipsis_lines * 100 <= {r['max_ellipsis_line_pct']} * n_lines)
+           AS r_ellipsis_lines,
+       (n_alpha_words * 100 >= {r['min_alpha_word_pct']} * n_words)
+           AS r_alpha_words,
+       (n_stopwords >= {r['min_stopwords']}) AS r_stopwords,
+       (n_words >= {r['min_words']} AND n_words <= {r['max_words']}
+        AND n_word_chars >= {r['min_mean_word_len']} * n_words
+        AND n_word_chars <= {r['max_mean_word_len']} * n_words
+        AND n_symbols * 100 <= {r['max_symbol_ratio_pct']} * n_words
+        AND n_bullet_lines * 100 <= {r['max_bullet_line_pct']} * n_lines
+        AND n_ellipsis_lines * 100 <= {r['max_ellipsis_line_pct']} * n_lines
+        AND n_alpha_words * 100 >= {r['min_alpha_word_pct']} * n_words
+        AND n_stopwords >= {r['min_stopwords']}) AS gopher_pass
+FROM c"""
