@@ -90,6 +90,7 @@ _COMPILERS = {
     "text_quality": text_quality.compile_text_quality,
     "text_repetition": text_quality.compile_text_repetition,
     "pii": text_quality.compile_pii,
+    "gopher_rules": text_quality.compile_gopher_rules,
     # row predicates
     "domain": domains.compile_domain,
     "conditional_column": domains.compile_conditional_column,

@@ -536,7 +536,36 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus-scale content analog the pipeline brief calls for.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    r = GOPHER_RULES
+    counts, rules = gopher_exprs(t)
+    out = df.select(
+        F.col(id_col),
+        *[c.alias(k) for k, c in counts.items()],
+        *[c.alias(k) for k, c in rules.items()],
+    )
+    passed = None
+    for k in rules:
+        passed = F.col(k) if passed is None else passed & F.col(k)
+    return out.withColumn("gopher_pass", passed)
+
+
+def gopher_exprs(
+    t: Column,
+    rules: dict[str, int] | None = None,
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """The Gopher counts and rule booleans as reusable Column
+    expressions over an (already NULL-coalesced) text column — single
+    source of truth for :func:`gopher_quality` and the ``gopher_rules``
+    check kind (operators/text_quality.py), which rides them on the
+    fused scan's Observation. ``rules`` overrides individual
+    :data:`GOPHER_RULES` thresholds (corpora legitimately deviate from
+    the web-page defaults — e.g. chat turns are shorter than 50 words);
+    unknown keys raise."""
+    r = dict(GOPHER_RULES)
+    if rules:
+        bad = set(rules) - set(r)
+        if bad:
+            raise ValueError(f"unknown Gopher rule overrides: {sorted(bad)}")
+        r.update(rules)
     n_words = ws_token_count(t)
     n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
     n_symbols = (F.coalesce(F.regexp_count(t, F.lit("#")), F.lit(0))
@@ -567,22 +596,27 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             n_alpha * 100 >= r["min_alpha_word_pct"] * n_words,
         "r_stopwords": n_stop >= r["min_stopwords"],
     }
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        n_word_chars.cast("int").alias("n_word_chars"),
-        n_symbols.cast("int").alias("n_symbols"),
-        n_lines.cast("int").alias("n_lines"),
-        n_bullet.cast("int").alias("n_bullet_lines"),
-        n_ellipsis.cast("int").alias("n_ellipsis_lines"),
-        n_alpha.cast("int").alias("n_alpha_words"),
-        n_stop.cast("int").alias("n_stopwords"),
-        *[c.alias(k) for k, c in rules.items()],
-    )
+    counts = {
+        "n_words": n_words,
+        "n_word_chars": n_word_chars.cast("int"),
+        "n_symbols": n_symbols.cast("int"),
+        "n_lines": n_lines.cast("int"),
+        "n_bullet_lines": n_bullet.cast("int"),
+        "n_ellipsis_lines": n_ellipsis.cast("int"),
+        "n_alpha_words": n_alpha.cast("int"),
+        "n_stopwords": n_stop.cast("int"),
+    }
+    return counts, rules
+
+
+def gopher_pass_expr(t: Column) -> Column:
+    """The 7-rule conjunction as ONE boolean Column (for aggregate
+    checks that only need the verdict)."""
+    _, rules = gopher_exprs(t)
     passed = None
-    for k in rules:
-        passed = F.col(k) if passed is None else passed & F.col(k)
-    return out.withColumn("gopher_pass", passed)
+    for c in rules.values():
+        passed = c if passed is None else passed & c
+    return passed
 
 
 def gopher_quality_sql(table: str, id_expr: str, text_expr: str) -> str:

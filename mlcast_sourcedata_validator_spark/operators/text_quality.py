@@ -222,3 +222,72 @@ def compile_text_repetition(
         row_verdict, severity=WARNING,
     )
     return [AggCheck(cid, exprs, verdict), row]
+
+
+def compile_gopher_rules(
+    spec: CheckSpec, suite: CheckSuite
+) -> list[AggCheck | RowCheck]:
+    """The Gopher/MassiveText 7-rule quality filter (Rae et al. 2021,
+    appendix A1.1) as a declarative check: per-rule fail counts ride the
+    fused scan's Observation (zero extra jobs — the rule booleans are
+    integer cross-multiplied expressions from
+    :func:`functions.text.gopher_exprs`, the same single source of
+    truth as the standalone ``gopher_quality`` operator and its DuckDB
+    oracle). params: column ('text'), max_fail_frac (fraction of docs
+    failing the conjunction tolerated before FAIL, default 0.1),
+    warn_fail_frac (default 0.02). Violation rows carry WHICH rules
+    failed per document, so the quarantine routes straight back to the
+    offending filter."""
+    from ..functions.text import gopher_exprs
+
+    col = spec.params.get("column", "text")
+    max_fail_frac = spec.params.get("max_fail_frac", 0.1)
+    warn_fail_frac = spec.params.get("warn_fail_frac", 0.02)
+    cid = spec.check_id
+    t = F.coalesce(F.col(col), F.lit(""))
+    _, rules = gopher_exprs(t, spec.params.get("rules"))
+    passed = None
+    for c in rules.values():
+        passed = c if passed is None else passed & c
+    exprs: dict[str, Column] = {
+        f"{cid}__n_fail": F.sum(F.when(~passed, 1).otherwise(0)),
+        f"{cid}__n": F.count(F.lit(1)),
+    }
+    for name, c in rules.items():
+        exprs[f"{cid}__{name}"] = F.sum(F.when(~c, 1).otherwise(0))
+
+    def verdict(m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        n_fail, n = m[f"{cid}__n_fail"], m[f"{cid}__n"]
+        if not n:
+            report.add(spec.section, spec.requirement, WARNING,
+                       "no rows — Gopher quality check skipped")
+            return stamp(report, _MOD, "compile_gopher_rules")
+        frac = (n_fail or 0) / n
+        per_rule = ", ".join(
+            f"{name}={m[f'{cid}__{name}'] or 0}" for name in rules)
+        detail = (f"{n_fail} of {n} docs ({frac:.4%}) fail the Gopher "
+                  f"rule set [{per_rule}]")
+        if frac > max_fail_frac:
+            report.add(spec.section, spec.requirement, FAIL,
+                       f"{detail} — exceeds {max_fail_frac:.2%}")
+        elif frac > warn_fail_frac:
+            report.add(spec.section, spec.requirement, WARNING, detail)
+        else:
+            report.add(spec.section, spec.requirement, PASS, detail)
+        return stamp(report, _MOD, "compile_gopher_rules")
+
+    def row_verdict(n_viol: int, m: dict[str, Any]) -> ValidationReport:
+        report = ValidationReport()
+        report.add(spec.section, spec.requirement, PASS,
+                   f"{n_viol} Gopher-failing documents listed in violations")
+        return stamp(report, _MOD, "compile_gopher_rules")
+
+    detail = F.concat(
+        F.lit("gopher rules failed: "),
+        F.concat_ws(",", F.array_compact(F.array(*[
+            F.when(~c, F.lit(name)) for name, c in rules.items()
+        ]))),
+    )
+    row = RowCheck(cid, ~passed, detail, row_verdict, severity=WARNING)
+    return [AggCheck(cid, exprs, verdict), row]

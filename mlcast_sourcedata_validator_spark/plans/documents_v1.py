@@ -111,6 +111,17 @@ def suite() -> CheckSuite:
              "max_frac": 0.02, "warn_frac": 0.005},
         ),
         CheckSpec(
+            "gopher_rules", "gopher_rules", "4.12 quality",
+            "Documents SHOULD clear the Gopher/MassiveText rule set "
+            "(word-count band, mean word length, symbol ratio, bullet/"
+            "ellipsis line fractions, alpha-word fraction; stop-word "
+            "floor relaxed for this synthetic vocabulary); more than "
+            "10% failing documents is a FAIL.",
+            {"column": "text", "max_fail_frac": 0.1,
+             "warn_fail_frac": 0.02,
+             "rules": {"min_words": 10, "min_stopwords": 0}},
+        ),
+        CheckSpec(
             "pii_screen", "pii", "4.11 pii",
             "Documents MUST NOT contain PII patterns (email/ipv4/ssn/"
             "phone); offending documents are listed for redaction.",

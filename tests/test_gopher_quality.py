@@ -99,3 +99,35 @@ def test_boundary_is_integer_exact(spark):
     out = _run(spark, [(1, doc_pass), (2, doc_fail)])
     assert out[1]["r_alpha_words"] is True
     assert out[2]["r_alpha_words"] is False
+
+
+def test_gopher_rules_check_kind(spark):
+    """The gopher_rules check FAILs a corpus where >10% of docs break
+    the (overridden) rule set, and the violation rows name the broken
+    rules."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    good = "the fox and the dog ran off to the river " * 3
+    rows = [(i, good) for i in range(8)]
+    rows += [(100, "short text"), (101, "#### " * 20)]   # 2/10 fail
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    suite = CheckSuite("g", [CheckSpec(
+        "gq", "gopher_rules", "q", "gopher",
+        {"column": "text", "max_fail_frac": 0.1,
+         "rules": {"min_words": 10}})],
+        conv_col="doc_id", turn_col="doc_id", ts_col="doc_id")
+    res = run_suite(RunContext(spark=spark, df=df, suite=suite, run_id="g"))
+    assert res.report.has_fails()
+    viol = {r["detail"] for r in res.violations.collect()}
+    assert any("r_word_count" in v for v in viol)
+    assert any("r_symbol_ratio" in v for v in viol)
+
+    # under the tolerance: 2/30 fail -> PASS band, rows still emitted
+    many = [(200 + i, good) for i in range(20)]
+    df2 = spark.createDataFrame(rows + many, "doc_id long, text string")
+    res2 = run_suite(RunContext(spark=spark, df=df2, suite=suite,
+                                run_id="g2"))
+    assert not res2.report.has_fails()
+    assert res2.violations.count() == 2
