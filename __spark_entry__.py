@@ -1504,6 +1504,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        .select("doc_id", "score_q", "n_tokens", "pred")
     q["nb_classify_documents"] = nb_classify_documents
 
+    def bpe_vocab_documents(spark, sf):
+        """Distributed BPE vocabulary induction (Sennrich et al. 2016):
+        learn 12 merges from the corpus — vocab-bounded iteration, one
+        small agg job per merge. Oracle = the same loop as 12 chained
+        DuckDB CTE stages. functions/bpe.py."""
+        from mlcast_sourcedata_validator_spark.functions import bpe
+
+        model, _ = bpe.bpe_learn(_t(spark, sf, "documents"), "text",
+                                 n_merges=12)
+        return bpe.bpe_merge_table(spark, model)
+    q["bpe_vocab_documents"] = bpe_vocab_documents
+
+    def bpe_tokenize_documents(spark, sf):
+        """Learn 12 BPE merges, then segment the training corpus via the
+        broadcast vocab-lookup join (zero re-derivation): per-doc token
+        count + md5 fingerprint of the token stream. functions/bpe.py."""
+        from mlcast_sourcedata_validator_spark.functions import bpe
+
+        d = _t(spark, sf, "documents")
+        _, vocab = bpe.bpe_learn(d, "text", n_merges=12)
+        return bpe.bpe_tokenize(d, "doc_id", "text", vocab)
+    q["bpe_tokenize_documents"] = bpe_tokenize_documents
+
     def weighted_sample_documents(spark, sf):
         """Efraimidis–Spirakis weighted sampling without replacement
         (exponential race: k earliest -ln(u(id))/weight arrivals),
@@ -3119,6 +3142,12 @@ def _all_oracles() -> dict[str, str]:
     o["nb_classify_documents"] = nb_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_feat=2048, seed=7)
 
+    from mlcast_sourcedata_validator_spark.functions.bpe import (
+        bpe_learn_sql, bpe_tokenize_sql)
+    o["bpe_vocab_documents"] = bpe_learn_sql("documents", "text", 12)
+    o["bpe_tokenize_documents"] = bpe_tokenize_sql(
+        "documents", "doc_id", "text", 12)
+
     from mlcast_sourcedata_validator_spark.functions.sampling import dsir_sql
     o["dsir_weights_documents"] = dsir_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_buckets=256, seed=7)
@@ -3644,6 +3673,10 @@ _EXTRA_ORDER = [
     "nb_classify_documents",
     # Gopher/MassiveText 7-rule quality filter (integer-exact verdicts)
     "gopher_quality_documents",
+    # distributed BPE vocabulary induction + corpus segmentation
+    # (vocab-bounded merge loop; oracle = k chained DuckDB CTE stages)
+    "bpe_vocab_documents",
+    "bpe_tokenize_documents",
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
     "skew_profile_events",
