@@ -3537,11 +3537,16 @@ _DRIVER_ORDER = [
     "incremental_dedup_documents", "incremental_rollup_events",
     "sample_mixture_documents", "pack_sequences_documents",
     "table_diff_events", "categorical_drift_events",
-    # temporal joins + structured streaming
-    "asof_last_purchase_events", "range_count_purchase_window_events",
+    # temporal joins + structured streaming (round-4 fifth-session
+    # rotation: range_count_purchase_window_events moved to extras as the
+    # interval-join twin of in-window asof_last_purchase_events; in its
+    # place the Gopher/MassiveText rule filter)
+    "asof_last_purchase_events", "gopher_quality_documents",
     "streaming_hourly_counts_events", "streaming_dedup_events",
-    # relational breadth (TPC-H shapes, windows, set ops, pivot, UDF/UDTF)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    # relational breadth (TPC-H shapes, windows, set ops, pivot, UDF/UDTF;
+    # q3_shipping_priority moved to extras as the join+agg+topk twin of
+    # in-window q5 — in its place distributed BPE vocabulary induction)
+    "q1_pricing_summary", "bpe_vocab_documents", "q5_local_supplier_volume",
     # behavioral analytics: ordered-funnel fold (one user-key shuffle;
     # running_revenue_customers rotated to extras as the cumulative-
     # window twin of in-window window_funcs_events)
@@ -3671,12 +3676,13 @@ _EXTRA_ORDER = [
     # fastText-analog hashed Naive-Bayes quality filter (closed-form
     # fit; quantized integer log-odds => exact oracle)
     "nb_classify_documents",
-    # Gopher/MassiveText 7-rule quality filter (integer-exact verdicts)
-    "gopher_quality_documents",
-    # distributed BPE vocabulary induction + corpus segmentation
-    # (vocab-bounded merge loop; oracle = k chained DuckDB CTE stages)
-    "bpe_vocab_documents",
+    # corpus BPE segmentation via the learned-vocab broadcast join (the
+    # learning twin bpe_vocab_documents sits in the driver window)
     "bpe_tokenize_documents",
+    # round-4 fifth-session window rotation: the TPC-H join+agg+topk twin
+    # and the interval-join twin demoted here (both still exact-compared)
+    "q3_shipping_priority",
+    "range_count_purchase_window_events",
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
     "skew_profile_events",

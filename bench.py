@@ -82,6 +82,9 @@ HEADLINE = [
     "streaming_sessions_events",
     "loop_runs_events",
     "embedding_drift_embeddings",
+    # round-4 fifth-session additions (additive, same rationale)
+    "gopher_quality_documents",
+    "bpe_vocab_documents",
 ]
 
 
