@@ -1504,6 +1504,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        .select("doc_id", "score_q", "n_tokens", "pred")
     q["nb_classify_documents"] = nb_classify_documents
 
+    def semantic_decontaminate_embeddings(spark, sf):
+        """Embedding-space benchmark decontamination (fuzzy complement
+        of the exact/shingle decontaminate_documents): label=0 vectors
+        are the 'eval set'; every other row is flagged when its max
+        cosine to any eval vector clears 0.45. Broadcast eval join, one
+        corpus scan, map-side codegen'd dot products.
+        functions/similarity.py semantic_decontaminate."""
+        from mlcast_sourcedata_validator_spark.functions import similarity
+
+        e = _t(spark, sf, "embeddings")
+        return similarity.semantic_decontaminate(
+            e.where(F.col("label") != 0), e.where(F.col("label") == 0),
+            "vec_id", "embedding", threshold=0.45, dim=64)
+    q["semantic_decontaminate_embeddings"] = semantic_decontaminate_embeddings
+
     def bpe_vocab_documents(spark, sf):
         """Distributed BPE vocabulary induction (Sennrich et al. 2016):
         learn 12 merges from the corpus — vocab-bounded iteration, one
@@ -3142,6 +3157,17 @@ def _all_oracles() -> dict[str, str]:
     o["nb_classify_documents"] = nb_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_feat=2048, seed=7)
 
+    o["semantic_decontaminate_embeddings"] = """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT a.vec_id,
+               max(round(list_cosine_similarity(a.v, b.v), 6))
+                   AS max_eval_cosine,
+               max(round(list_cosine_similarity(a.v, b.v), 6)) >= 0.45
+                   AS contaminated
+        FROM e a JOIN e b ON b.label = 0 AND a.label <> 0
+        GROUP BY a.vec_id"""
+
     from mlcast_sourcedata_validator_spark.functions.bpe import (
         bpe_learn_sql, bpe_tokenize_sql)
     o["bpe_vocab_documents"] = bpe_learn_sql("documents", "text", 12)
@@ -3679,6 +3705,9 @@ _EXTRA_ORDER = [
     # corpus BPE segmentation via the learned-vocab broadcast join (the
     # learning twin bpe_vocab_documents sits in the driver window)
     "bpe_tokenize_documents",
+    # embedding-space benchmark decontamination (fuzzy complement of
+    # the exact/shingle decontaminate_documents in the window)
+    "semantic_decontaminate_embeddings",
     # round-4 fifth-session window rotation: the TPC-H join+agg+topk twin
     # and the interval-join twin demoted here (both still exact-compared)
     "q3_shipping_priority",

@@ -1071,3 +1071,41 @@ def embedding_drift(cur: DataFrame, base: DataFrame,
         F.round((anc - anb) / anb, 6).alias("norm_shift"),
         "n_cur", "n_base",
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus row
+    whose max cosine to ANY eval-set vector clears ``threshold`` — the
+    fuzzy complement of the exact/shingle text decontamination in
+    dedup.decontaminate (paraphrased or reformatted eval items share no
+    shingles but stay cosine-close). Returns
+    ``(id, max_eval_cosine, contaminated)`` for every corpus row;
+    filter ``~contaminated`` for the clean set.
+
+    Scale shape: the eval set is bounded by construction (a benchmark
+    suite) -> ``broadcast()`` join, cosines scored map-side (codegen'd
+    expanded dot when ``dim`` is given), then ONE groupBy on the corpus
+    id whose shuffle carries a single (id, cosine) row per corpus row —
+    no corpus self-join, one scan. Cosine is rounded to 6dp before the
+    threshold compare and the max, so verdicts are engine-portable
+    (same contract as embedding_near_dup_pairs).
+    """
+    cos = (cosine_expanded(F.col("_v"), F.col("_ev"), dim)
+           if dim is not None else cosine(F.col("_v"), F.col("_ev")))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    e = eval_df.select(F.col(vec_col).alias("_ev"))
+    return (
+        c.join(F.broadcast(e))
+        .select(F.col(id_col), F.round(cos, 6).alias("_cos"))
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_eval_cosine"))
+        .withColumn("contaminated",
+                    F.col("max_eval_cosine") >= F.lit(threshold))
+    )

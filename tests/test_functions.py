@@ -1343,3 +1343,30 @@ def test_embedding_drift_detects_scale_and_direction_shift(spark):
     assert col["norm_shift"] == 0.0
     assert math.isclose(col["mean_cosine"], 1 / math.sqrt(3), abs_tol=1e-6)
     assert math.isclose(col["mean_l2_gap"], math.sqrt(2 / 3), abs_tol=1e-6)
+
+
+def test_semantic_decontaminate_flags_eval_neighbors(spark):
+    """Corpus rows cosine-close to any eval vector are flagged; far rows
+    survive; every corpus row appears exactly once with its max."""
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(0, [0.999, 0.01]),   # ~eval 100
+         (1, [0.01, 0.9]),     # ~eval 101
+         (2, [1.0, -1.0]),     # cos ~0.7 to 100, negative to 101
+         (3, [-1.0, -1.0])],   # negative to both
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["max_eval_cosine"], r["contaminated"])
+           for r in sim.semantic_decontaminate(
+               corpus, ev, "vec_id", "embedding",
+               threshold=0.95, dim=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0][1] and out[1][1]
+    assert not out[2][1] and not out[3][1]
+    assert out[2][0] == pytest.approx(0.707107, abs=1e-6)
+    # threshold monotonicity: lowering it can only add flags
+    low = {r["vec_id"] for r in sim.semantic_decontaminate(
+        corpus, ev, "vec_id", "embedding", threshold=0.5, dim=2)
+        .where("contaminated").collect()}
+    assert {0, 1, 2} == low
