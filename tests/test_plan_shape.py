@@ -260,3 +260,33 @@ def test_repair_transcripts_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(conv_id#\d+",
                           plan)) == 1, plan[:3000]
     assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_gopher_quality_plan_is_map_side(spark, sf_dir):
+    """gopher_quality is pure row expressions: one parquet scan, zero
+    Exchange — the filter pipelines with the scan at any corpus size."""
+    from mlcast_sourcedata_validator_spark.functions.text import (
+        gopher_quality)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = gopher_quality(docs, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_decontaminate_plan_broadcasts_eval(spark, sf_dir):
+    """The eval side must broadcast (no sort-merge join, no corpus-side
+    pre-join exchange): the only Exchange is the per-id max aggregate."""
+    from mlcast_sourcedata_validator_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+    df = sim.semantic_decontaminate(
+        emb.where(F.col("label") != 0), emb.where(F.col("label") == 0),
+        "vec_id", "embedding", threshold=0.45, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one hash exchange: the groupBy(vec_id) max
+    assert plan.count("Exchange hashpartitioning") == 1, plan
