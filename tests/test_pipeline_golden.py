@@ -27,9 +27,13 @@ def test_golden_pipeline_jsonl_to_training_shard(spark, sf_dir, tmp_path):
             (8_000_001, "some text in an unknown language", "xx", "web", 32),
             # PII -> quarantined (pii_screen), then redactable
             (8_000_002, "email bob@x.io please", "en", "web", 21),
-            # exact duplicate of itself twice -> dedup keeps one
-            (8_000_003, "an exactly duplicated document body", "en", "web", 35),
-            (8_000_004, "an exactly duplicated document body", "en", "web", 35),
+            # exact duplicate of itself twice -> dedup keeps one (long
+            # enough to clear documents_v1's gopher_rules word floor, so
+            # only the dedup stage may drop it)
+            (8_000_003, "an exactly duplicated document body that repeats "
+                        "verbatim across the web dump", "en", "web", 77),
+            (8_000_004, "an exactly duplicated document body that repeats "
+                        "verbatim across the web dump", "en", "web", 77),
         ],
         schema,
     ))
