@@ -1235,6 +1235,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["langid_documents"] = langid_documents
 
+    def lang_mix_documents(spark, sf):
+        """CCNet-style per-segment language mix: segment-level LID vote
+        (doc-level LID misses code-switched/template-mixed docs) ->
+        per-doc majority language, share, distinct-language count.
+        functions/text.py lang_mix."""
+        return tx.lang_mix(_t(spark, sf, "documents"), "doc_id", "text")
+    q["lang_mix_documents"] = lang_mix_documents
+
     def text_repetition_documents(spark, sf):
         """Repetition quality signals (dup-sentence ratio, top-token
         share) — the degenerate-text filter of an LLM data pipeline."""
@@ -2840,6 +2848,42 @@ def _all_oracles() -> dict[str, str]:
         SELECT lang, {lang_case} AS lang_guess, count(*)::BIGINT AS n
         FROM documents GROUP BY 1, 2"""
 
+    # per-segment variant of the same marker vote (CCNet paragraph LID)
+    scores_l = {
+        lang: "len(regexp_extract_all(_l, '(?i)\\b(" + "|".join(words)
+        + ")\\b'))"
+        for lang, words in tx.LANG_MARKERS.items()
+    }
+    lang_case_l = f"""CASE
+          WHEN {scores_l['en']} > 0 AND {scores_l['en']} >= {scores_l['de']}
+               AND {scores_l['en']} >= {scores_l['fr']}
+               AND {scores_l['en']} >= {scores_l['es']} THEN 'en'
+          WHEN {scores_l['de']} > 0 AND {scores_l['de']} >= {scores_l['fr']}
+               AND {scores_l['de']} >= {scores_l['es']} THEN 'de'
+          WHEN {scores_l['fr']} > 0 AND {scores_l['fr']} >= {scores_l['es']}
+               THEN 'fr'
+          WHEN {scores_l['es']} > 0 THEN 'es'
+          ELSE 'und' END"""
+    o["lang_mix_documents"] = f"""
+        WITH seg0 AS (
+          SELECT doc_id, unnest(string_split(text, '. ')) AS _l
+          FROM documents),
+        seg AS (
+          SELECT doc_id, {lang_case_l} AS _lang
+          FROM seg0 WHERE length(trim(_l)) > 0),
+        c AS (SELECT doc_id, _lang, count(*)::BIGINT AS _c
+              FROM seg GROUP BY 1, 2),
+        r AS (SELECT doc_id, _lang, _c, row_number() OVER (
+                PARTITION BY doc_id ORDER BY _c DESC, _lang ASC) AS rn
+              FROM c)
+        SELECT doc_id, SUM(_c)::INT AS n_segments,
+               count(*)::INT AS n_langs,
+               max(CASE WHEN rn = 1 THEN _lang END) AS majority_lang,
+               round(max(CASE WHEN rn = 1 THEN _c END)::DOUBLE / SUM(_c), 6)
+                   AS majority_frac,
+               count(*) > 1 AS mixed
+        FROM r GROUP BY doc_id"""
+
     o["text_repetition_documents"] = """
         WITH s AS (
           SELECT doc_id, string_split(text, '. ') AS sents FROM documents),
@@ -3708,6 +3752,8 @@ _EXTRA_ORDER = [
     # embedding-space benchmark decontamination (fuzzy complement of
     # the exact/shingle decontaminate_documents in the window)
     "semantic_decontaminate_embeddings",
+    # CCNet-style per-segment language mix (code-switch detection)
+    "lang_mix_documents",
     # round-4 fifth-session window rotation: the TPC-H join+agg+topk twin
     # and the interval-join twin demoted here (both still exact-compared)
     "q3_shipping_priority",

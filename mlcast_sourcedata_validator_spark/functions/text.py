@@ -674,3 +674,55 @@ SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines, n_bullet_lines,
         AND n_alpha_words * 100 >= {r['min_alpha_word_pct']} * n_words
         AND n_stopwords >= {r['min_stopwords']}) AS gopher_pass
 FROM c"""
+
+
+def lang_mix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\\. ",
+) -> DataFrame:
+    """CCNet-style per-segment language profile (CCNet, arXiv:1911.00359
+    — public paper — runs language ID per PARAGRAPH, not per document:
+    code-switched and template-mixed documents look monolingual to a
+    doc-level vote). Splits the document into segments, language-IDs
+    each with the shared :func:`lang_id` marker vote, and returns per
+    document:
+
+    - ``n_segments``: non-blank segments;
+    - ``n_langs``: distinct segment languages ('und' counts — a marker
+      drought is itself signal);
+    - ``majority_lang`` / ``majority_frac``: the plurality language and
+      its share (ties break lang-ascending — total, engine-portable);
+    - ``mixed``: more than one distinct segment language.
+
+    Scale shape: explode + two id-keyed hash aggregations (the second
+    reuses the first's partitioning; rows after stage one are bounded
+    by ids x |LANG_MARKERS|+1) and a bounded per-doc window — the
+    text_repetition cost profile. Documents with no non-blank segments
+    drop out (inner semantics, mirrored by the oracle).
+    """
+    from pyspark.sql import Window
+
+    seg = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), line_sep)).alias("_l"))
+        .where(F.length(F.trim(F.col("_l"))) > 0)
+        .select(id_col, lang_id(F.col("_l")).alias("_lang"))
+        .groupBy(id_col, "_lang").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("_lang"))
+    ranked = seg.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("int").alias("n_segments"),
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_lang")))
+             .alias("majority_lang"),
+            F.round(
+                F.max(F.when(F.col("_rn") == 1, F.col("_c"))) / F.sum("_c"),
+                6).alias("majority_frac"),
+        )
+        .withColumn("mixed", F.col("n_langs") > 1)
+    )

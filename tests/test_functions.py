@@ -1370,3 +1370,29 @@ def test_semantic_decontaminate_flags_eval_neighbors(spark):
         corpus, ev, "vec_id", "embedding", threshold=0.5, dim=2)
         .where("contaminated").collect()}
     assert {0, 1, 2} == low
+
+
+def test_lang_mix_detects_code_switching(spark):
+    """Per-segment LID flags a doc whose doc-level vote looks
+    monolingual: majority + share + distinct-language count."""
+    rows = [
+        # 2 en segments + 1 de segment -> mixed, majority en 2/3
+        (1, "the cat is in the house. the dog is in the garden. "
+            "der hund ist nicht ein zu das haus"),
+        # monolingual
+        (2, "the cat is in the house. the dog and the fox"),
+        # no markers at all -> single 'und' segment
+        (3, "zzz qqq. www rrr"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in tx.lang_mix(df, "doc_id", "text").collect()}
+    assert out[1]["mixed"] and out[1]["majority_lang"] == "en"
+    assert out[1]["n_segments"] == 3 and out[1]["n_langs"] == 2
+    assert out[1]["majority_frac"] == pytest.approx(0.666667)
+    assert not out[2]["mixed"] and out[2]["majority_lang"] == "en"
+    assert out[3]["majority_lang"] == "und" and out[3]["n_langs"] == 1
+    assert out[3]["n_segments"] == 2 and not out[3]["mixed"]
+    assert 4 not in out and 5 not in out  # no non-blank segments
