@@ -1243,6 +1243,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.lang_mix(_t(spark, sf, "documents"), "doc_id", "text")
     q["lang_mix_documents"] = lang_mix_documents
 
+    def oov_rate_documents(spark, sf):
+        """Release-over-release vocabulary coverage: word vocab induced
+        from the source='web' slice, per-doc OOV rate measured on every
+        OTHER source — OOV jumps when a new crawl source enters the mix
+        before length/quality stats move. Broadcast Heaps-bounded vocab,
+        one scan. functions/text.py oov_rate."""
+        d = _t(spark, sf, "documents")
+        ref = d.where(F.col("source") == "web")
+        vocab = ref.select(
+            F.explode(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                              r"\s+")).alias("w")
+        ).where(F.length("w") > 0).distinct()
+        return tx.oov_rate(d.where(F.col("source") != "web"),
+                           "doc_id", "text", vocab)
+    q["oov_rate_documents"] = oov_rate_documents
+
     def text_repetition_documents(spark, sf):
         """Repetition quality signals (dup-sentence ratio, top-token
         share) — the degenerate-text filter of an LLM data pipeline."""
@@ -2864,6 +2880,25 @@ def _all_oracles() -> dict[str, str]:
                THEN 'fr'
           WHEN {scores_l['es']} > 0 THEN 'es'
           ELSE 'und' END"""
+    o["oov_rate_documents"] = """
+        WITH vocab AS (
+          SELECT DISTINCT unnest(regexp_split_to_array(
+                   trim(COALESCE(text, '')), '\\s+')) AS w
+          FROM documents WHERE source = 'web'),
+        vocab_nz AS (SELECT w FROM vocab WHERE length(w) > 0),
+        words AS (
+          SELECT doc_id, unnest(CASE
+                   WHEN length(trim(COALESCE(text, ''))) = 0
+                     THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+          FROM documents WHERE source <> 'web')
+        SELECT doc_id, count(*)::INT AS n_words,
+               SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::INT AS n_oov,
+               round(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS oov_rate
+        FROM words LEFT JOIN vocab_nz v USING (w)
+        GROUP BY doc_id"""
+
     o["lang_mix_documents"] = f"""
         WITH seg0 AS (
           SELECT doc_id, unnest(string_split(text, '. ')) AS _l
@@ -3754,6 +3789,8 @@ _EXTRA_ORDER = [
     "semantic_decontaminate_embeddings",
     # CCNet-style per-segment language mix (code-switch detection)
     "lang_mix_documents",
+    # release-over-release vocabulary coverage (broadcast word vocab)
+    "oov_rate_documents",
     # round-4 fifth-session window rotation: the TPC-H join+agg+topk twin
     # and the interval-join twin demoted here (both still exact-compared)
     "q3_shipping_priority",

@@ -726,3 +726,47 @@ def lang_mix(
         )
         .withColumn("mixed", F.col("n_langs") > 1)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_df: DataFrame,
+    vocab_col: str = "w",
+) -> DataFrame:
+    """Out-of-vocabulary profiling against a reference word vocabulary
+    (the release-over-release check: vocabulary induced from release N,
+    coverage measured on release N+1 — OOV rate jumps when a new crawl
+    source or template enters the mix, BEFORE length/quality stats
+    move). Returns ``(id, n_words, n_oov, oov_rate)`` per document;
+    docs with no words drop out.
+
+    Scale shape: the vocabulary is Heaps-bounded -> ``broadcast()``
+    left-anti-style membership via a broadcast LEFT join + null test,
+    one corpus scan, one id-keyed aggregation. Compose with
+    :func:`~mlcast_sourcedata_validator_spark.functions.bpe.bpe_learn`'s
+    word table or ``vocab_topk`` for a frequency-capped vocabulary.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.length(F.trim(F.coalesce(F.col(text_col),
+                                              F.lit("")))) > 0,
+                   F.split(F.trim(F.col(text_col)), r"\s+"))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("_w"),
+    )
+    vocab = vocab_df.select(F.col(vocab_col).alias("_w")).distinct() \
+                    .withColumn("_in", F.lit(1))
+    return (
+        words.join(F.broadcast(vocab), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+             .cast("int").alias("n_oov"),
+        )
+        .withColumn("oov_rate",
+                    F.round(F.col("n_oov") / F.col("n_words"), 6))
+    )

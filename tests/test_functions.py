@@ -1396,3 +1396,18 @@ def test_lang_mix_detects_code_switching(spark):
     assert out[3]["majority_lang"] == "und" and out[3]["n_langs"] == 1
     assert out[3]["n_segments"] == 2 and not out[3]["mixed"]
     assert 4 not in out and 5 not in out  # no non-blank segments
+
+
+def test_oov_rate_against_reference_vocab(spark):
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("dog",)], "w string")
+    df = spark.createDataFrame(
+        [(1, "the cat saw the dog"),      # saw OOV -> 1/5
+         (2, "unknown words only here"),  # 4/4
+         (3, None), (4, "  ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_words"], r["n_oov"], r["oov_rate"])
+           for r in tx.oov_rate(df, "doc_id", "text", vocab).collect()}
+    assert out[1] == (5, 1, pytest.approx(0.2))
+    assert out[2] == (4, 4, pytest.approx(1.0))
+    assert 3 not in out and 4 not in out
