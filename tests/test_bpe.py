@@ -8,6 +8,7 @@ also runs in test_extra_oracles.py.
 from __future__ import annotations
 
 import collections
+import re
 
 import duckdb
 import pytest
@@ -28,9 +29,19 @@ def py_merge(syms, a, b):
     return out
 
 
+def py_words(t):
+    """The pinned word contract (see bpe.py module docstring): scrub
+    chr(1), split on the EXPLICIT ASCII class, drop empties — Python's
+    unicode-aware str.split() would diverge from both engines."""
+    if not t:
+        return []
+    return [w for w in re.split("[ \t\n\x0b\f\r]+", t.replace("\x01", ""))
+            if w]
+
+
 def py_bpe_learn(texts, n_merges, min_count=2):
     freqs = collections.Counter(
-        w for t in texts if t for w in t.split())
+        w for t in texts if t for w in py_words(t))
     words = {w: list(w) for w in freqs}
     merges = []
     for _ in range(n_merges):
@@ -52,7 +63,7 @@ def py_bpe_learn(texts, n_merges, min_count=2):
 
 def py_segment(text, merges):
     toks = []
-    for w in (text.split() if text else []):
+    for w in py_words(text):
         syms = list(w)
         for a, b, _ in merges:
             syms = py_merge(syms, a, b)
@@ -149,3 +160,47 @@ def test_separator_scrubbed(spark):
     model, _ = bpe.bpe_learn(df, "text", n_merges=2)
     for a, b, _ in model.merges:
         assert bpe.SYM_SEP not in a + b
+
+
+def test_learn_reliable_checkpoint_resume(spark, tmp_path):
+    """checkpoint_dir makes the merge loop durable + resumable: a short
+    run leaves committed word-table + merge-list parquet behind; a
+    longer re-run with the same dir resumes from the last commit (the
+    earlier commit is NOT recomputed — pinned via its _SUCCESS mtime)
+    and matches the in-memory answer exactly."""
+    import os
+
+    corpus = [
+        "low lower lowest low low", "new newer newest new",
+        "wide wider widest wide wide wide", "aaaaa aaaaa aaa",
+        "low low lower new wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    expect, _ = bpe.bpe_learn(df, "text", n_merges=10)
+    ckpt = str(tmp_path / "bpe")
+
+    # "interrupted" run: only 4 merges, committed every 2
+    m4, _ = bpe.bpe_learn(df, "text", n_merges=4,
+                          checkpoint_every=2, checkpoint_dir=ckpt)
+    assert m4.merges == expect.merges[:4]
+    assert os.path.exists(f"{ckpt}/round_0004/_SUCCESS")
+    assert os.path.exists(f"{ckpt}/merges_0004/_SUCCESS")
+    mtime_r2 = os.path.getmtime(f"{ckpt}/round_0002/_SUCCESS")
+
+    # resume to 10: rounds 1-4 come from the store, not recomputation
+    m10, vocab = bpe.bpe_learn(df, "text", n_merges=10,
+                               checkpoint_every=2, checkpoint_dir=ckpt)
+    assert m10.merges == expect.merges
+    assert os.path.getmtime(f"{ckpt}/round_0002/_SUCCESS") == mtime_r2
+    # the resumed vocab equals a fresh in-memory learn's vocab
+    _, vmem = bpe.bpe_learn(df, "text", n_merges=10)
+    assert sorted(map(tuple, vocab.collect())) == \
+        sorted(map(tuple, vmem.collect()))
+
+    # same-n re-run short-circuits entirely off the store
+    rounds_before = sorted(d for d in os.listdir(ckpt))
+    again, _ = bpe.bpe_learn(df, "text", n_merges=10,
+                             checkpoint_every=2, checkpoint_dir=ckpt)
+    assert again.merges == expect.merges
+    assert sorted(d for d in os.listdir(ckpt)) == rounds_before
