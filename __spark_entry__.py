@@ -3236,16 +3236,20 @@ def _all_oracles() -> dict[str, str]:
     o["nb_classify_documents"] = nb_sql(
         "documents", "doc_id", "text", "lang = 'en'", n_feat=2048, seed=7)
 
+    # cosine quantized to an exact integer (floor(x*1e6 + 0.5)) before
+    # max/threshold — the same integer contract as the Spark side, so
+    # the compare cannot flip on a last-ulp engine difference
     o["semantic_decontaminate_embeddings"] = """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                   FROM embeddings)
-        SELECT a.vec_id,
-               max(round(list_cosine_similarity(a.v, b.v), 6))
-                   AS max_eval_cosine,
-               max(round(list_cosine_similarity(a.v, b.v), 6)) >= 0.45
-                   AS contaminated
-        FROM e a JOIN e b ON b.label = 0 AND a.label <> 0
-        GROUP BY a.vec_id"""
+                   FROM embeddings),
+        q AS (SELECT a.vec_id,
+                     max(floor(list_cosine_similarity(a.v, b.v) * 1000000
+                               + 0.5)::BIGINT) AS cq
+              FROM e a JOIN e b ON b.label = 0 AND a.label <> 0
+              GROUP BY a.vec_id)
+        SELECT vec_id, cq / 1000000 AS max_eval_cosine,
+               cq >= 450000 AS contaminated
+        FROM q"""
 
     from mlcast_sourcedata_validator_spark.functions.bpe import (
         bpe_learn_sql, bpe_tokenize_sql)
@@ -3619,9 +3623,15 @@ _DRIVER_ORDER = [
     "timestep_analysis_events", "daily_drift_events", "salted_count_events",
     "conv_text_equality_events", "sessionize_events",
     "cardinality_sketch_events", "percentiles_value_events",
-    # LLM training-data pipeline: dedup + similarity
-    "dedup_exact_documents", "dedup_keep_min_documents",
-    "minhash_lsh_pairs_documents", "lsh_verified_near_dups_documents",
+    # LLM training-data pipeline: dedup + similarity (round-5 rotation:
+    # minhash_lsh_pairs — the strict candidates-stage sub-computation of
+    # in-window lsh_verified_near_dups — and dedup_keep_min — the
+    # keep-min twin of in-window dedup_exact — moved to extras; in their
+    # place the two model-fit quality operators the gate did not see
+    # yet: the hashed NB classifier and the CCNet-style bigram-LM
+    # perplexity ranker)
+    "dedup_exact_documents", "nb_classify_documents",
+    "lm_ppl_documents", "lsh_verified_near_dups_documents",
     "ngram_jaccard_pairs_documents", "conv_dedup_events",
     "embedding_lsh_near_dup_pairs",
     # round-4 rotations: simhash_banded_pairs (a banded-signature twin
@@ -3775,12 +3785,13 @@ _EXTRA_ORDER = [
     # quantized weights => exact oracle; Gumbel-top-k selection)
     "dsir_weights_documents",
     "dsir_resample_documents",
-    # CCNet-style hashed bigram-LM perplexity (quantized integer
-    # log-probs => exact oracle; zero-shuffle scoring)
-    "lm_ppl_documents",
-    # fastText-analog hashed Naive-Bayes quality filter (closed-form
-    # fit; quantized integer log-odds => exact oracle)
-    "nb_classify_documents",
+    # round-5 window rotation: the LSH candidates stage (strict
+    # sub-computation of in-window lsh_verified_near_dups_documents) and
+    # the keep-min twin of in-window dedup_exact_documents demoted here
+    # (both still exact-compared), making room for the promoted
+    # lm_ppl_documents / nb_classify_documents model-fit pair
+    "minhash_lsh_pairs_documents",
+    "dedup_keep_min_documents",
     # corpus BPE segmentation via the learned-vocab broadcast join (the
     # learning twin bpe_vocab_documents sits in the driver window)
     "bpe_tokenize_documents",

@@ -1093,19 +1093,27 @@ def semantic_decontaminate(
     suite) -> ``broadcast()`` join, cosines scored map-side (codegen'd
     expanded dot when ``dim`` is given), then ONE groupBy on the corpus
     id whose shuffle carries a single (id, cosine) row per corpus row —
-    no corpus self-join, one scan. Cosine is rounded to 6dp before the
-    threshold compare and the max, so verdicts are engine-portable
-    (same contract as embedding_near_dup_pairs).
+    no corpus self-join, one scan. The cosine is quantized to an exact
+    INTEGER (``floor(cos * 1e6 + 0.5)``, half-up at 6dp) before the max
+    and the threshold compare, and the reported ``max_eval_cosine`` is
+    that integer divided back by 1e6 — so the aggregate, the verdict
+    and the output are all derived from integer arithmetic and
+    bit-portable across engines (the lm/nb/dsir quantization contract;
+    a 6dp-rounded DOUBLE could still flip on a last-ulp engine
+    difference landing on a rounding boundary).
     """
     cos = (cosine_expanded(F.col("_v"), F.col("_ev"), dim)
            if dim is not None else cosine(F.col("_v"), F.col("_ev")))
+    thr_q = int(round(threshold * 1_000_000))
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
     e = eval_df.select(F.col(vec_col).alias("_ev"))
+    q = F.max("_cq")
     return (
         c.join(F.broadcast(e))
-        .select(F.col(id_col), F.round(cos, 6).alias("_cos"))
+        .select(F.col(id_col),
+                F.floor(cos * 1_000_000 + F.lit(0.5))
+                .cast("bigint").alias("_cq"))
         .groupBy(id_col)
-        .agg(F.max("_cos").alias("max_eval_cosine"))
-        .withColumn("contaminated",
-                    F.col("max_eval_cosine") >= F.lit(threshold))
+        .agg((q / 1_000_000).alias("max_eval_cosine"),
+             (q >= F.lit(thr_q)).alias("contaminated"))
     )

@@ -568,8 +568,12 @@ def gopher_exprs(
         r.update(rules)
     n_words = ws_token_count(t)
     n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    # '…' counts like '...': the MassiveText symbol rule treats the
+    # ellipsis generically, and the ellipsis-LINE rule below already
+    # accepts both spellings
     n_symbols = (F.coalesce(F.regexp_count(t, F.lit("#")), F.lit(0))
-                 + F.coalesce(F.regexp_count(t, F.lit(r"\.\.\.")), F.lit(0)))
+                 + F.coalesce(F.regexp_count(t, F.lit(r"\.\.\.")), F.lit(0))
+                 + F.coalesce(F.regexp_count(t, F.lit("…")), F.lit(0)))
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_GOPHER_BULLET_PAT)))
@@ -635,7 +639,8 @@ c AS (SELECT doc_id, _t,
             ::INT AS n_words,
         length(regexp_replace(_t, '\\s', '', 'g'))::INT AS n_word_chars,
         (len(regexp_extract_all(_t, '#'))
-         + len(regexp_extract_all(_t, '\\.\\.\\.')))::INT AS n_symbols,
+         + len(regexp_extract_all(_t, '\\.\\.\\.'))
+         + len(regexp_extract_all(_t, '…')))::INT AS n_symbols,
         len(string_split(_t, chr(10)))::INT AS n_lines,
         len(list_filter(string_split(_t, chr(10)),
             l -> regexp_matches(l, '^\\s*[-*•‣▪●◦]')))

@@ -131,3 +131,18 @@ def test_gopher_rules_check_kind(spark):
                                 run_id="g2"))
     assert not res2.report.has_fails()
     assert res2.violations.count() == 2
+
+
+def test_unicode_ellipsis_counts_as_symbol(spark):
+    """'…' counts toward the symbol ratio exactly like '...' — the
+    MassiveText rule treats the ellipsis symbol generically, and the
+    ellipsis-LINE rule already accepted both spellings (round-5 ADVICE
+    fidelity fix)."""
+    out = _run(spark, [
+        (1, GOOD + " " + "…" * 30),      # unicode ellipses only
+        (2, GOOD + " " + "..." * 30),    # ASCII ellipses
+    ])
+    assert out[1]["n_symbols"] == 30
+    assert not out[1]["r_symbol_ratio"] and not out[1]["gopher_pass"]
+    assert out[2]["n_symbols"] == 30
+    assert not out[2]["r_symbol_ratio"]
