@@ -35,14 +35,21 @@ BAND_SIZE = 4
 
 
 def enc4(s: Column) -> Column:
-    """Pack the first 4 chars of ``s`` into an int64, mod P."""
-    x = (
-        F.ascii(F.substring(s, 1, 1)) * F.lit(16777216)
-        + F.ascii(F.substring(s, 2, 1)) * F.lit(65536)
-        + F.ascii(F.substring(s, 3, 1)) * F.lit(256)
-        + F.ascii(F.substring(s, 4, 1))
-    )
-    return F.pmod(x.cast("long"), F.lit(P))
+    """Pack the first 4 chars of ``s`` into an int64, mod P.
+
+    Each ``ascii()`` (really: code point — both engines return it for
+    non-ASCII chars) is cast to LONG *before* the base-256 multiply:
+    ``ascii()`` is INT32 and any code point >= 128 (é = 233, every
+    non-Latin script, non-BMP) overflows ``233 * 16777216`` in 32 bits,
+    which under Spark's default ANSI mode aborts the whole job — found
+    by the hypothesis cross-engine kernel test, mirroring the explicit
+    ``::BIGINT`` casts :func:`enc4_sql` always had."""
+    def cp(i: int) -> Column:
+        return F.ascii(F.substring(s, i, 1)).cast("long")
+
+    x = (cp(1) * F.lit(16777216) + cp(2) * F.lit(65536)
+         + cp(3) * F.lit(256) + cp(4))
+    return F.pmod(x, F.lit(P))
 
 
 def enc4_sql(s: str) -> str:
