@@ -274,6 +274,56 @@ def _save_table_drop_orphan(spark: SparkSession, writer, tbl: str) -> None:
         writer.saveAsTable(tbl)
 
 
+def suggest_bucket_count(
+    total_bytes: int,
+    total_cores: int,
+    target_bucket_bytes: int = 256 << 20,
+    min_bucket_bytes: int = 16 << 20,
+) -> int:
+    """Bucket-count sizing rule for :func:`write_bucketed_table`,
+    calibrated by the round-5 bucket-count-vs-cores study
+    (BENCH/bucket_study_r05.json, ~39.5M turns / 1.4 GB compressed,
+    local[8] vs local[32]):
+
+    - 64 buckets (~22 MB each): 1.84M turns/s at 32 cores, 0.79
+      normalized 8->32 scaling;
+    - 128 buckets (~11 MB): 1.26M turns/s, 0.48;
+    - 256 buckets (~5.5 MB): 0.86M turns/s, 0.33.
+
+    i.e. the round-4 "buckets >= 2-4x cores" hypothesis was BACKWARDS:
+    once buckets drop below ~16 MB, per-task fixed cost (scheduling,
+    footer reads, codegen setup) eats the hi-core wall while the
+    low-core wall — overlap-bound, not overhead-bound — barely moves,
+    so BOTH absolute throughput and the scaling ratio collapse. Bucket
+    count must therefore be sized by BYTES first:
+
+    1. ``total_bytes / target_bucket_bytes`` buckets (~256 MB
+       compressed each at cluster scale — inside the 128 MB-1 GB band
+       where scan tasks amortize their fixed cost),
+    2. floored at ``2 x total_cores`` so every core gets work with one
+       wave of slack for task-length variance,
+    3. but NEVER below ``min_bucket_bytes`` per bucket — on inputs too
+       small to feed every core at that size, fewer-bigger buckets win
+       (measured above); a splittable unbucketed layout serves the
+       spare cores better than confetti buckets,
+    4. rounded to the nearest power of two (co-bucketed joins need
+       EQUAL counts on both tables; a fixed convention keeps
+       independently-written tables join-compatible).
+
+    For the study's input this returns 64 — the measured optimum.
+    """
+    if total_bytes <= 0 or total_cores <= 0:
+        raise ValueError("total_bytes and total_cores must be positive")
+    by_size = max(1, round(total_bytes / target_bucket_bytes))
+    n = max(2 * total_cores, by_size)
+    cap = max(1, total_bytes // min_bucket_bytes)
+    n = min(n, cap)
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p * 2 if (n - p) > (p * 2 - n) else p
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
@@ -314,6 +364,10 @@ def write_bucketed_table(
     bucket id is encoded in each file name, so a later session — or a
     session-scoped in-memory catalog — re-attaches the layout with
     :func:`register_bucketed_table`; the data is never rewritten.
+
+    Size ``n_buckets`` with :func:`suggest_bucket_count` — buckets
+    below ~16 MB measurably collapse hi-core throughput AND 8->32
+    scaling (BENCH/bucket_study_r05.json).
     """
     writer = (
         df.repartition(n_buckets, F.col(key))

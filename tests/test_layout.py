@@ -156,3 +156,27 @@ def test_clustering_check_verdicts(spark, tmp_path):
     with pytest.raises(ValueError, match="columns"):
         run_suite(RunContext(spark=spark, df=mem,
                              suite=suite({}), run_id="x"))
+
+
+def test_suggest_bucket_count_rule():
+    """The bytes-first sizing rule matches the round-5 measured study
+    (BENCH/bucket_study_r05.json): bytes/256MB target, 2x-cores floor,
+    16MB-per-bucket cap, power-of-two rounding."""
+    from mlcast_sourcedata_validator_spark.checkpoint import (
+        suggest_bucket_count,
+    )
+
+    # the study's input (~1.4 GB compressed, 32 cores) -> the measured
+    # optimum, 64 — NOT 128/256, which the study showed collapse both
+    # throughput and scaling
+    assert suggest_bucket_count(1_400_000_000, 32) == 64
+    # big cluster, big table: bytes-driven (1 PB at ~256 MB targets)
+    n = suggest_bucket_count(10**15, 8000)
+    assert n & (n - 1) == 0 and 2_000_000 <= n <= 8_000_000
+    # small table on a wide cluster: the 16 MB cap wins over the cores
+    # floor (confetti buckets measured slower than idle cores)
+    assert suggest_bucket_count(100_000_000, 32) <= 8
+    # degenerate inputs raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        suggest_bucket_count(0, 32)

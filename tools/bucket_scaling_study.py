@@ -160,7 +160,8 @@ def main() -> int:
         }
     blob = json.dumps(out)
     print(blob)
-    with open(os.path.join(REPO, "BENCH", "bucket_study_r05.json"), "w") as f:
+    out_name = os.environ.get("STUDY_OUT", "bucket_study_r05.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(blob + "\n")
     return 0
 
