@@ -162,6 +162,7 @@ def test_separator_scrubbed(spark):
         assert bpe.SYM_SEP not in a + b
 
 
+@pytest.mark.slow
 def test_learn_reliable_checkpoint_resume(spark, tmp_path):
     """checkpoint_dir makes the merge loop durable + resumable: a short
     run leaves committed word-table + merge-list parquet behind; a

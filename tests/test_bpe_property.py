@@ -16,6 +16,7 @@ exercises the min_count early-stop mirror in the SQL chain."""
 
 from __future__ import annotations
 
+import pytest
 import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -79,6 +80,7 @@ def _three_way(spark, corpus, n_merges, min_count):
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=_corpus, n_merges=st.integers(min_value=1, max_value=6),
        min_count=st.integers(min_value=1, max_value=2))
+@pytest.mark.slow
 def test_bpe_three_way_on_adversarial_alphabet(
     spark, corpus, n_merges, min_count
 ):

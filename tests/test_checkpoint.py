@@ -48,6 +48,7 @@ def registry(spark, table):
     ).localCheckpoint()
 
 
+@pytest.mark.slow
 def test_full_run_commits_every_partition(spark, table, registry, tmp_path):
     results = str(tmp_path / "store")
     suite = get_suite("transcripts_v1")
@@ -64,6 +65,7 @@ def test_full_run_commits_every_partition(spark, table, registry, tmp_path):
     assert lineage.where("status = 'COMMITTED'").count() == len(summary.processed)
 
 
+@pytest.mark.slow
 def test_concurrent_run_equals_serial(spark, table, registry, tmp_path):
     """max_concurrent pipelines partition validations through driver
     threads (commits serialized under the lock): same committed
@@ -111,6 +113,7 @@ def test_run_preserves_caller_scheduler_pool(spark, table, registry,
         sc.setLocalProperty("spark.scheduler.pool", None)
 
 
+@pytest.mark.slow
 def test_interrupted_run_resumes_and_matches_uninterrupted(
     spark, table, registry, tmp_path
 ):
@@ -160,6 +163,7 @@ def test_interrupted_run_resumes_and_matches_uninterrupted(
     assert av.exceptAll(bv).count() == 0 and bv.exceptAll(av).count() == 0
 
 
+@pytest.mark.slow
 def test_concurrent_crash_then_resume_converges(spark, table, registry,
                                                 tmp_path):
     """A crash mid-CONCURRENT-run propagates, leaves only marker-bearing
@@ -203,6 +207,7 @@ def test_concurrent_crash_then_resume_converges(spark, table, registry,
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+@pytest.mark.slow
 def test_no_resume_reprocesses(spark, table, registry, tmp_path):
     store = str(tmp_path / "nores")
     suite = get_suite("transcripts_v1")
@@ -212,6 +217,7 @@ def test_no_resume_reprocesses(spark, table, registry, tmp_path):
     assert s2.processed == s1.processed and not s2.skipped
 
 
+@pytest.mark.slow
 def test_change_aware_resume_revalidates_rewritten_partition(
         spark, tmp_path):
     """detect_changes: a committed partition whose files were rewritten
@@ -282,6 +288,7 @@ def test_change_aware_resume_revalidates_rewritten_partition(
     assert sorted(s6.processed) == parts and not s6.skipped
 
 
+@pytest.mark.slow
 def test_metrics_store_written_and_outlier_detection(spark, table, registry, tmp_path):
     """run_partitioned persists per-partition scalar metrics (north_star:
     'lineage and metrics'); metric_outlier_partitions flags a planted
@@ -327,6 +334,7 @@ def test_metrics_store_written_and_outlier_detection(spark, table, registry, tmp
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
     """--conv-rollup maintains the rollup store alongside the results run
     and the merged state matches a direct whole-table rollup."""
@@ -361,6 +369,7 @@ def test_cli_conv_rollup_flag(spark, table, registry, tmp_path):
     assert len(active) == 1 and active[0].startswith("__base-")
 
 
+@pytest.mark.slow
 def test_cli_vacuum_rollup_flag(spark, table, tmp_path, capsys):
     """--vacuum-rollup after --compact-rollup physically removes the
     superseded delta dirs; merged state unchanged; the flag warns (like
@@ -404,6 +413,7 @@ def test_cli_vacuum_rollup_flag(spark, table, tmp_path, capsys):
     assert rc2 == 0
 
 
+@pytest.mark.slow
 def test_cli_audit_metric_flag(spark, table, registry, tmp_path, capsys):
     """--audit-metric reports per-metric outlier partitions (or their
     absence) from the metrics store after the partitioned run."""
@@ -420,6 +430,7 @@ def test_cli_audit_metric_flag(spark, table, registry, tmp_path, capsys):
     assert "metric audit [__n_rows]:" in out
 
 
+@pytest.mark.slow
 def test_cli_audit_history_flag(spark, table, registry, tmp_path, capsys):
     """--audit-history audits a metric's per-partition run history in the
     store (3 runs of the same data -> a report line, no anomalies); a bad
@@ -475,6 +486,7 @@ def test_metrics_rows_flattening():
     assert "bins" not in by_metric and "long_str" not in by_metric
 
 
+@pytest.mark.slow
 def test_catalog_results_store_commit_resume_parity(spark, table, registry):
     """The catalog-table results backend (north_star: lineage + metrics
     to an Iceberg results table): passing a catalog IDENTIFIER instead
@@ -584,6 +596,7 @@ def test_results_store_routing_sticky_against_cwd_paths(
         spark.sql("DROP TABLE IF EXISTS stickystore_lineage")
 
 
+@pytest.mark.slow
 def test_violation_trend_audit_flags_jumped_check(spark, table, registry,
                                                   tmp_path):
     """Cross-release check-outcome drift: release 2 rewrites some roles

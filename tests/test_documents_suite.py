@@ -82,6 +82,7 @@ def test_documents_suite_flags_planted_violations(spark, docs):
     assert ("n_chars_consistency", "9000001") in viol
 
 
+@pytest.mark.slow
 def test_documents_suite_drift_check(spark, docs):
     """documents_v1 drift: no baseline -> WARNING skip; self-baseline ->
     PASS with KS~0; shifted baseline -> drift flagged."""

@@ -203,6 +203,7 @@ def test_resample_plan_is_take_ordered(spark, docs):
 # --- duplicate_spans (functions/dedup.py) -----------------------------------
 
 
+@pytest.mark.slow
 def test_duplicate_spans_winnowed_subset_and_guarantee(spark, docs):
     from mlcast_sourcedata_validator_spark.functions import dedup as D
 

@@ -75,6 +75,7 @@ def test_asof_matches_naive_on_random_inputs(sp, lefts, rights):
                  min_size=0, max_size=8),
     binw=st.sampled_from([60, 180, 600, 3600]),
 )
+@pytest.mark.slow
 def test_interval_join_matches_naive_on_random_inputs(sp, points, ivs, binw):
     p = sp.createDataFrame(
         [(i, _ts(m)) for i, m in enumerate(points)] or [(0, _ts(0))],

@@ -86,6 +86,7 @@ def test_minmax_constant_column_is_safe(spark):
     assert any(r.z > 0 for r in z)  # id's odd positions still populate
 
 
+@pytest.mark.slow
 def test_reclustering_deltas_with_saved_grid(spark, tmp_path):
     """The returned grid spec re-clusters a later delta consistently:
     the SAME row gets the SAME z-value through a saved-bins encode as

@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import pytest
 import subprocess
 import sys
 
@@ -34,6 +35,7 @@ def test_pyfiles_zip_importable(tmp_path):
     assert "zip-import-ok" in res.stdout
 
 
+@pytest.mark.slow
 def test_spark_submit_pyfiles_end_to_end(tmp_path):
     """The north_rule deployment contract, executed for real: the demo
     suite runs through the actual `spark-submit --py-files <zip>` path

@@ -129,6 +129,7 @@ def test_max_violations_allows_bounded_misroutes(spark, routed):
         res.report.results[0].detail
 
 
+@pytest.mark.slow
 def test_run_partitioned_batches_catch_misroutes(spark, table_path,
                                                  tmp_path):
     """The per-partition runner drops the partition COLUMN from each

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 import mlcast_sourcedata_validator_spark.functions.similarity as sim
 
 
+@pytest.mark.slow
 class TestPQ:
     @pytest.fixture(scope="class")
     def fitted(self, spark, sf_dir):
@@ -88,6 +89,7 @@ class TestPQ:
             assert abs(r["adc"] - exact[r["vec_id"]]) < 1e-6
 
 
+@pytest.mark.slow
 class TestIVFPQ:
     @pytest.fixture(scope="class")
     def built(self, spark, sf_dir, tmp_path_factory):

@@ -43,6 +43,7 @@ def registry(spark, table):
     ).localCheckpoint()
 
 
+@pytest.mark.slow
 def test_sampled_partitioned_run(spark, table, registry, tmp_path):
     suite = get_suite("transcripts_v1")
     full_store = str(tmp_path / "full")

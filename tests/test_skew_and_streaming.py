@@ -1,6 +1,7 @@
 """Salted two-phase aggregation equivalence on the Zipf fixture; streaming
 micro-batch validation via foreachBatch availableNow."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mlcast_sourcedata_validator_spark.report import FAIL
@@ -64,6 +65,7 @@ def test_streaming_validation_available_now(spark, tmp_path):
         assert summary[FAIL] == 0
 
 
+@pytest.mark.slow
 def test_stateful_conversation_stream(spark, tmp_path):
     """applyInPandasWithState: per-conv state across micro-batches,
     event-time timeout emits completion, watermark drops late rows."""
