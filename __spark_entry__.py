@@ -1287,6 +1287,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.vocab_topk(_t(spark, sf, "documents"), "text", k=50)
     q["vocab_topk_documents"] = vocab_topk_documents
 
+    def heavy_hitters_documents(spark, sf):
+        """Bounded-state twin of vocab_topk_documents: Misra-Gries
+        per-partition candidates (state capped at `capacity`, never a
+        distinct-token-sized hash table) + exact broadcast-join recount
+        (functions/sketch.py). Its default fail-loud mode certifies the
+        result equals the one-pass exact top-k, so the oracle is the
+        plain SQL."""
+        from mlcast_sourcedata_validator_spark.functions import sketch as sk
+
+        return sk.heavy_hitters(
+            sk.token_keys(_t(spark, sf, "documents"), "text"),
+            k=20, capacity=4096,
+        )
+    q["heavy_hitters_documents"] = heavy_hitters_documents
+
+    def hot_users_events(spark, sf):
+        """Hot-key discovery on events.user_id through the same
+        bounded-state sketch — the skew_profile measurement re-expressed
+        so it survives a key space that no longer fits executor hash
+        tables (north_rule: finding the conv_id hot keys to salt)."""
+        from mlcast_sourcedata_validator_spark.functions import sketch as sk
+
+        keys = _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("key"))
+        return sk.heavy_hitters(keys, k=15, capacity=4096)
+    q["hot_users_events"] = hot_users_events
+
     def corr_profile_events(spark, sf):
         """Pairwise Pearson corr + covariance profile
         (profiler.numeric_correlations): all pairs as codegen'd
@@ -2983,6 +3010,18 @@ def _all_oracles() -> dict[str, str]:
         WHERE length(t) > 0
         GROUP BY t ORDER BY n DESC, token ASC LIMIT 50"""
 
+    o["heavy_hitters_documents"] = """
+        SELECT key, count(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS key
+              FROM documents)
+        WHERE length(key) > 0
+        GROUP BY key ORDER BY n DESC, key ASC LIMIT 20"""
+
+    o["hot_users_events"] = """
+        SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY key ORDER BY n DESC, key ASC LIMIT 15"""
+
     o["corr_profile_events"] = """
         WITH s AS (SELECT
           corr(event_id, user_id) AS r01, covar_samp(event_id, user_id) AS c01,
@@ -3849,6 +3888,11 @@ _EXTRA_ORDER = [
     # signature sub-computation of in-window simhash_banded_pairs
     # (rotated out of the window for conv_dedup_events in round 4)
     "simhash_documents",
+    # round 5: Misra-Gries bounded-state heavy hitters (candidates +
+    # exact broadcast recount; fail-loud certificate) — the sketch-path
+    # twins of vocab_topk_documents and skew_profile's hot-key scan
+    "heavy_hitters_documents",
+    "hot_users_events",
 ]
 
 

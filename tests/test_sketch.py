@@ -1,0 +1,95 @@
+"""Misra-Gries heavy hitters (functions/sketch.py): bounded-state
+candidates + exact recount."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import mlcast_sourcedata_validator_spark.functions.sketch as sk
+
+
+def _exact_topk(keys, k):
+    return (
+        keys.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key")).limit(k)
+    )
+
+
+def test_heavy_hitters_equals_exact_topk_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = sk.token_keys(docs, "text")
+    got = sk.heavy_hitters(keys, k=20, capacity=4096).collect()
+    want = _exact_topk(keys, 20).collect()
+    assert [(r["key"], r["n"]) for r in got] == \
+           [(r["key"], r["n"]) for r in want]
+
+
+def test_mg_candidates_superset_guarantee(spark):
+    """Every key with global count > N/(capacity+1) must appear in the
+    candidate union — the pigeonhole form of the MG bound, under a
+    deliberately tiny capacity and forced multi-partition input."""
+    # zipf-ish: key_i has count 600 // (i + 1)
+    rows = [(f"k{i:03d}",) for i in range(60) for _ in range(600 // (i + 1))]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    n = len(rows)
+    capacity = 8
+    cand = {r["key"] for r in sk.mg_candidates(df, capacity=capacity)
+            .where(F.col("key").isNotNull()).collect()}
+    from collections import Counter
+    true = Counter(r[0] for r in rows)
+    must_have = {k for k, v in true.items() if v > n / (capacity + 1)}
+    assert must_have, "fixture must exercise the bound"
+    assert must_have <= cand, must_have - cand
+
+
+def test_mg_sentinels_carry_total_and_shrink(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)],
+                               "key string").repartition(4)
+    summ = sk.mg_candidates(df, capacity=1000)
+    sent = summ.where(F.col("key").isNull())
+    agg = sent.agg(F.sum("est").alias("n"), F.max("shrunk").alias("s")).first()
+    assert agg["n"] == 100 and agg["s"] is False
+
+
+def test_heavy_hitters_inconclusive_raises_and_warns(spark):
+    """One genuinely hot key over a sea of uniques, capacity far too
+    small: the hot key clears the MG bound and is recounted exactly,
+    but the uniques all cancel out of the saturated sketches, so the
+    top-5 SET cannot be certified -> fail mode raises, warn mode
+    returns the (exact) surviving rows flagged guaranteed=False."""
+    rows = [(f"u{i:04d}",) for i in range(400)] + [("hot",)] * 30
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    with pytest.raises(ValueError, match="inconclusive"):
+        sk.heavy_hitters(df, k=5, capacity=16)
+    out = sk.heavy_hitters(df, k=5, capacity=16,
+                           on_inconclusive="warn_column").collect()
+    assert out and (out[0]["key"], out[0]["n"]) == ("hot", 30)
+    assert all(r["guaranteed"] is False for r in out)
+
+
+def test_heavy_hitters_small_keyspace_exact_below_k(spark):
+    """Fewer distinct keys than k with no sketch saturation: all keys
+    returned exactly, no raise — the candidates ARE the key space."""
+    rows = [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 2 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "key string").repartition(3)
+    got = [(r["key"], r["n"])
+           for r in sk.heavy_hitters(df, k=20, capacity=64).collect()]
+    assert got == [("a", 7), ("b", 5), ("c", 2)]  # nulls never hitters
+
+
+def test_recount_plan_is_broadcast_join_and_takeordered(spark, sf_dir):
+    """The pass-2 shape heavy_hitters builds: candidate side broadcast
+    (bounded at partitions x capacity), top-k as TakeOrderedAndProject —
+    never a shuffled join or a global Sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = sk.token_keys(docs, "text")
+    cand = (sk.mg_candidates(keys, capacity=4096)
+            .where(F.col("key").isNotNull()).select("key").distinct())
+    top = (keys.join(F.broadcast(cand), "key", "inner")
+           .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("key")).limit(20))
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
