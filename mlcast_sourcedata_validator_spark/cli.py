@@ -173,6 +173,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "conv_id shuffle; unrepairable violations are "
                         "left for revalidation to flag)")
     p.add_argument("--list", action="store_true", help="list available suites")
+    p.add_argument("--profile-skew", action="store_true",
+                   help="measure hot keys on the suite's conv column and "
+                        "print the top offenders with share/x_mean plus a "
+                        "suggested n_salts for salted_agg, then exit (the "
+                        "north_rule's 'find the conv_id hot keys to salt' "
+                        "step as a first-class action)")
+    p.add_argument("--skew-top", type=int, default=10, metavar="K",
+                   help="how many hot keys --profile-skew prints "
+                        "(default 10)")
     p.add_argument("--demo", action="store_true",
                    help="run the suite on synthetic dirty data")
     p.add_argument("--cores", default=None, help="local[N] cores (default: all)")
@@ -262,6 +271,32 @@ def main(argv: list[str] | None = None) -> int:
         _fs.write_text(args.suggest_suite, suite_to_json(sug))
         print(f"suggested suite ({len(sug.checks)} checks) written "
               f"to {args.suggest_suite}")
+        return 0
+
+    # measurement action: hot-key profile on the suite's conv column +
+    # a suggested n_salts — run INSTEAD of validating, like
+    # --suggest-suite (north_rule: "salted repartitioning on skewed
+    # conv_id hot keys" starts with finding them).
+    if args.profile_skew:
+        if not args.table:
+            print("error: --profile-skew requires --table", file=sys.stderr)
+            return 2
+        from .skew import skew_profile, suggest_salts
+        from .sources.tables import read_table
+
+        df = read_table(spark, args.table, fmt=args.format)
+        key = suite.conv_col
+        if key not in df.columns:
+            print(f"error: conv column {key!r} not in table columns "
+                  f"{df.columns}", file=sys.stderr)
+            return 2
+        rows = skew_profile(df, [key], k=args.skew_top).collect()
+        print(f"top {len(rows)} hot {key} keys (n_rows, share, x_mean):")
+        for r in rows:
+            print(f"  {r[key]}\t{r['n_rows']}\t{r['share']:.6f}"
+                  f"\t{r['x_mean']:.2f}")
+        n = suggest_salts(df, [key])
+        print(f"suggested n_salts for salted_agg over {key}: {n}")
         return 0
 
     registry = spark.read.parquet(args.registry) if args.registry else None

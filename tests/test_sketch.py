@@ -93,3 +93,30 @@ def test_recount_plan_is_broadcast_join_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cli_profile_skew_flag(spark, tmp_path, capsys):
+    """--profile-skew measures hot conv_id keys on --table, prints the
+    top offenders + a suggested n_salts, and exits 0 without running the
+    suite. Missing --table and a conv-column-less table are usage
+    errors (exit 2)."""
+    from mlcast_sourcedata_validator_spark.cli import main
+    from mlcast_sourcedata_validator_spark.synth import generate_transcripts
+
+    tdf = generate_transcripts(spark, n_convs=80, seed=11)
+    tbl = str(tmp_path / "tbl")
+    tdf.write.parquet(tbl)
+    rc = main(["--table", tbl, "--profile-skew", "--skew-top", "3",
+               "--cores", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "top 3 hot conv_id keys" in out
+    assert "suggested n_salts" in out
+
+    assert main(["--profile-skew", "--cores", "8"]) == 2
+    assert "--profile-skew requires --table" in capsys.readouterr().err
+
+    nocol = str(tmp_path / "nocol")
+    spark.range(5).write.parquet(nocol)
+    assert main(["--table", nocol, "--profile-skew", "--cores", "8"]) == 2
+    assert "not in table columns" in capsys.readouterr().err
