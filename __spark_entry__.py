@@ -1845,7 +1845,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- structured streaming (watermark + tumbling window, availableNow) ---
     _stream_seq = [0]
 
-    def _start_stream(spark, agg, qname):
+    def _start_stream(spark, agg, qname, output_mode="complete"):
         """Start + drain an availableNow stream with state partitions
         sized to the drain, not the batch default.
 
@@ -1862,7 +1862,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            q_ = (agg.writeStream.outputMode("complete").format("memory")
+            q_ = (agg.writeStream.outputMode(output_mode).format("memory")
                   .queryName(qname).trigger(availableNow=True).start())
             q_.awaitTermination()
         finally:
@@ -1954,6 +1954,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT event_type, n_events, sum_value FROM {qname}"
         )
     q["streaming_dedup_events"] = streaming_dedup_events
+
+    def streaming_hot_types_events(spark, sf):
+        """Streaming windowed Misra-Gries heavy hitters
+        (streaming/hot_keys.py): per-day top-5 event types through the
+        bounded-state applyInPandasWithState operator — state per
+        in-flight window is O(capacity) counters regardless of key
+        cardinality, evicted by event-time timeout. capacity=64 >> the
+        handful of distinct types, so no decrement ever runs and the
+        drained latest-snapshot top-k equals the batch exact per-window
+        top-k the oracle computes (the certified regime; saturation is
+        unit-tested in test_hot_keys_stream.py)."""
+        from mlcast_sourcedata_validator_spark.streaming.hot_keys import (
+            hot_keys_stream,
+            latest_topk_sql,
+        )
+
+        _stream_seq[0] += 1
+        qname = f"stream_hotk_{_stream_seq[0]}"
+        sch = _t(spark, sf, "events").schema
+        s = (
+            spark.readStream.schema(sch)
+            .parquet(os.path.join(sf, "events*.parquet"))
+        )
+        out = hot_keys_stream(s, "event_type", ts_col="ts",
+                              window="1 day", watermark="1 day",
+                              capacity=64)
+        # arbitrary-stateful operators only run in append mode
+        _start_stream(spark, out, qname, output_mode="append")
+        return spark.sql(latest_topk_sql(qname, 5))
+    q["streaming_hot_types_events"] = streaming_hot_types_events
 
     def streaming_sessions_events(spark, sf):
         """Native session-window aggregation in Structured Streaming:
@@ -3022,6 +3052,19 @@ def _all_oracles() -> dict[str, str]:
         FROM events WHERE user_id IS NOT NULL
         GROUP BY key ORDER BY n DESC, key ASC LIMIT 15"""
 
+    o["streaming_hot_types_events"] = """
+        SELECT w_start, key, n FROM (
+          -- day-grain date_trunc returns DATE in DuckDB; the Spark
+          -- window start is a TIMESTAMP
+          SELECT date_trunc('day', ts)::TIMESTAMP AS w_start,
+                 event_type AS key, count(*)::BIGINT AS n,
+                 row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY count(*) DESC,
+                                             event_type ASC) AS rk
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY date_trunc('day', ts), event_type
+        ) WHERE rk <= 5"""
+
     o["corr_profile_events"] = """
         WITH s AS (SELECT
           corr(event_id, user_id) AS r01, covar_samp(event_id, user_id) AS c01,
@@ -3893,6 +3936,9 @@ _EXTRA_ORDER = [
     # twins of vocab_topk_documents and skew_profile's hot-key scan
     "heavy_hitters_documents",
     "hot_users_events",
+    # round 5: streaming composition of the MG sketch — per-day top-5
+    # event types via bounded-state applyInPandasWithState
+    "streaming_hot_types_events",
 ]
 
 
