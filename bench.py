@@ -85,6 +85,10 @@ HEADLINE = [
     # round-4 fifth-session additions (additive, same rationale)
     "gopher_quality_documents",
     "bpe_vocab_documents",
+    # round-5 additions (additive, same rationale): bounded-state
+    # Misra-Gries heavy hitters, batch + streaming composition
+    "heavy_hitters_documents",
+    "streaming_hot_types_events",
 ]
 
 
