@@ -136,7 +136,12 @@ def compile_hot_keys(spec, suite):
     max_x_mean (default 100.0 — hottest key at most 100x the mean key
     size), max_share (optional cap on one key's share of all rows),
     n_salts (profiling salt count), severity ('WARNING' default: skew is
-    an operational hazard, not data corruption — pass 'FAIL' to gate).
+    an operational hazard, not data corruption — pass 'FAIL' to gate),
+    method ('salted' default; 'sketch' switches the profile to the
+    bounded-state Misra-Gries path in functions/sketch.py for key spaces
+    that no longer fit the salted count's per-key hash aggregation —
+    counts stay exact, share exact, x_mean ~2% approximate via HLL),
+    capacity (sketch counters per partition, default 4096).
 
     Runs as a DriverCheck with its own bounded two-jobs (salted two-phase
     count + TakeOrdered top-k): per-key aggregation CANNOT ride the fused
@@ -153,13 +158,48 @@ def compile_hot_keys(spec, suite):
     max_share = spec.params.get("max_share")
     n_salts = int(spec.params.get("n_salts", 16))
     severity = spec.params.get("severity", WARNING)
+    method = spec.params.get("method", "salted")
+    capacity = int(spec.params.get("capacity", 4096))
     if severity not in (WARNING, FAIL):
         raise ValueError(f"hot_keys severity must be WARNING or FAIL, "
                          f"got {severity!r}")
+    if method not in ("salted", "sketch"):
+        raise ValueError(f"hot_keys method must be 'salted' or 'sketch', "
+                         f"got {method!r}")
+
+    def _sketch_profile(ctx):
+        """Bounded-state profile for key spaces that no longer fit the
+        salted count's per-key hash aggregation (10^9+ distinct keys):
+        Misra-Gries candidates + exact recount for the top rows
+        (functions/sketch.py — counts exact, certified or flagged), one
+        extra single-row agg for total/HLL key-count, so `share` is
+        exact and `x_mean` approximate (~2% HLL rsd) — both fine for an
+        operational-hazard verdict and labelled in the detail."""
+        from pyspark.sql import functions as F
+
+        from .functions.sketch import heavy_hitters
+
+        keys_df = ctx.df.select(F.col(key).cast("string").alias("key"))
+        hh = heavy_hitters(keys_df, key_col="key", k=k, capacity=capacity,
+                           on_inconclusive="warn_column").collect()
+        tot = ctx.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(key).alias("n_keys"),
+        ).first()
+        n, n_keys = int(tot["n"]), max(1, int(tot["n_keys"]))
+        return [
+            {key: r["key"], "n_rows": r["n"],
+             "share": r["n"] / n if n else 0.0,
+             "x_mean": r["n"] * n_keys / n if n else 0.0}
+            for r in hh
+        ]
 
     def fn(ctx) -> ValidationReport:
         report = ValidationReport()
-        top = skew_profile(ctx.df, [key], k=k, n_salts=n_salts).collect()
+        if method == "sketch":
+            top = _sketch_profile(ctx)
+        else:
+            top = skew_profile(ctx.df, [key], k=k, n_salts=n_salts).collect()
         if not top:
             report.add(spec.section, spec.requirement, PASS,
                        f"no rows — no {key} skew")
@@ -167,6 +207,8 @@ def compile_hot_keys(spec, suite):
         hot = top[0]
         over = hot["x_mean"] > max_x_mean or (
             max_share is not None and hot["share"] > float(max_share))
+        note = (" [sketch profile: counts exact, x_mean ~2% HLL rsd]"
+                if method == "sketch" else "")
         if over:
             salts = max(1, min(4096, round(hot["x_mean"] ** 0.5)))
             offenders = ", ".join(
@@ -177,13 +219,13 @@ def compile_hot_keys(spec, suite):
                 spec.section, spec.requirement, severity,
                 f"hot {key}(s): {offenders}; salted two-phase aggregation "
                 f"recommended (suggested n_salts~{salts}) — see "
-                f"skew.salted_agg")
+                f"skew.salted_agg{note}")
         else:
             report.add(
                 spec.section, spec.requirement, PASS,
                 f"hottest {key} = {hot[key]} at {hot['x_mean']:.1f}x the "
                 f"mean key size (share {hot['share']:.4%}), within "
-                f"max_x_mean={max_x_mean}")
+                f"max_x_mean={max_x_mean}{note}")
         return stamp(report, __name__, "compile_hot_keys")
 
     return DriverCheck(spec.check_id, fn)

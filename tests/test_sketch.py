@@ -120,3 +120,42 @@ def test_cli_profile_skew_flag(spark, tmp_path, capsys):
     spark.range(5).write.parquet(nocol)
     assert main(["--table", nocol, "--profile-skew", "--cores", "8"]) == 2
     assert "not in table columns" in capsys.readouterr().err
+
+
+def test_hot_keys_check_sketch_method(spark):
+    """hot_keys check with method='sketch': same verdicts as the salted
+    profile on balanced vs planted-hot fixtures, detail labelled, bad
+    method rejected."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    def suite(params):
+        return CheckSuite("skew_s", [CheckSpec(
+            "hot_keys", "hot_keys", "7.1 skew",
+            "No conv_id may dominate the key distribution.", params)])
+
+    balanced = spark.range(0, 3000).select(
+        (F.col("id") % 100).cast("string").alias("conv_id"),
+        (F.col("id") / 100).cast("int").alias("turn_idx"))
+    res = run_suite(RunContext(spark=spark, df=balanced,
+                               suite=suite({"max_x_mean": 50.0,
+                                            "method": "sketch"}),
+                               run_id="s1"))
+    assert [r.status for r in res.report.results] == ["PASS"]
+    assert "sketch profile" in res.report.results[0].detail
+
+    hot = balanced.unionByName(spark.range(0, 20000).select(
+        F.lit("hotconv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx")))
+    res2 = run_suite(RunContext(spark=spark, df=hot,
+                                suite=suite({"max_x_mean": 50.0,
+                                             "method": "sketch"}),
+                                run_id="s2"))
+    r2 = res2.report.results
+    assert [r.status for r in r2] == ["WARNING"]
+    assert "hotconv=20000" in r2[0].detail
+
+    with pytest.raises(ValueError, match="method"):
+        run_suite(RunContext(spark=spark, df=balanced,
+                             suite=suite({"method": "nope"}), run_id="s3"))
