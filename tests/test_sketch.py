@@ -159,3 +159,43 @@ def test_hot_keys_check_sketch_method(spark):
     with pytest.raises(ValueError, match="method"):
         run_suite(RunContext(spark=spark, df=balanced,
                              suite=suite({"method": "nope"}), run_id="s3"))
+
+
+def test_mg_merge_error_bound_property():
+    """Pure-python property: the per-batch merge form of Misra-Gries
+    (Counter.update + one decrement step, exactly what mg_candidates and
+    streaming hot_keys run per Arrow batch) keeps the mergeable-summaries
+    bound: for every item, freq(x) - N/(capacity+1) <= est(x) <= freq(x),
+    and every item with freq(x) > N/(capacity+1) survives."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from mlcast_sourcedata_validator_spark.functions.sketch import (
+        _mg_shrink,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=30), max_size=60),
+            max_size=8),
+        st.integers(min_value=1, max_value=12),
+    )
+    def check(batches, capacity):
+        mg: Counter = Counter()
+        for batch in batches:
+            mg.update(batch)
+            _mg_shrink(mg, capacity)
+        true = Counter(x for b in batches for x in b)
+        n = sum(true.values())
+        bound = n / (capacity + 1)
+        assert len(mg) <= capacity
+        for x, f in true.items():
+            est = mg.get(x, 0)
+            assert est <= f, (x, est, f)
+            assert est >= f - bound - 1e-9, (x, est, f, bound)
+            if f > bound:
+                assert x in mg, (x, f, bound)
+
+    check()
