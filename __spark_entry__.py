@@ -430,6 +430,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return skew_profile(ev, ["user_id"], k=20, n_salts=8)
     q["skew_profile_events"] = skew_profile_events
 
+    def volume_anomaly_events(spark, sf):
+        """Trailing-window volume monitor (operators/anomaly.py
+        volume_anomaly): per (event_type, day) counts labeled
+        SPIKE/DROP/OK/WARMUP against the type's own last-7-observed-days
+        trail, verdicts by integer cross-multiplication (exact oracle).
+        One O(keys x days) shuffle; the window runs on the daily table,
+        never the raw stream."""
+        from mlcast_sourcedata_validator_spark.operators.anomaly import (
+            volume_anomaly,
+        )
+
+        ev = _t(spark, sf, "events")
+        return volume_anomaly(ev, "event_type", "ts")
+    q["volume_anomaly_events"] = volume_anomaly_events
+
+    def benford_value_events(spark, sf):
+        """Benford first-digit conformance of the value column
+        (operators/anomaly.py benford_profile): quantize to integer
+        cents, first digit from the decimal STRING (no float log10
+        boundary bug), observed ppm by integer division vs shared
+        literal expectations summing to exactly 1e6. <= 9 output rows
+        whatever the input size."""
+        from mlcast_sourcedata_validator_spark.operators.anomaly import (
+            benford_profile,
+        )
+
+        ev = _t(spark, sf, "events")
+        return benford_profile(ev, "value")
+    q["benford_value_events"] = benford_value_events
+
     def zorder_values_events(spark, sf):
         """Morton (Z-order) clustering value per event over
         (user_id, value) at 8 bits/dim, min/max-normalized — the
@@ -2360,6 +2390,15 @@ def _all_oracles() -> dict[str, str]:
                ROUND(n_rows::DOUBLE * n_keys / total, 6) AS x_mean
         FROM c, t ORDER BY n_rows DESC, user_id ASC LIMIT 20"""
 
+    from mlcast_sourcedata_validator_spark.operators.anomaly import (
+        benford_profile_sql,
+        volume_anomaly_sql,
+    )
+
+    o["volume_anomaly_events"] = volume_anomaly_sql(
+        "events", "event_type", "ts")
+    o["benford_value_events"] = benford_profile_sql("events", "value")
+
     o["incremental_dedup_documents"] = """
         WITH all_docs AS (
           SELECT doc_id, text, n_chars FROM documents
@@ -3939,6 +3978,13 @@ _EXTRA_ORDER = [
     # round 5: streaming composition of the MG sketch — per-day top-5
     # event types via bounded-state applyInPandasWithState
     "streaming_hot_types_events",
+    # round 5: raw-data point-anomaly checks (operators/anomaly.py) —
+    # integer-exact trailing-window volume monitor and Benford
+    # first-digit conformance (both all-integer verdicts => exact
+    # oracles; the float metric-HISTORY detectors live in
+    # functions/anomaly.py against the metrics store)
+    "volume_anomaly_events",
+    "benford_value_events",
 ]
 
 

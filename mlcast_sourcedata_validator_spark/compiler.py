@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .operators import (
+    anomaly,
     column_rules,
     conditional,
     domains,
@@ -124,6 +125,10 @@ _COMPILERS = {
     "sampled_decode": interop.compile_sampled_decode,
     # operational: hot-key skew profiling (own bounded salted-agg job)
     "hot_keys": compile_hot_keys,
+    # point anomalies: Benford rides the fused Observation (zero extra
+    # jobs); the volume monitor needs its own O(keys x days) agg job
+    "benford": anomaly.compile_benford,
+    "volume_anomaly": anomaly.compile_volume_anomaly,
     # operational: physical clustering quality (own bounded per-file agg)
     "clustering": storage.compile_clustering,
     # operational: whole-conversation duplicate share (own conv-key job)

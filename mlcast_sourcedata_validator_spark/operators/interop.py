@@ -29,14 +29,23 @@ _MOD = __name__
 
 
 def compile_roundtrip(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
-    """params: sample_rows=100 — write/read-back equality on a sample."""
+    """params: sample_rows=100 — write/read-back equality on a sample.
+
+    The sample is fetched with ``take(n)`` (incremental collect: Spark
+    tries 1 partition, escalating only if short) and rebuilt as a
+    driver-local DataFrame — the earlier ``limit(n).localCheckpoint()``
+    form materialized the limit through an RDD checkpoint, which runs a
+    task on EVERY partition of the scan (measured 1-7 s of the suite
+    wall on a 64-bucket table; at 10^12 rows it would be millions of
+    task launches for a 100-row probe)."""
     n = spec.params.get("sample_rows", 100)
 
     def fn(ctx: RunContext) -> ValidationReport:
         report = ValidationReport()
         tmp = tempfile.mkdtemp(prefix="roundtrip_")
         try:
-            sample = ctx.df.limit(n).localCheckpoint()
+            sample = ctx.spark.createDataFrame(ctx.df.take(n),
+                                               schema=ctx.df.schema)
             sample.write.mode("overwrite").parquet(tmp)
             back = ctx.spark.read.parquet(tmp)
             # names+types only: parquet legitimately widens nullability
@@ -64,17 +73,64 @@ def compile_roundtrip(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
     return DriverCheck(spec.check_id, fn)
 
 
-def compile_sampled_decode(spec: CheckSpec, suite: CheckSuite) -> DriverCheck:
-    """params: column='text', fraction=0.01, seed=7, max_rows=10000.
+def compile_sampled_decode(spec: CheckSpec, suite: CheckSuite):
+    """params: column='text', fraction=0.01, seed=7, max_rows=10000,
+    mode='sampled'|'full'.
 
-    Sampled probe (cartopy.py:144-151 pattern): encode->decode roundtrip
-    must preserve every sampled value; NULLs are skipped (they are the
-    null-rate check's business).
+    ``mode='sampled'`` (default): sampled probe (cartopy.py:144-151
+    pattern): encode->decode roundtrip must preserve every sampled
+    value; NULLs are skipped (they are the null-rate check's business).
+
+    ``mode='full'``: the check becomes an AggCheck riding the fused
+    single-scan Observation — FULL coverage at zero extra jobs. The
+    reference sampled because its probe (a cartopy transform) is
+    expensive per element; a utf-8 encode/decode is two JVM expressions,
+    so sampling buys nothing here: the sampled form costs a whole extra
+    job (its mid-plan GlobalLimit sweeps a LocalLimit task over every
+    scan partition — measured 0.8-4 s of the suite wall) to check LESS.
+    The flagship transcripts_v1 suite ships in full mode; 'sampled'
+    stays for probes over columns too hot to double-scan in the fused
+    pass. The expression cannot throw (encode('utf-8') always yields
+    valid bytes — unpaired surrogates become replacement chars, which
+    is exactly the corruption the decode-compare then flags), so full
+    mode needs no runtime degrade path.
     """
     column = spec.params.get("column", "text")
     fraction = spec.params.get("fraction", 0.01)
     seed = spec.params.get("seed", 7)
     max_rows = spec.params.get("max_rows", 10000)
+    mode = spec.params.get("mode", "sampled")
+    if mode not in ("sampled", "full"):
+        raise ValueError(f"sampled_decode mode must be 'sampled' or "
+                         f"'full', got {mode!r}")
+
+    if mode == "full":
+        from ..suite import AggCheck
+
+        cid = spec.check_id
+        c = F.col(column)
+        bad_expr = F.sum(
+            F.when(
+                c.isNotNull()
+                & (F.decode(F.encode(c, "utf-8"), "utf-8") != c),
+                1,
+            ).otherwise(0)
+        )
+
+        def verdict(m) -> ValidationReport:
+            report = ValidationReport()
+            bad = int(m.get(f"{cid}__decode_bad") or 0)
+            if bad:
+                report.add(spec.section, spec.requirement, FAIL,
+                           f"{bad} '{column}' values do not survive a "
+                           f"utf-8 encode/decode roundtrip (full scan)")
+            else:
+                report.add(spec.section, spec.requirement, PASS,
+                           f"every '{column}' value survives utf-8 "
+                           f"roundtrip (full scan)")
+            return stamp(report, _MOD, "compile_sampled_decode")
+
+        return AggCheck(cid, {f"{cid}__decode_bad": bad_expr}, verdict)
 
     def fn(ctx: RunContext) -> ValidationReport:
         report = ValidationReport()

@@ -163,9 +163,10 @@ def suite() -> CheckSuite:
         ),
         CheckSpec(
             "text_decode", "sampled_decode", "5.3 interop",
-            "Sampled text values MUST survive a utf-8 encode/decode "
-            "roundtrip.",
-            {"column": "text", "fraction": 0.02},
+            "Text values MUST survive a utf-8 encode/decode roundtrip.",
+            # full mode rides the fused Observation the quality checks
+            # already pay for — total coverage, zero extra jobs
+            {"column": "text", "mode": "full"},
         ),
         CheckSpec(
             "storage_codec", "storage_codec", "6.1 compression",

@@ -242,9 +242,11 @@ def suite() -> CheckSuite:
         ),
         CheckSpec(
             "text_decode", "sampled_decode", "5.6 interop",
-            "Sampled text values MUST survive a utf-8 encode/decode "
-            "roundtrip.",
-            {"column": "text", "fraction": 0.01},
+            "Text values MUST survive a utf-8 encode/decode roundtrip.",
+            # full mode: rides the fused Observation (total coverage,
+            # zero extra jobs) — the sampled probe exists for columns
+            # too expensive to double-scan, which text is not
+            {"column": "text", "mode": "full"},
         ),
         # --- section 6: storage layout (ref: chunking/compression/format) -
         CheckSpec(
