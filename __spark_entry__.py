@@ -430,6 +430,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return skew_profile(ev, ["user_id"], k=20, n_salts=8)
     q["skew_profile_events"] = skew_profile_events
 
+    def emd_drift_events(spark, sf):
+        """Per-day integer-exact normalized Wasserstein-1 (EMD) of the
+        value distribution vs the whole-table baseline
+        (operators/drift.py daily_emd): cross-multiplied CDF-area form,
+        emd_ppm as BIGINT, entirely in whole-stage codegen — the
+        displacement-weighted complement of daily_drift_events' KS/PSI
+        on the same linear 25-bin histograms."""
+        from mlcast_sourcedata_validator_spark.operators.drift import (
+            build_baseline,
+            daily_emd,
+        )
+
+        ev = _t(spark, sf, "events")
+        baseline = build_baseline(ev, expr="value", metric="value",
+                                  scale="linear", lo=0.0, hi=500.0,
+                                  n_bins=25)
+        return daily_emd(ev, baseline, expr="value", metric="value",
+                         scale="linear", lo=0.0, hi=500.0, n_bins=25)
+    q["emd_drift_events"] = emd_drift_events
+
     def volume_anomaly_events(spark, sf):
         """Trailing-window volume monitor (operators/anomaly.py
         volume_anomaly): per (event_type, day) counts labeled
@@ -2399,6 +2419,46 @@ def _all_oracles() -> dict[str, str]:
         "events", "event_type", "ts")
     o["benford_value_events"] = benford_profile_sql("events", "value")
 
+    # same bucketing literal as daily_drift_events' oracle; both sides
+    # densify to the full 25-bucket grid before the cumulative sums
+    _emd_b = "least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25)"
+    o["emd_drift_events"] = f"""
+        WITH hist AS (
+          SELECT ts::DATE AS day, {_emd_b} AS bucket,
+                 count(*)::BIGINT AS cnt
+          FROM events GROUP BY 1, 2),
+        base AS (
+          SELECT {_emd_b} AS bucket, count(*)::BIGINT AS cnt
+          FROM events GROUP BY 1),
+        bins AS (SELECT unnest(generate_series(1, 25)) AS bucket),
+        base_f AS (
+          SELECT b.bucket, COALESCE(base.cnt, 0) AS cnt
+          FROM bins b LEFT JOIN base USING (bucket)),
+        nb AS (SELECT sum(cnt)::BIGINT AS nb FROM base_f),
+        cb AS (
+          SELECT bucket,
+                 sum(cnt) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_b
+          FROM base_f),
+        grid AS (SELECT day, bucket
+                 FROM (SELECT DISTINCT day FROM hist) CROSS JOIN bins),
+        cur_f AS (
+          SELECT g.day, g.bucket, COALESCE(h.cnt, 0) AS cnt
+          FROM grid g LEFT JOIN hist h USING (day, bucket)),
+        cc AS (
+          SELECT day, bucket,
+                 sum(cnt) OVER (PARTITION BY day ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+                 sum(cnt) OVER (PARTITION BY day)::BIGINT AS na
+          FROM cur_f)
+        SELECT cc.day, max(cc.na)::BIGINT AS n,
+               ((sum(CASE WHEN cc.bucket < 25
+                          THEN abs(cc.cum_a * nb.nb - cb.cum_b * cc.na)
+                          ELSE 0 END) * 1000000)
+                // (max(cc.na) * max(nb.nb) * 24))::BIGINT AS emd_ppm
+        FROM cc JOIN cb USING (bucket) CROSS JOIN nb
+        GROUP BY cc.day"""
+
     o["incremental_dedup_documents"] = """
         WITH all_docs AS (
           SELECT doc_id, text, n_chars FROM documents
@@ -3985,6 +4045,10 @@ _EXTRA_ORDER = [
     # functions/anomaly.py against the metrics store)
     "volume_anomaly_events",
     "benford_value_events",
+    # round 5: integer-exact per-day Wasserstein-1 drift (the
+    # displacement-weighted complement of in-window daily_drift_events'
+    # KS/PSI, same histograms, zero Python)
+    "emd_drift_events",
 ]
 
 

@@ -78,9 +78,38 @@ def ks_psi(counts_a: list[float], counts_b: list[float]) -> tuple[float, float]:
     return ks, psi
 
 
+def emd_binned(counts_a: list[float], counts_b: list[float]) -> float:
+    """Normalized Earth-Mover's Distance (Wasserstein-1) between two
+    histograms on the same bins, unit distance = one bin width:
+
+        EMD = sum_{i<B} |CDF_a(i) - CDF_b(i)|  /  (B - 1)   in [0, 1]
+
+    (the classic 1-D identity: W1 equals the area between the CDFs; the
+    B-1 divisor is the max possible value — all mass at opposite ends —
+    so thresholds are scale-free). Complements KS and PSI on the SAME
+    bin counts: KS sees only the single worst ECDF gap and PSI washes
+    out mass that moves a long way at low density, while EMD weights
+    displacement BY distance — the metric that catches a slow tail
+    migration (e.g. turn lengths creeping up one bin per release)
+    before either trips. NaN when either side is empty, like ks_psi.
+    """
+    na, nb = sum(counts_a), sum(counts_b)
+    if na == 0 or nb == 0 or len(counts_a) < 2:
+        return float("nan")
+    ca = cb = 0.0
+    area = 0.0
+    for a, b in zip(counts_a[:-1], counts_b[:-1]):  # CDF at last edge is 1=1
+        ca += a / na
+        cb += b / nb
+        area += abs(ca - cb)
+    return area / (len(counts_a) - 1)
+
+
 def compile_drift(spec: CheckSpec, suite: CheckSuite) -> DriftCheck:
     """params: metric, expr (SQL producing the numeric), scale: 'log'|'linear',
-    lo, hi, n_bins, max_ks, max_psi (FAIL thresholds), warn_ks, warn_psi.
+    lo, hi, n_bins, max_ks, max_psi (FAIL thresholds), warn_ks, warn_psi,
+    warn_emd, max_emd (normalized Wasserstein-1 on the same bins — see
+    :func:`emd_binned`; unset = not enforced, like the others).
     """
     p = spec.params
     col = F.expr(p["expr"])
@@ -100,13 +129,18 @@ def compile_drift(spec: CheckSpec, suite: CheckSuite) -> DriftCheck:
                        f"no baseline histogram for metric '{p['metric']}' — drift skipped")
             return stamp(report, _MOD, "compile_drift")
         ks, psi = ks_psi(cur, base)
-        detail = f"metric={p['metric']} ks={ks:.4f} psi={psi:.4f}"
+        emd = emd_binned(cur, base)
+        detail = (f"metric={p['metric']} ks={ks:.4f} psi={psi:.4f} "
+                  f"emd={emd:.4f}")
         if ks != ks:  # NaN: empty side
             report.add(spec.section, spec.requirement, WARNING,
                        f"{detail} (insufficient data)")
-        elif ks > p.get("max_ks", 1.0) or psi > p.get("max_psi", float("inf")):
+        elif (ks > p.get("max_ks", 1.0) or psi > p.get("max_psi", float("inf"))
+              or emd > p.get("max_emd", float("inf"))):
             report.add(spec.section, spec.requirement, FAIL, detail)
-        elif ks > p.get("warn_ks", 1.0) or psi > p.get("warn_psi", float("inf")):
+        elif (ks > p.get("warn_ks", 1.0)
+              or psi > p.get("warn_psi", float("inf"))
+              or emd > p.get("warn_emd", float("inf"))):
             report.add(spec.section, spec.requirement, WARNING, detail)
         else:
             report.add(spec.section, spec.requirement, PASS, detail)
@@ -174,6 +208,103 @@ def daily_drift(
         )
 
     return hist.groupBy("day").applyInPandas(_per_day, schema=out_schema)
+
+
+def daily_emd(
+    df: DataFrame,
+    baseline: DataFrame,
+    *,
+    expr: str,
+    metric: str,
+    scale: str = "log",
+    lo: float = 1.0,
+    hi: float = 10000.0,
+    n_bins: int = 32,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day normalized Wasserstein-1 (EMD) of ``expr``'s distribution
+    vs the baseline snapshot, INTEGER-EXACT: returns
+    ``(day, n, emd_ppm)`` with
+
+        emd_ppm = sum_{i<B} |cum_a_i * nb - cum_b_i * na| * 1e6
+                  DIV (na * nb * (B - 1))
+
+    — the cross-multiplied form of :func:`emd_binned` (area between the
+    CDFs over B-1 interior edges, normalized to [0, 1e6]), so every
+    engine computes the same BIGINT. Unlike :func:`daily_drift` (whose
+    KS/PSI are float math in a pandas UDF), this stays entirely in
+    whole-stage codegen: one O(days x bins) shuffle for the histogram,
+    a days x bins grid (explode of a literal sequence — missing buckets
+    MUST densify to 0 or the cumulative sums skip mass), two window
+    sums over the grid, one groupBy(day) fold. Baseline cumulative
+    counts ride the plan as literals (n_bins map entries; same
+    driver-collect contract as daily_drift — a broadcast join would
+    lose mass on buckets the day never observed).
+
+    Overflow: the largest product, ``(B-1) * na * nb * 1e6``, must fit
+    int64, so ``na * nb`` < ~3.8e11 at B=25 — ANSI mode aborts LOUDLY
+    past that, never wraps. The baseline is user-supplied: at 10^12-row scale pass
+    a sampled baseline (EMD depends on the baseline only through its
+    distribution; nb is then bounded by the sample size).
+    """
+    from pyspark.sql import Window as W
+
+    col = F.expr(expr)
+    bucket = (log_width_bucket if scale == "log" else linear_bucket)(
+        col, lo, hi, n_bins)
+    day = F.to_date(F.col(ts_col)).alias("day")
+    hist = (
+        df.select(day, bucket.alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base_rows = (
+        baseline.where(F.col("metric") == metric)
+        .select("bin", "count").collect()
+    )
+    base_by = {int(r["bin"]): int(r["count"]) for r in base_rows}
+    cum_b: dict[int, int] = {}
+    acc = 0
+    for i in range(1, n_bins + 1):
+        acc += base_by.get(i, 0)
+        cum_b[i] = acc
+    nb = acc
+    if nb == 0:
+        raise ValueError(f"baseline for metric {metric!r} is empty")
+    grid = (
+        hist.select("day").distinct()
+        .select("day",
+                F.explode(F.sequence(F.lit(1), F.lit(n_bins)))
+                .alias("bucket"))
+    )
+    full = grid.join(hist, ["day", "bucket"], "left").select(
+        "day", "bucket",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    wcum = (W.partitionBy("day").orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, 0))
+    wday = W.partitionBy("day")
+    cum_b_lit = F.element_at(
+        F.create_map(*[F.lit(x) for kv in cum_b.items() for x in kv]),
+        F.col("bucket"),
+    ).cast("bigint")
+    t = full.select(
+        "day", "bucket",
+        F.sum("cnt").over(wcum).alias("cum_a"),
+        F.sum("cnt").over(wday).alias("na"),
+        cum_b_lit.alias("cum_b"),
+    )
+    term = F.when(
+        F.col("bucket") < n_bins,
+        F.abs(F.col("cum_a") * F.lit(nb) - F.col("cum_b") * F.col("na")),
+    ).otherwise(F.lit(0))
+    out = t.groupBy("day").agg(
+        F.max("na").alias("n"), F.sum(term).alias("_emd_scaled"))
+    return out.select(
+        "day", "n",
+        F.expr(f"_emd_scaled * 1000000 DIV (n * {nb} * {n_bins - 1})")
+        .alias("emd_ppm"),
+    )
 
 
 def build_baseline(

@@ -230,3 +230,108 @@ def test_incremental_baseline_equals_whole_table_build(spark, tmp_path):
     assert drift["metric=turn_len_chars"] == PASS
     assert drift["metric=role_dist"] == PASS
     assert res.report.summarize()[FAIL] == 0
+
+
+# --- EMD (Wasserstein-1) ----------------------------------------------------
+
+
+def _ref_emd_ppm(cur, base):
+    """Pure-python integer reference of daily_emd's cross-multiplied
+    form (exact rational, floored to ppm)."""
+    na, nb = sum(cur), sum(base)
+    B = len(cur)
+    ca = cb = 0
+    s = 0
+    for a, b in zip(cur[:-1], base[:-1]):
+        ca += a
+        cb += b
+        s += abs(ca * nb - cb * na)
+    return (s * 1_000_000) // (na * nb * (B - 1))
+
+
+def test_emd_binned_matches_numpy_reference():
+    from mlcast_sourcedata_validator_spark.operators.drift import emd_binned
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 1000, 32).tolist()
+    b = rng.integers(0, 1000, 32).tolist()
+    ca = np.cumsum(np.asarray(a, float) / sum(a))[:-1]
+    cb = np.cumsum(np.asarray(b, float) / sum(b))[:-1]
+    ref = float(np.sum(np.abs(ca - cb))) / 31
+    assert math.isclose(emd_binned(a, b), ref, rel_tol=1e-12)
+    # bounds + degenerate cases
+    assert emd_binned(a, a) == 0.0
+    assert emd_binned([100, 0], [0, 100]) == 1.0
+    assert math.isnan(emd_binned([0, 0], [1, 2]))
+
+
+def test_emd_ranks_displacement_where_ks_cannot():
+    """Two shifted histograms with the SAME max-ECDF gap but different
+    displacement distances: KS ties, EMD orders them."""
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        emd_binned, ks_psi)
+
+    base = [100, 0, 0, 0]
+    near = [0, 100, 0, 0]
+    far = [0, 0, 0, 100]
+    assert ks_psi(base, near)[0] == ks_psi(base, far)[0] == 1.0
+    assert emd_binned(base, near) < emd_binned(base, far)
+
+
+def test_daily_emd_matches_integer_reference(spark):
+    from mlcast_sourcedata_validator_spark.operators.drift import daily_emd
+
+    df = generate_transcripts(spark, n_convs=120, seed=5)
+    baseline = build_baseline(df, expr="length(text)",
+                              metric="turn_len_chars", scale="linear",
+                              lo=0.0, hi=400.0, n_bins=10)
+    out = {r["day"]: (r["n"], r["emd_ppm"])
+           for r in daily_emd(df, baseline, expr="length(text)",
+                              metric="turn_len_chars", scale="linear",
+                              lo=0.0, hi=400.0, n_bins=10).collect()}
+    # rebuild both histograms in pure python from the same bucketing
+    rows = df.select(
+        F.to_date("ts").alias("day"),
+        F.least(F.greatest(F.floor(F.length("text") / 400.0 * 10) + 1,
+                           F.lit(1)), F.lit(10)).alias("bucket"),
+    ).collect()
+    base_counts = [0] * 10
+    per_day: dict = {}
+    for r in rows:
+        base_counts[r["bucket"] - 1] += 1
+        per_day.setdefault(r["day"], [0] * 10)[r["bucket"] - 1] += 1
+    assert set(out) == set(per_day)
+    for day, cur in per_day.items():
+        assert out[day] == (sum(cur), _ref_emd_ppm(cur, base_counts)), day
+
+
+def test_drift_check_emd_threshold_and_detail(spark):
+    """compile_drift: emd in the detail always; warn_emd/max_emd gate
+    even when KS/PSI thresholds stay silent."""
+    from mlcast_sourcedata_validator_spark.compiler import run_suite
+    from mlcast_sourcedata_validator_spark.operators.drift import (
+        build_baseline as bb)
+    from mlcast_sourcedata_validator_spark.suite import (
+        CheckSpec, CheckSuite, RunContext)
+
+    df = generate_transcripts(spark, n_convs=80, seed=9)
+    baseline = bb(df, expr="length(text)", metric="turn_len_chars")
+    shifted = df.withColumn("text", F.concat(F.col("text"),
+                                             F.lit("x" * 400)))
+
+    def one(params, data):
+        suite = CheckSuite("emd_t", [CheckSpec(
+            "drift_len", "drift", "5.2", "no drift",
+            dict({"metric": "turn_len_chars", "expr": "length(text)",
+                  "scale": "log", "lo": 1.0, "hi": 10000.0,
+                  "n_bins": 32}, **params))])
+        res = run_suite(RunContext(spark=spark, df=data, suite=suite,
+                                   run_id="e", baseline_df=baseline))
+        return res.report.results[0]
+
+    clean = one({}, df)
+    assert clean.status == "PASS" and "emd=" in clean.detail
+    gated = one({"max_emd": 0.05}, shifted)
+    assert gated.status == "FAIL" and "emd=" in gated.detail
+    warned = one({"warn_emd": 0.05}, shifted)
+    assert warned.status == "WARNING"
