@@ -430,6 +430,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return skew_profile(ev, ["user_id"], k=20, n_salts=8)
     q["skew_profile_events"] = skew_profile_events
 
+    def cm_freq_events(spark, sf):
+        """Count-Min point-frequency estimates for every distinct
+        user_id vs exact counts (functions/sketch.py cm_sketch /
+        cm_estimate): O(depth x width) mergeable state, est >= exact by
+        construction (overcount column pins it), portable-hash cells so
+        the DuckDB oracle builds the IDENTICAL sketch. width=512 keeps
+        collisions present at test scale so the estimate-vs-exact
+        relationship is exercised, not vacuous."""
+        from mlcast_sourcedata_validator_spark.functions.sketch import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        ev = _t(spark, sf, "events")
+        sk = cm_sketch(ev, "user_id", depth=4, width=512)
+        probes = ev.select("user_id").where(
+            F.col("user_id").isNotNull()).distinct()
+        est = cm_estimate(sk, probes, "user_id", depth=4, width=512)
+        exact = ev.where(F.col("user_id").isNotNull()) \
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        return est.join(exact, "user_id").select(
+            F.col("user_id").alias("key"), "n_exact",
+            F.col("est").alias("n_est"),
+            (F.col("est") - F.col("n_exact")).alias("overcount"))
+    q["cm_freq_events"] = cm_freq_events
+
     def emd_drift_events(spark, sf):
         """Per-day integer-exact normalized Wasserstein-1 (EMD) of the
         value distribution vs the whole-table baseline
@@ -2419,6 +2445,13 @@ def _all_oracles() -> dict[str, str]:
         "events", "event_type", "ts")
     o["benford_value_events"] = benford_profile_sql("events", "value")
 
+    from mlcast_sourcedata_validator_spark.functions.sketch import (
+        cm_freq_sql,
+    )
+
+    o["cm_freq_events"] = cm_freq_sql("events", "user_id", depth=4,
+                                      width=512)
+
     # same bucketing literal as daily_drift_events' oracle; both sides
     # densify to the full 25-bucket grid before the cumulative sums
     _emd_b = "least(greatest(floor(value / 500.0 * 25)::BIGINT + 1, 1), 25)"
@@ -4049,6 +4082,11 @@ _EXTRA_ORDER = [
     # displacement-weighted complement of in-window daily_drift_events'
     # KS/PSI, same histograms, zero Python)
     "emd_drift_events",
+    # round 5: Count-Min mergeable point-frequency sketch — "how
+    # frequent is THIS key" from O(depth x width) state, the complement
+    # of heavy_hitters' "which keys are frequent"; portable-hash cells
+    # give the oracle the identical sketch
+    "cm_freq_events",
 ]
 
 

@@ -210,3 +210,176 @@ def heavy_hitters_sql(table: str, key_sql: str, k: int = 20,
         FROM (SELECT {key_sql} AS key FROM {table}) keys
         {where}
         GROUP BY key ORDER BY n DESC, key ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable point-frequency estimates.
+# ---------------------------------------------------------------------------
+#
+# Misra-Gries (above) answers "which keys are frequent"; Count-Min
+# (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 55) answers
+# "how frequent is THIS key" for arbitrary probe keys from O(depth x
+# width) state: cell[r][h_r(key)] += 1 per row, estimate = min over
+# rows. Guarantees: est >= true always (counters only over-count), and
+# est <= true + (e/width) * N with probability >= 1 - (1/e)^depth.
+# Cell-wise addition makes two sketches of disjoint data merge exactly
+# (the mergeable-summaries property the rollup store relies on), so the
+# sketch can be maintained incrementally per partition and summed.
+#
+# Hashes are the repo's portable kernels (hashing.py: md5 prefix ->
+# encw -> uhash_j mod width), so the DuckDB mirror computes the
+# IDENTICAL sketch and the oracle compare is exact — counts are integer
+# sums, no float anywhere.
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch of ``df[key_col]`` as a (row, col, cnt) cell
+    table — at most ``depth x width`` rows whatever the input size.
+
+    One explode(depth) + groupBy(row, col): map-side partial
+    aggregation caps every partition's shuffle output at depth x width
+    cells, so network is O(partitions x depth x width), independent of
+    both row count and distinct-key count. NULL keys are skipped (the
+    null-rate check's business, as with MG)."""
+    from .hashing import MINHASH_COEFFS, uhash
+
+    if not (1 <= depth <= len(MINHASH_COEFFS)):
+        raise ValueError(f"depth must be in [1, {len(MINHASH_COEFFS)}], "
+                         f"got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    code = encw_cm(F.col(key_col))
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(uhash(code, r), F.lit(width)).cast("int").alias("col"),
+        )
+        for r in range(depth)
+    ])
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(cells).alias("_rc"))
+        .groupBy(F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def encw_cm(key: Column) -> Column:
+    """Portable int64 code of an arbitrary key: md5 prefix through
+    ``encw`` — the exact kernel :func:`sampling.hash_uniform` uses, so
+    one audited cross-engine hash family serves every sketch."""
+    from .hashing import encw
+
+    return encw(F.substring(F.md5(key.cast("string")), 1, 12))
+
+
+def encw_cm_sql(key_expr: str) -> str:
+    from .hashing import encw_sql
+
+    return encw_sql(f"substr(md5(({key_expr})::VARCHAR), 1, 12)")
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the SAME depth/width —
+    exactly the sketch of the concatenated inputs (counter addition
+    commutes with the shared hash functions)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: min over the
+    ``depth`` cells each probe hashes to. Returns (``key_col``, est).
+
+    The sketch is depth x width rows — broadcast, so probing is
+    shuffle-free on the probe side except the final per-key min agg
+    (bounded by the probe count). A missing cell means no key ever
+    hashed there: COALESCE to 0, which keeps est >= true intact."""
+    from .hashing import MINHASH_COEFFS, uhash
+
+    code = encw_cm(F.col(key_col))
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(uhash(code, r), F.lit(width)).cast("int").alias("col"),
+        )
+        for r in range(depth)
+    ])
+    pairs = probes.select(F.col(key_col), F.explode(cells).alias("_rc")) \
+        .select(key_col, F.col("_rc.row").alias("row"),
+                F.col("_rc.col").alias("col"))
+    j = pairs.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        j.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cm_sketch_sql(
+    table: str, key_sql: str, depth: int = 4, width: int = 2048
+) -> str:
+    """DuckDB mirror of :func:`cm_sketch` over ``key_sql`` drawn from
+    ``table`` — identical hash arithmetic, identical cells."""
+    from .hashing import uhash_sql
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, ({uhash_sql('code', r)}) % {width} AS col "
+        f"FROM codes"
+        for r in range(depth)
+    )
+    return f"""
+        WITH codes AS (
+          SELECT {encw_cm_sql(key_sql)} AS code
+          FROM {table} WHERE ({key_sql}) IS NOT NULL),
+        cells AS ({arms})
+        SELECT row, col, count(*)::BIGINT AS cnt
+        FROM cells GROUP BY row, col"""
+
+
+def cm_freq_sql(
+    table: str, key_sql: str, depth: int = 4, width: int = 2048
+) -> str:
+    """DuckDB mirror of the full sketch-then-probe-every-key pipeline
+    (the oracle for ``cm_freq_events``): build the sketch, estimate
+    every distinct key, join the exact counts. Returns
+    (key, n_exact, n_est, overcount); Count-Min guarantees
+    overcount >= 0, and the compare is exact because the sketch is."""
+    from .hashing import uhash_sql
+
+    probe_arms = "\nUNION ALL\n".join(
+        f"SELECT key, {r} AS row, ({uhash_sql('code', r)}) % {width} AS col "
+        f"FROM pcodes"
+        for r in range(depth)
+    )
+    return f"""
+        WITH sketch AS ({cm_sketch_sql(table, key_sql, depth, width)}),
+        pcodes AS (
+          SELECT key, {encw_cm_sql('key')} AS code
+          FROM (SELECT DISTINCT {key_sql} AS key FROM {table}
+                WHERE ({key_sql}) IS NOT NULL)),
+        pcells AS ({probe_arms}),
+        est AS (
+          SELECT p.key, MIN(COALESCE(s.cnt, 0))::BIGINT AS n_est
+          FROM pcells p LEFT JOIN sketch s USING (row, col)
+          GROUP BY p.key),
+        exact AS (
+          SELECT {key_sql} AS key, count(*)::BIGINT AS n_exact
+          FROM {table} WHERE ({key_sql}) IS NOT NULL GROUP BY 1)
+        SELECT est.key, exact.n_exact, est.n_est,
+               (est.n_est - exact.n_exact)::BIGINT AS overcount
+        FROM est JOIN exact USING (key)"""

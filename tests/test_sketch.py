@@ -199,3 +199,72 @@ def test_mg_merge_error_bound_property():
                 assert x in mg, (x, f, bound)
 
     check()
+
+
+# --- Count-Min ---------------------------------------------------------------
+
+
+def _keys_df(spark, items):
+    return spark.createDataFrame([(k,) for k in items], "key string")
+
+
+def test_cm_estimate_never_undercounts_and_is_exact_when_wide(spark):
+    from mlcast_sourcedata_validator_spark.functions.sketch import (
+        cm_estimate, cm_sketch)
+
+    items = (["hot"] * 50 + ["warm"] * 20
+             + [f"k{i}" for i in range(200) for _ in (0, 1)])
+    df = _keys_df(spark, items)
+    probes = df.distinct()
+    exact = {k: items.count(k) for k in set(items)}
+
+    # narrow sketch: collisions certain (202 keys into 64 columns) —
+    # the CM guarantee est >= true must still hold everywhere
+    sk = cm_sketch(df, "key", depth=4, width=64)
+    est = {r["key"]: r["est"]
+           for r in cm_estimate(sk, probes, "key",
+                                depth=4, width=64).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(est.values()) > sum(exact.values())  # collisions happened
+
+    # wide sketch: width >> keys, depth 4 — overcount requires all 4
+    # rows to collide, overwhelmingly unlikely at this size; equality
+    # is the practical check that the cells are computed right
+    sk2 = cm_sketch(df, "key", depth=4, width=8192)
+    est2 = {r["key"]: r["est"]
+            for r in cm_estimate(sk2, probes, "key",
+                                 depth=4, width=8192).collect()}
+    assert est2 == exact
+
+
+def test_cm_merge_equals_sketch_of_union(spark):
+    from mlcast_sourcedata_validator_spark.functions.sketch import (
+        cm_merge, cm_sketch)
+
+    a = ["x"] * 10 + [f"a{i}" for i in range(50)]
+    b = ["x"] * 5 + [f"b{i}" for i in range(30)]
+    sa = cm_sketch(_keys_df(spark, a), "key", depth=3, width=128)
+    sb = cm_sketch(_keys_df(spark, b), "key", depth=3, width=128)
+    merged = {(r["row"], r["col"]): r["cnt"]
+              for r in cm_merge(sa, sb).collect()}
+    union = {(r["row"], r["col"]): r["cnt"]
+             for r in cm_sketch(_keys_df(spark, a + b), "key",
+                                depth=3, width=128).collect()}
+    assert merged == union
+
+
+def test_cm_sketch_bounds_and_null_handling(spark):
+    import pytest as _pytest
+
+    from mlcast_sourcedata_validator_spark.functions.sketch import (
+        cm_sketch)
+
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "key string")
+    sk = cm_sketch(df, "key", depth=2, width=16)
+    # nulls skipped: every populated cell counts exactly the two 'a's
+    assert sorted(r["cnt"] for r in sk.collect()) == [2, 2]
+    with _pytest.raises(ValueError):
+        cm_sketch(df, "key", depth=0)
+    with _pytest.raises(ValueError):
+        cm_sketch(df, "key", width=1)
