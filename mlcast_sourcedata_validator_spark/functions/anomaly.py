@@ -29,6 +29,9 @@ Catalyst window frames instead of driver loops over collected history):
   bounded trailing frame, folded with ``F.aggregate`` over the frame's
   ``collect_list`` (num' = num*(1-a) + x, den' = den*(1-a) + 1 — the
   textbook recursive EWMA as a catalyst fold, no Python in the loop).
+- :func:`cusum_alarms` — two-sided CUSUM (Page 1954): cumulative
+  standardized residuals vs a phase-I baseline; catches the SMALL
+  persistent shift the three window detectors structurally miss.
 
 Reference scope note: the reference validator emits absolute verdicts
 only (e.g. temporal.py's fixed min/max span); trend auditing across runs
@@ -220,7 +223,8 @@ def metric_history_anomaly(
     partition are distinct points, which is what an auditor wants: a
     re-validation that suddenly disagrees with its own history is the
     event). Series key = (suite_id, partition_id, metric); detector per
-    ``strategy``: 'trailing_zscore' | 'ewma' | 'relative_change'.
+    ``strategy``: 'trailing_zscore' | 'ewma' | 'relative_change' |
+    'cusum'.
 
     Store tables are O(partitions x checks x runs) — the audit never
     touches corpus data. Returns flagged rows only by default, with the
@@ -252,11 +256,115 @@ def metric_history_anomaly(
             series, keys, "committed_at", "value",
             max_ratio=max_ratio, min_abs=min_abs,
         )
+    elif strategy == "cusum":
+        # k doubles as the CUSUM alarm threshold h (sigma units; pass
+        # k~4-5 for the textbook ARL trade-off); warm-up points double
+        # as the phase-I calibration window
+        scored = cusum_alarms(
+            series, keys, "committed_at", "value",
+            threshold_h=k, baseline_points=max(2, min_points),
+        ).withColumnRenamed("run_order", "committed_at")
     else:
         raise ValueError(
-            "strategy must be 'trailing_zscore', 'ewma' or "
-            f"'relative_change', got {strategy!r}"
+            "strategy must be 'trailing_zscore', 'ewma', "
+            f"'relative_change' or 'cusum', got {strategy!r}"
         )
     if flagged_only:
         scored = scored.where(F.col("is_anomaly"))
     return scored.orderBy("suite_id", "partition_id", "committed_at")
+
+
+def cusum_alarms(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    *,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    baseline_points: int = 5,
+    min_std: float = DEFAULT_MIN_STD,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954,
+    the classic SPC chart) — the detector for the failure mode the
+    window detectors above structurally miss: a SMALL persistent shift.
+    A +0.5 sigma step never trips a 3-sigma z-score and shrinks the
+    relative change per step, but its cumulative sum grows without
+    bound; CUSUM accumulates standardized residuals
+
+        S+_i = max(0, S+_{i-1} + z_i - k)
+        S-_i = max(0, S-_{i-1} - z_i - k)      z_i = (x_i - mu) / sd
+
+    and alarms when either side exceeds ``threshold_h`` (in sigma
+    units; the textbook ARL trade-off is k = half the shift to detect,
+    h ~ 4-5). mu/sd calibrate on the series' first ``baseline_points``
+    points (SPC "phase I"), std floored at ``min_std`` like
+    trailing_zscore.
+
+    Execution: ONE groupBy per series collecting the ordered run
+    history, then a single Catalyst ``aggregate`` fold emitting the
+    full (S+, S-) trajectory as an array, posexploded back to rows —
+    no Python, no UDF. The fold carries an array accumulator, so cost
+    is O(runs^2) array copying per series: fine for run HISTORIES
+    (tens to thousands of points — store tables are O(runs), never
+    O(corpus)), wrong for raw event series (use the windowed detectors
+    above there).
+
+    Returns one row per input point: keys, ``run_order`` (the order
+    value), ``value``, ``cusum_pos``, ``cusum_neg`` (rounded 6dp),
+    ``is_anomaly``.
+    """
+    if baseline_points < 2:
+        raise ValueError(
+            f"baseline_points must be >= 2, got {baseline_points}")
+    if threshold_h <= 0 or slack_k < 0:
+        raise ValueError("need threshold_h > 0 and slack_k >= 0")
+    v = F.col(value_col).cast("double")
+    per_key = df.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    v.alias("v")))
+        ).alias("_series")
+    )
+    base_vals = F.transform(
+        F.slice(F.col("_series"), 1, baseline_points), lambda s: s["v"])
+    n_b = F.size(base_vals).cast("double")
+    mu = F.aggregate(base_vals, F.lit(0.0), lambda a, x: a + x) / n_b
+    ex2 = F.aggregate(base_vals, F.lit(0.0), lambda a, x: a + x * x) / n_b
+    sd = F.greatest(F.sqrt(F.greatest(ex2 - mu * mu, F.lit(0.0))),
+                    F.lit(min_std))
+    scored = per_key.withColumn("_mu", mu).withColumn("_sd", sd)
+    k_lit = F.lit(float(slack_k))
+
+    def step(acc, s):
+        z = (s["v"] - F.col("_mu")) / F.col("_sd")
+        sp = F.greatest(F.lit(0.0), acc["sp"] + z - k_lit)
+        sn = F.greatest(F.lit(0.0), acc["sn"] - z - k_lit)
+        return F.struct(
+            sp.alias("sp"), sn.alias("sn"),
+            F.concat(acc["out"],
+                     F.array(F.struct(sp.alias("sp"),
+                                      sn.alias("sn")))).alias("out"),
+        )
+
+    folded = F.aggregate(
+        F.col("_series"),
+        F.struct(F.lit(0.0).alias("sp"), F.lit(0.0).alias("sn"),
+                 F.array().cast("array<struct<sp:double,sn:double>>")
+                 .alias("out")),
+        step,
+    )
+    zipped = scored.withColumn("_tr", folded["out"]).select(
+        *keys,
+        F.posexplode(F.arrays_zip("_series", "_tr")).alias("_i", "_z"),
+    )
+    h = F.lit(float(threshold_h))
+    return zipped.select(
+        *keys,
+        F.col("_z._series.o").alias("run_order"),
+        F.col("_z._series.v").alias("value"),
+        F.round(F.col("_z._tr.sp"), 6).alias("cusum_pos"),
+        F.round(F.col("_z._tr.sn"), 6).alias("cusum_neg"),
+        ((F.col("_z._tr.sp") > h) | (F.col("_z._tr.sn") > h))
+        .alias("is_anomaly"),
+    )

@@ -195,3 +195,101 @@ def test_metric_history_anomaly_unflagged_view(spark):
 def test_ewma_alpha_validation(spark):
     with pytest.raises(ValueError, match="alpha"):
         ewma_residual(_series_df(spark, [1.0]), ["k"], "t", "v", alpha=0.0)
+
+
+# --- CUSUM -------------------------------------------------------------------
+
+
+def ref_cusum(values, slack_k, baseline_points, min_std=1e-9):
+    base = values[:baseline_points]
+    mu = sum(base) / len(base)
+    var = sum(x * x for x in base) / len(base) - mu * mu
+    sd = max(math.sqrt(max(var, 0.0)), min_std)
+    sp = sn = 0.0
+    out = []
+    for x in values:
+        z = (x - mu) / sd
+        sp = max(0.0, sp + z - slack_k)
+        sn = max(0.0, sn - z - slack_k)
+        out.append((round(sp, 6), round(sn, 6)))
+    return out
+
+
+def test_cusum_matches_reference_trajectory(spark):
+    from mlcast_sourcedata_validator_spark.functions.anomaly import (
+        cusum_alarms)
+
+    values = [10, 11, 9, 10, 10, 10.6, 10.4, 10.7, 10.5, 10.8,
+              10.6, 10.9, 10.7, 11.0, 10.8]
+    df = _series_df(spark, values)
+    rows = sorted(
+        cusum_alarms(df, ["k"], "t", "v", slack_k=0.5,
+                     threshold_h=5.0).collect(),
+        key=lambda r: r["run_order"])
+    got = [(r["cusum_pos"], r["cusum_neg"]) for r in rows]
+    assert got == ref_cusum(values, 0.5, 5)
+
+
+def test_cusum_catches_small_persistent_shift_zscore_misses(spark):
+    """+0.75-sigma step: never beyond 3 trailing sigmas, but the
+    cumulative sum walks over the CUSUM threshold."""
+    import numpy as np
+
+    from mlcast_sourcedata_validator_spark.functions.anomaly import (
+        cusum_alarms, trailing_zscore)
+
+    rng = np.random.default_rng(7)
+    pre = (10 + rng.normal(0, 1.0, 30)).tolist()
+    post = (10.75 + rng.normal(0, 1.0, 30)).tolist()
+    df = _series_df(spark, pre + post)
+    # the shift region itself never trips a 3-sigma trailing z-score
+    # (warm-up noise at tiny frames may — that is not the shift)
+    z = trailing_zscore(df, ["k"], "t", "v", window=10, k=3.0)
+    assert z.where("is_anomaly AND t >= 30").count() == 0
+    c = cusum_alarms(df, ["k"], "t", "v", slack_k=0.25,
+                     threshold_h=5.0, baseline_points=30)
+    alarms = [r["run_order"] for r in c.where("is_anomaly").collect()]
+    assert alarms and min(alarms) >= 30  # fires, and only after the shift
+
+
+def test_cusum_series_are_independent_and_validated(spark):
+    from mlcast_sourcedata_validator_spark.functions.anomaly import (
+        cusum_alarms)
+
+    flat = _series_df(spark, [5.0] * 20, key="flat")
+    shifted = _series_df(spark, [5.0] * 10 + [9.0] * 10, key="step")
+    out = cusum_alarms(flat.union(shifted), ["k"], "t", "v",
+                       threshold_h=4.0)
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r["k"], []).append(r["is_anomaly"])
+    assert not any(by_key["flat"])
+    assert any(by_key["step"])
+    with pytest.raises(ValueError):
+        cusum_alarms(flat, ["k"], "t", "v", baseline_points=1)
+    with pytest.raises(ValueError):
+        cusum_alarms(flat, ["k"], "t", "v", threshold_h=0)
+
+
+def test_metric_history_cusum_strategy(spark):
+    """'cusum' strategy through metric_history_anomaly: flags the
+    creeping partition, leaves the stable one alone."""
+    from mlcast_sourcedata_validator_spark.functions.anomaly import (
+        metric_history_anomaly)
+
+    runs = []
+    lineage = []
+    for i in range(12):
+        creep = 0.001 * (1.35 ** i)
+        for pid, val in (("p_ok", 0.001), ("p_creep", creep)):
+            runs.append(("s", f"r{i}", pid, "null_rate", float(val)))
+            lineage.append((f"r{i}", pid, float(i)))
+    metrics = spark.createDataFrame(
+        runs, "suite_id string, run_id string, partition_id string, "
+              "metric string, value double")
+    lin = spark.createDataFrame(
+        lineage, "run_id string, partition_id string, committed_at double")
+    out = metric_history_anomaly(
+        metrics, lin, "null_rate", strategy="cusum", k=4.0, min_points=4)
+    flagged = {r["partition_id"] for r in out.collect()}
+    assert flagged == {"p_creep"}
