@@ -111,10 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after a --results run, audit METRIC's per-"
                         "partition RUN HISTORY in the store and flag "
                         "points that drift from their own past (strategy "
-                        "trailing_zscore | ewma | relative_change, "
-                        "default trailing_zscore; repeatable). Catches "
-                        "the creep --audit-metric's single-run cross-"
-                        "partition MAD audit cannot see")
+                        "trailing_zscore | ewma | relative_change | "
+                        "cusum, default trailing_zscore; repeatable). "
+                        "Catches the creep --audit-metric's single-run "
+                        "cross-partition MAD audit cannot see; cusum "
+                        "catches small persistent shifts the others miss")
     p.add_argument("--compact-rollup", action="store_true",
                    help="after maintaining + auditing the --conv-rollup "
                         "store, rewrite its active deltas as one base "
@@ -453,12 +454,19 @@ def main(argv: list[str] | None = None) -> int:
                           file=sys.stderr)
                     return 2
                 score_col = {"trailing_zscore": "zscore", "ewma": "ew_zscore",
-                             "relative_change": "ratio"}[strat]
+                             "relative_change": "ratio", "cusum": "cusum"}[strat]
+
+                def _score(r):
+                    # cusum evidence is two-sided; report the firing side
+                    if strat == "cusum":
+                        return max(r["cusum_pos"], r["cusum_neg"])
+                    return r[score_col]
+
                 if flagged:
                     detail = ", ".join(
                         f"{r['partition_id']}={r['value']:g} "
                         f"({score_col} "
-                        f"{r[score_col]:g})" if r[score_col] is not None else
+                        f"{_score(r):g})" if _score(r) is not None else
                         f"{r['partition_id']}={r['value']:g}"
                         for r in flagged)
                     print(f"history audit [{metric}/{strat}]: "

@@ -445,14 +445,16 @@ def test_cli_audit_history_flag(spark, table, registry, tmp_path, capsys):
                    "--results", store, "--registry", reg, "--cores", "8"]
                   + (["--no-resume"] if i else [])
                   + (["--audit-history", "__n_rows",
-                      "--audit-history", "__n_rows:relative_change"]
+                      "--audit-history", "__n_rows:relative_change",
+                      "--audit-history", "__n_rows:cusum"]
                      if i == 2 else []))
         assert rc == 0
     out = capsys.readouterr().out
     assert "history audit [__n_rows/trailing_zscore]:" in out
     # identical re-runs of identical data: the history is flat, so the
-    # relative-change audit must be clean
+    # relative-change and cusum audits must be clean
     assert "history audit [__n_rows/relative_change]: no anomalies" in out
+    assert "history audit [__n_rows/cusum]: no anomalies" in out
 
     rc2 = main(["--suite", "transcripts_v1", "--table", table,
                 "--results", store, "--registry", reg, "--cores", "8",
