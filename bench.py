@@ -89,6 +89,13 @@ HEADLINE = [
     # Misra-Gries heavy hitters, batch + streaming composition
     "heavy_hitters_documents",
     "streaming_hot_types_events",
+    # round-5 continuation-session additions (additive, same
+    # rationale): point-anomaly checks, integer-exact EMD drift,
+    # Count-Min point-frequency sketch
+    "volume_anomaly_events",
+    "benford_value_events",
+    "emd_drift_events",
+    "cm_freq_events",
 ]
 
 
