@@ -918,6 +918,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q3_shipping_priority"] = q3_shipping_priority
 
+    def q18_large_volume_customer(spark, sf):
+        """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join
+        probe — find orders whose total quantity exceeds a threshold,
+        then join customer + orders + lineitem and re-aggregate for the
+        top-100. The probe output is order-keys only (bounded), so the
+        driver-side shape is: one agg, one semi join, one re-agg; the
+        customer dim is broadcast."""
+        li = _t(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("_q"))
+            .where(F.col("_q") > 250)
+            .select("l_orderkey")
+        )
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        return (
+            li.join(big, "l_orderkey", "left_semi")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+            .limit(100)
+        )
+    q["q18_large_volume_customer"] = q18_large_volume_customer
+
     def rollup_region_nation(spark, sf):
         """Multi-level aggregate (ROLLUP): acctbal totals by (region,
         nation), per-region subtotals, and a grand total."""
@@ -2767,6 +2795,18 @@ def _all_oracles() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
+    o["q18_large_volume_customer"] = """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
     o["rollup_region_nation"] = """
         SELECT r_name AS region, n_name AS nation,
                count(*)::BIGINT AS n_customers,
@@ -4019,6 +4059,8 @@ _EXTRA_ORDER = [
     # round-4 fifth-session window rotation: the TPC-H join+agg+topk twin
     # and the interval-join twin demoted here (both still exact-compared)
     "q3_shipping_priority",
+    # round 5: the HAVING-probe semi-join TPC-H shape (Q18)
+    "q18_large_volume_customer",
     "range_count_purchase_window_events",
     # hot-key profiler (salted two-phase counting; feeds the salting
     # decision the north_rule calls for)
